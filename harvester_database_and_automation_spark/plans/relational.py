@@ -1,0 +1,1014 @@
+"""Relational operator inventory (SURVEY.md §2.2–§2.8) over the synthetic
+TPC-H-ish corpus.
+
+Every query here is the Spark-first re-expression of an operator family the
+reference exercises (citations in each docstring point at
+/root/reference/...). Oracles are ANSI SQL for DuckDB on the same parquet.
+
+Determinism rules (so value-hashes match the oracle):
+  * alias every computed column identically on both sides;
+  * round double aggregates (sum order differs between engines);
+  * cast date-part extractions to INT (DuckDB yields BIGINT);
+  * cast integer SUMs to BIGINT in the oracle (DuckDB yields HUGEINT);
+  * every top-k / rank has a total tie-break on a unique key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from harvester_database_and_automation_spark.catalog import load_table
+from harvester_database_and_automation_spark.plans.registry import register
+
+
+def _ntz(literal: str):
+    """Timestamp literal as TIMESTAMP_NTZ — a bare ``cast('..' as timestamp)``
+    yields session-timezone LTZ, which shifts under non-UTC driver sessions."""
+    return F.lit(literal).cast("timestamp_ntz")
+
+
+def _trunc_ntz(unit: str, col):
+    """date_trunc that stays NTZ. Spark's date_trunc promotes NTZ input to
+    LTZ via the session zone; casting back through the same zone restores
+    the wall-clock value and the NTZ type."""
+    return F.date_trunc(unit, col).cast("timestamp_ntz")
+
+
+def _money2(col):
+    """Half-up round to 2 decimals via floor(x*100+0.5)/100 (positive inputs).
+
+    Unlike round(), every step is a deterministic IEEE-754 op, so Spark and
+    any oracle engine produce the bit-identical double for the same input.
+    round() implementations disagree on .xx5-adjacent doubles: Spark rounds
+    the shortest decimal repr, DuckDB rounds the binary value. The SQL twin
+    is ``floor(x * 100 + 0.5) / 100``.
+    """
+    return F.floor(col * 100 + F.lit(0.5)) / 100
+
+
+# ---------------------------------------------------------------------------
+# Aggregation spine (A1): TPC-H-Q1-style pricing summary.
+# ---------------------------------------------------------------------------
+@register(
+    "pricing_summary",
+    survey_ref="A1,P2",
+    oracle="""
+SELECT l_returnflag,
+       l_linestatus,
+       round(sum(l_quantity), 2)                                        AS sum_qty,
+       round(sum(l_extendedprice), 2)                                   AS sum_base_price,
+       round(sum(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) / 100), 2)     AS sum_disc_price,
+       round(sum(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100 + 0.5) / 100), 2) AS sum_charge,
+       round(avg(l_quantity), 2)                                        AS avg_qty,
+       round(avg(l_extendedprice), 2)                                   AS avg_price,
+       round(avg(l_discount), 4)                                        AS avg_disc,
+       count(*)                                                         AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-by with the full agg repertoire (sum/avg/count over expressions).
+
+    Reference pattern: QC dashboards and country rankings, e.g.
+    database/sql/quality_control.sql:62-71, database/sql/gisaid.sql:12-17.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    # Products of 2-decimal inputs have 4-6 exact decimals; rounding those
+    # per-row (bit-identical IEEE ops in any engine) keeps the subsequent
+    # sum an exact 2-decimal quantity, so the final round is boundary-free
+    # regardless of summation order.
+    disc_price = _money2(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    charge = _money2(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")))
+    return (
+        li.filter(F.col("l_shipdate") <= _ntz("2000-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Projection + predicates (P1,P2,P3): range / IN-list / LIKE filters.
+# ---------------------------------------------------------------------------
+@register(
+    "filter_project",
+    survey_ref="P1,P2,P3",
+    oracle="""
+SELECT l_orderkey,
+       l_linenumber,
+       floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) / 100 AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-04-01'
+  AND l_returnflag IN ('A', 'R')
+  AND l_quantity BETWEEN 10 AND 20
+""",
+)
+def filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pushdown-friendly scan: range + IN-list + BETWEEN predicates, narrow
+    projection. Reference: database/sql/consensus_sequence.sql:179-181,
+    database/sql/b117_analysis.sql:38."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= _ntz("1997-01-01"))
+            & (F.col("l_shipdate") < _ntz("1997-04-01"))
+            & F.col("l_returnflag").isin("A", "R")
+            & F.col("l_quantity").between(10, 20)
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            _money2(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# CASE recodes + COALESCE (P4,P5).
+# ---------------------------------------------------------------------------
+@register(
+    "case_recode",
+    survey_ref="P4,P5",
+    oracle="""
+SELECT CASE
+         WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 'high'
+         WHEN o_orderpriority = '3-MEDIUM'              THEN 'medium'
+         ELSE 'low'
+       END                                   AS priority_class,
+       coalesce(nullif(o_orderstatus, 'P'), 'PENDING') AS status_label,
+       count(*)                              AS n,
+       round(sum(o_totalprice), 2)           AS total
+FROM orders
+GROUP BY 1, 2
+""",
+)
+def case_recode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE-driven binning + NULLIF/COALESCE defaults — the age-group /
+    grossregion recode pattern (database/init.sql:787-867,
+    database/sql/spectrum/sequences_gisaid_api_based.sql:38)."""
+    o = load_table(spark, sf_dir, "orders")
+    priority_class = (
+        F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "high")
+        .when(F.col("o_orderpriority") == "3-MEDIUM", "medium")
+        .otherwise("low")
+    )
+    status_label = F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("P")), F.lit("PENDING"))
+    return (
+        o.select(priority_class.alias("priority_class"), status_label.alias("status_label"), "o_totalprice")
+        .groupBy("priority_class", "status_label")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multi-way inner join (J1): TPC-H-Q5-style regional revenue.
+# ---------------------------------------------------------------------------
+@register(
+    "regional_revenue",
+    survey_ref="J1,A1",
+    oracle="""
+SELECT n_name,
+       round(sum(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) / 100), 2) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'EUROPE'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1998-01-01'
+GROUP BY n_name
+""",
+)
+def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Six-way inner equi-join with broadcast dims — the test⋈plate⋈sequence
+    join spine (database/sql/viollier_test.sql:60-95)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _ntz("1996-01-01"))
+        & (F.col("o_orderdate") < _ntz("1998-01-01"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    r = F.broadcast(load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE"))
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(s),
+            (F.col("l_suppkey") == F.col("s_suppkey")) & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(n, F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(r, F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(_money2(F.col("l_extendedprice") * (1 - F.col("l_discount")))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Left outer join (J2).
+# ---------------------------------------------------------------------------
+@register(
+    "customer_order_counts",
+    survey_ref="J2,A1",
+    oracle="""
+SELECT c_custkey,
+       count(o_orderkey) AS order_count
+FROM customer
+LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey
+""",
+)
+def customer_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left join preserving unmatched rows, count of non-null key.
+    Reference: sequences_gisaid_api_based.sql:80-84."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("order_count"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Full outer join (J3): weekly orders ⟗ weekly events.
+# ---------------------------------------------------------------------------
+@register(
+    "weekly_activity_full_outer",
+    survey_ref="J3,A1",
+    oracle="""
+WITH ow AS (
+  SELECT date_trunc('week', o_orderdate) AS week, count(*) AS n_orders
+  FROM orders GROUP BY 1
+), ew AS (
+  SELECT date_trunc('week', ts) AS week, count(*) AS n_events
+  FROM events GROUP BY 1
+)
+SELECT coalesce(ow.week, ew.week) AS week,
+       coalesce(n_orders, 0)      AS n_orders,
+       coalesce(n_events, 0)      AS n_events
+FROM ow FULL OUTER JOIN ew ON ow.week = ew.week
+""",
+)
+def weekly_activity_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of two weekly aggregates — the weekly sequenced ⟗
+    weekly positive-tests pattern (database/sql/gisaid.sql:80-87)."""
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(_trunc_ntz("week", "o_orderdate").alias("week"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    e = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(_trunc_ntz("week", "ts").alias("week"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    return (
+        o.join(e, "week", "full")
+        .select(
+            "week",
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Semi / anti joins (J5, J6).
+# ---------------------------------------------------------------------------
+@register(
+    "big_spender_semi_join",
+    survey_ref="J5",
+    oracle="""
+SELECT c_custkey, c_name
+FROM customer c
+WHERE EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+    AND o.o_orderstatus = 'F'
+    AND o.o_totalprice > 150000
+)
+""",
+)
+def big_spender_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS → left_semi — positives-that-were-sequenced pattern
+    (database/sql/consensus_sequence.sql:182-251)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderstatus") == "F") & (F.col("o_totalprice") > 150000)
+    )
+    return c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left_semi").select("c_custkey", "c_name")
+
+
+@register(
+    "no_urgent_order_anti_join",
+    survey_ref="J6",
+    oracle="""
+SELECT c_custkey, c_mktsegment
+FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+)
+""",
+)
+def no_urgent_order_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS → left_anti — plates-not-yet-imported / unsubmitted
+    sequences pattern (database/R/import_viollier_test_data.R:84-88,
+    database/sql/sample_status.sql:111-115)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Date-spine cross join (J7) with zero-fill.
+# ---------------------------------------------------------------------------
+@register(
+    "monthly_priority_spine",
+    survey_ref="J7,J2,A1",
+    oracle="""
+WITH spine AS (
+  SELECT unnest(generate_series(TIMESTAMP '1995-01-01', TIMESTAMP '2001-08-01',
+                                INTERVAL 1 MONTH)) AS month
+), prio AS (
+  SELECT DISTINCT o_orderpriority FROM orders
+), actual AS (
+  SELECT date_trunc('month', o_orderdate) AS month, o_orderpriority, count(*) AS n
+  FROM orders GROUP BY 1, 2
+)
+SELECT spine.month, prio.o_orderpriority, coalesce(actual.n, 0) AS n
+FROM spine
+CROSS JOIN prio
+LEFT JOIN actual ON actual.month = spine.month AND actual.o_orderpriority = prio.o_orderpriority
+""",
+)
+def monthly_priority_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """generate_series date-spine × dimension cross join, left join actuals,
+    zero-fill — the spectrum_sequence_intensity pattern
+    (database/sql/spectrum/sequences_gisaid_api_based.sql:385-393)."""
+    o = load_table(spark, sf_dir, "orders")
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(_ntz("1995-01-01"), _ntz("2001-08-01"), F.expr("INTERVAL 1 MONTH"))
+        ).alias("month")
+    )
+    prio = o.select("o_orderpriority").distinct()
+    actual = (
+        o.groupBy(
+            _trunc_ntz("month", "o_orderdate").alias("month"),
+            "o_orderpriority",
+        ).agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        spine.crossJoin(F.broadcast(prio))
+        .join(actual, ["month", "o_orderpriority"], "left")
+        .select("month", "o_orderpriority", F.coalesce("n", F.lit(0)).alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Expression join (J9): join on a value parsed out of a string.
+# ---------------------------------------------------------------------------
+@register(
+    "expression_join_name_parse",
+    survey_ref="J9",
+    oracle="""
+SELECT c_mktsegment, count(*) AS n_orders
+FROM orders
+JOIN customer ON CAST(split_part(c_name, '#', 2) AS BIGINT) = o_custkey
+GROUP BY c_mktsegment
+""",
+)
+def expression_join_name_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join on a computed key (split_part + cast) — the
+    split_part(test_id,'/',2)=sample_number join
+    (database/sql/bag_sequence_report.sql:36-43)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").withColumn(
+        "parsed_key", F.split_part(F.col("c_name"), F.lit("#"), F.lit(2)).cast("bigint")
+    )
+    return (
+        o.join(c, F.col("parsed_key") == F.col("o_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Join against inline VALUES (J10).
+# ---------------------------------------------------------------------------
+@register(
+    "values_lookup_join",
+    survey_ref="J10,A1",
+    oracle="""
+SELECT l_orderkey,
+       round(sum(l_quantity), 2) AS total_qty,
+       count(*)                  AS n_lines
+FROM lineitem
+JOIN (VALUES (1), (2), (3), (5), (8), (13), (21), (34)) AS v(key)
+  ON l_orderkey = v.key
+GROUP BY l_orderkey
+""",
+)
+def values_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lookup via inline literal frame (database/sql/viollier_test.sql:308-315)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    keys = spark.createDataFrame([(k,) for k in (1, 2, 3, 5, 8, 13, 21, 34)], "key bigint")
+    return (
+        li.join(F.broadcast(keys), F.col("l_orderkey") == F.col("key"))
+        .groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"), F.count(F.lit(1)).alias("n_lines"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Argmin dedup via window (J11, W2) — THE dedup pattern of the reference.
+# ---------------------------------------------------------------------------
+@register(
+    "cheapest_order_per_customer",
+    survey_ref="J11,W2",
+    oracle="""
+SELECT c_custkey, o_orderkey, o_totalprice
+FROM (
+  SELECT c_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY c_custkey
+                            ORDER BY o_totalprice, o_orderkey) AS rn
+  FROM customer JOIN orders ON c_custkey = o_custkey
+) t
+WHERE rn = 1
+""",
+)
+def cheapest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-row-per-group with total tie-break — the fewest-Ns-per-ETHID
+    argmin dedup (sequences_gisaid_api_based.sql:60-78, with the
+    number_n-then-sample_name tie-break at :74-76)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("c_custkey").orderBy(F.col("o_totalprice").asc(), F.col("o_orderkey").asc())
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("c_custkey", "o_orderkey", "o_totalprice")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Global id assignment (W1).
+# ---------------------------------------------------------------------------
+@register(
+    "global_sequence_ids",
+    survey_ref="W1",
+    oracle="""
+SELECT n_name,
+       1000 + row_number() OVER (ORDER BY n_name) AS assigned_id
+FROM nation
+""",
+)
+def global_sequence_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global row_number id assignment (`<first id> + row_number()`,
+    database/sql/viollier_test.sql:34-47). Fine on a dim table; for large
+    fact tables use operators.ids.assign_global_ids (no single-partition
+    sort)."""
+    n = load_table(spark, sf_dir, "nation")
+    w = Window.orderBy("n_name")
+    return n.select("n_name", (F.lit(1000) + F.row_number().over(w)).cast("bigint").alias("assigned_id"))
+
+
+# ---------------------------------------------------------------------------
+# Prioritization window (W2, W3): multi-key ordered ranking.
+# ---------------------------------------------------------------------------
+@register(
+    "order_priority_pick",
+    survey_ref="W2,W3,O2",
+    oracle="""
+SELECT o_orderpriority, count(*) AS n_first_choice
+FROM (
+  SELECT o_orderpriority,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderpriority, o_orderdate DESC, o_orderkey) AS rn
+  FROM orders
+) t
+WHERE rn = 1
+GROUP BY o_orderpriority
+""",
+)
+def order_priority_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-key prioritization window (plate-priority pattern,
+    database/sql/viollier_test.sql:74,149,214 and the boolean sort keys at
+    :286-291)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderpriority").asc(), F.col("o_orderdate").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_first_choice"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Top-k with deterministic tie-break (O1, O2).
+# ---------------------------------------------------------------------------
+@register(
+    "top_parts_by_revenue",
+    survey_ref="O1,O2,J1",
+    oracle="""
+SELECT p_partkey, p_name, revenue
+FROM (
+  SELECT p_partkey, p_name,
+         round(sum(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) / 100), 2) AS revenue
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY p_partkey, p_name
+) t
+ORDER BY revenue DESC, p_partkey
+LIMIT 10
+""",
+)
+def top_parts_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """order-by-desc + limit ranking (database/sql/gisaid.sql:2-8)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    return (
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_partkey", "p_name")
+        .agg(
+            F.round(
+                F.sum(_money2(F.col("l_extendedprice") * (1 - F.col("l_discount")))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("p_partkey").asc())
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations (U1, U2, U3).
+# ---------------------------------------------------------------------------
+@register(
+    "union_all_conform",
+    survey_ref="U1",
+    oracle="""
+SELECT kind, CAST(year(ts) AS INT) AS yr, count(*) AS n
+FROM (
+  SELECT 'order' AS kind, o_orderdate AS ts FROM orders
+  UNION ALL
+  SELECT 'event' AS kind, ts FROM events
+) u
+GROUP BY kind, yr
+""",
+)
+def union_all_conform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heterogeneous sources conformed to one schema then unioned —
+    in-house + GISAID sequences (sequences_gisaid_api_based.sql:22-113)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.lit("order").alias("kind"), F.col("o_orderdate").alias("ts")
+    )
+    e = load_table(spark, sf_dir, "events").select(F.lit("event").alias("kind"), "ts")
+    return (
+        o.unionByName(e)
+        .groupBy("kind", F.year("ts").cast("int").alias("yr"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "union_distinct_nations",
+    survey_ref="U2",
+    oracle="""
+SELECT c_nationkey AS nationkey FROM customer
+UNION
+SELECT s_nationkey FROM supplier
+""",
+)
+def union_distinct_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION with dedup (database/sql/omicron_analysis.sql:10-27)."""
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.union(s).distinct()
+
+
+@register(
+    "rich_nations_except",
+    survey_ref="U3",
+    oracle="""
+SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 9000
+EXCEPT
+SELECT s_nationkey FROM supplier WHERE s_acctbal > 9000
+""",
+)
+def rich_nations_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-set difference (deletions = existing − package,
+    GisaidApiImporter.java:374-381; R setdiff utility.R:524-530)."""
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9000)
+        .select(F.col("c_nationkey").alias("nationkey"))
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 9000)
+        .select(F.col("s_nationkey").alias("nationkey"))
+    )
+    return c.subtract(s)
+
+
+# ---------------------------------------------------------------------------
+# Conditional aggregation / pivot-by-CASE (A2).
+# ---------------------------------------------------------------------------
+@register(
+    "conditional_agg_linestatus",
+    survey_ref="A2",
+    oracle="""
+SELECT l_returnflag,
+       CAST(sum(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+       CAST(sum(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished,
+       round(sum(CASE WHEN l_discount > 0.05 THEN l_extendedprice ELSE 0 END), 2) AS discounted_value
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def conditional_agg_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sum(case when ...) contingency tables (database/sql/quality_control.sql:31-44,
+    b117_analysis.sql:52-61)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.sum(F.when(F.col("l_linestatus") == "O", 1).otherwise(0)).cast("bigint").alias("n_open"),
+        F.sum(F.when(F.col("l_linestatus") == "F", 1).otherwise(0)).cast("bigint").alias("n_finished"),
+        F.round(
+            F.sum(F.when(F.col("l_discount") > 0.05, F.col("l_extendedprice")).otherwise(F.lit(0.0))), 2
+        ).alias("discounted_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# COUNT DISTINCT (A3).
+# ---------------------------------------------------------------------------
+@register(
+    "distinct_customers_per_priority",
+    survey_ref="A3",
+    oracle="""
+SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_customers
+FROM orders
+GROUP BY o_orderpriority
+""",
+)
+def distinct_customers_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count(distinct ...) (database/sql/quality_control.sql:100-106). At
+    100TB swap for approx_count_distinct."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(F.countDistinct("o_custkey").alias("n_customers"))
+
+
+# ---------------------------------------------------------------------------
+# Ordered string_agg (A4).
+# ---------------------------------------------------------------------------
+@register(
+    "nations_per_region_string_agg",
+    survey_ref="A4",
+    oracle="""
+SELECT r_name,
+       string_agg(n_name, ';' ORDER BY n_name) AS nation_list,
+       count(*) AS n_nations
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+""",
+)
+def nations_per_region_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ordered string_agg — collect_list is unordered, so
+    sort the array before joining (mutation-list concat,
+    database/sql/consensus_sequence.sql:7, viollier_plate.sql:202-205)."""
+    n = load_table(spark, sf_dir, "nation")
+    r = F.broadcast(load_table(spark, sf_dir, "region"))
+    return (
+        n.join(r, F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("n_name")), ";").alias("nation_list"),
+            F.count(F.lit(1)).alias("n_nations"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# HAVING (A5).
+# ---------------------------------------------------------------------------
+@register(
+    "hot_parts_having",
+    survey_ref="A5",
+    oracle="""
+SELECT l_partkey, count(*) AS n_lines, round(avg(l_quantity), 2) AS avg_qty
+FROM lineitem
+GROUP BY l_partkey
+HAVING count(*) >= 45 AND avg(l_quantity) > 20
+""",
+)
+def hot_parts_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate + post-aggregation filter (database/sql/viollier_test.sql:14-22,
+    consensus_sequence.sql:67-71)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("n_lines"), F.avg("l_quantity").alias("_avg_qty"))
+        .filter((F.col("n_lines") >= 45) & (F.col("_avg_qty") > 20))
+        .select("l_partkey", "n_lines", F.round("_avg_qty", 2).alias("avg_qty"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# ROLLUP (A6).
+# ---------------------------------------------------------------------------
+@register(
+    "customer_rollup_region_nation",
+    survey_ref="A6,J1",
+    oracle="""
+SELECT r_name, n_name, count(*) AS n_customers
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+""",
+)
+def customer_rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """group by rollup(...) subtotal hierarchy
+    (database/sql/quality_control.sql:78-83,
+    sequences_gisaid_api_based.sql:426)."""
+    c = load_table(spark, sf_dir, "customer")
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    r = F.broadcast(load_table(spark, sf_dir, "region"))
+    return (
+        c.join(n, F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(r, F.col("n_regionkey") == F.col("r_regionkey"))
+        .rollup("r_name", "n_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Share-of-total via window (A7).
+# ---------------------------------------------------------------------------
+@register(
+    "nation_share_of_region_revenue",
+    survey_ref="A7,J1,W2",
+    oracle="""
+WITH nat AS (
+  SELECT r_name, n_name, sum(o_totalprice) AS nation_rev
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation   ON c_nationkey = n_nationkey
+  JOIN region   ON n_regionkey = r_regionkey
+  GROUP BY r_name, n_name
+)
+SELECT r_name, n_name,
+       round(nation_rev, 2) AS revenue,
+       round(nation_rev / sum(nation_rev) OVER (PARTITION BY r_name), 4) AS region_share
+FROM nat
+""",
+)
+def nation_share_of_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate-of-aggregate proportions (frac_batch pattern,
+    database/sql/close_country_analysis.sql:68-91,
+    database/R/export_spsp_submission.R:308-328)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    r = F.broadcast(load_table(spark, sf_dir, "region"))
+    nat = (
+        o.join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(n, F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(r, F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(F.sum("o_totalprice").alias("nation_rev"))
+    )
+    w = Window.partitionBy("r_name")
+    return nat.select(
+        "r_name",
+        "n_name",
+        F.round("nation_rev", 2).alias("revenue"),
+        F.round(F.col("nation_rev") / F.sum("nation_rev").over(w), 4).alias("region_share"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar-subquery denominator (A8).
+# ---------------------------------------------------------------------------
+@register(
+    "parts_above_avg_price",
+    survey_ref="A8,P2",
+    oracle="""
+SELECT p_brand, count(*) AS n_premium
+FROM part
+WHERE p_retailprice > 1.02 * (SELECT avg(p_retailprice) FROM part)
+GROUP BY p_brand
+""",
+)
+def parts_above_avg_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery as threshold — computed once and broadcast instead
+    of per-row (database/sql/consensus_sequence.sql:6,82-90)."""
+    p = load_table(spark, sf_dir, "part")
+    avg_df = p.agg(F.avg("p_retailprice").alias("_avg_price"))
+    return (
+        p.crossJoin(F.broadcast(avg_df))
+        .filter(F.col("p_retailprice") > 1.02 * F.col("_avg_price"))
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n_premium"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Percentiles (A9).
+# ---------------------------------------------------------------------------
+@register(
+    "order_value_percentiles",
+    survey_ref="A9",
+    oracle="""
+SELECT o_orderpriority,
+       round(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
+       round(quantile_cont(o_totalprice, 0.9), 4) AS p90_price
+FROM orders
+GROUP BY o_orderpriority
+""",
+)
+def order_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact continuous percentile (percentile_cont within group,
+    database/sql/spectrum/usage_statistics.sql:56-62). At 100TB use
+    percentile_approx."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("median_price"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# First-per-group keep-first (A10).
+# ---------------------------------------------------------------------------
+@register(
+    "first_event_per_user",
+    survey_ref="A10,W2",
+    oracle="""
+SELECT user_id, event_id, event_type
+FROM (
+  SELECT user_id, event_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+) t
+WHERE rn = 1
+""",
+)
+def first_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-first-per-key dedup (summarize first() per sample_number,
+    database/R/import_viollier_test_data.R:36-49; keep-last
+    import_bag_meldeformular.R:207-212 is the DESC variant)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ISO week/year extraction (§2.8 date family).
+# ---------------------------------------------------------------------------
+@register(
+    "orders_per_isoweek",
+    survey_ref="date-funcs",
+    oracle="""
+SELECT CAST(isoyear(o_orderdate) AS INT)    AS iso_year,
+       CAST(weekofyear(o_orderdate) AS INT) AS iso_week,
+       count(*) AS n
+FROM orders
+GROUP BY 1, 2
+""",
+)
+def orders_per_isoweek(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """extract(isoyear/week) weekly rollup — incl. the isoyear-vs-year trap
+    the reference notes ("week 53 wraps around", database/sql/gisaid.sql:47-68)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.expr("extract(YEAROFWEEK FROM o_orderdate)").cast("int").alias("iso_year"),
+            F.weekofyear("o_orderdate").cast("int").alias("iso_week"),
+        ).agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Date arithmetic (§2.8).
+# ---------------------------------------------------------------------------
+@register(
+    "order_age_buckets",
+    survey_ref="date-funcs,P4",
+    oracle="""
+SELECT CAST(floor(date_diff('day', o_orderdate, TIMESTAMP '2002-01-01') / 365) AS INT) AS age_years,
+       count(*) AS n
+FROM orders
+GROUP BY 1
+""",
+)
+def order_age_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date subtraction + integer binning (date_submitted - date,
+    database/sql/gisaid.sql:62)."""
+    o = load_table(spark, sf_dir, "orders")
+    age = F.floor(
+        F.datediff(F.lit("2002-01-01").cast("date"), F.col("o_orderdate").cast("date")) / 365
+    ).cast("int")
+    return o.groupBy(age.alias("age_years")).agg(F.count(F.lit(1)).alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# JSON extraction (§1.2 jsonb columns).
+# ---------------------------------------------------------------------------
+@register(
+    "json_props_extract",
+    survey_ref="json,A1",
+    oracle="""
+SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k_value,
+       count(*) AS n,
+       round(sum(value), 2) AS total_value
+FROM events
+GROUP BY 1
+""",
+)
+def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON payload field extraction — the jsonb columns
+    (database/init.sql:1260, 1343-1348) read with get_json_object."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.get_json_object("props", "$.k").cast("int").alias("k_value"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Regex extraction + rlike filter (§2.8 regex family).
+# ---------------------------------------------------------------------------
+@register(
+    "part_name_regex",
+    survey_ref="regex,P3",
+    oracle="""
+SELECT regexp_extract(p_name, '([a-z]+)$', 1) AS last_word,
+       count(*) AS n
+FROM part
+WHERE p_name ~ '^[a-z]+ [a-z]+$' AND p_brand NOT LIKE 'Brand#1%'
+GROUP BY 1
+""",
+)
+def part_name_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """regexp_extract + regex predicate + NOT LIKE
+    (database/sql/viollier_plate.sql:34-35, gisaid_our_sequences.sql:3-8)."""
+    p = load_table(spark, sf_dir, "part")
+    return (
+        p.filter(F.col("p_name").rlike("^[a-z]+ [a-z]+$") & ~F.col("p_brand").like("Brand#1%"))
+        .groupBy(F.regexp_extract("p_name", "([a-z]+)$", 1).alias("last_word"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Split + explode (§2.8 array family).
+# ---------------------------------------------------------------------------
+@register(
+    "part_name_word_counts",
+    survey_ref="array-explode",
+    oracle="""
+SELECT word, count(*) AS n
+FROM (SELECT unnest(string_split(p_name, ' ')) AS word FROM part) t
+GROUP BY word
+""",
+)
+def part_name_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unnest(string_to_array(...)) — the authors-explode
+    (database/sql/gisaid.sql:21-31) and separate_rows patterns."""
+    p = load_table(spark, sf_dir, "part")
+    return (
+        p.select(F.explode(F.split("p_name", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
