@@ -1,1 +1,204 @@
-"""Embedding similarity queries — populated in later milestones."""
+"""Similarity-search queries over the ``embeddings`` table (vec_id,
+embedding array<float>, label).
+
+Cosine is computed with identical sequential arithmetic on both engines
+(cast to double, dot products via element-wise fold) so ranks and rounded
+values agree. The brute-force top-k is the correctness baseline; the
+LSH-bucketed variant is the scale path (candidates come from an equi-join
+on sign-bucket, not an all-pairs product).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from harvester_database_and_automation_spark.catalog import load_table
+from harvester_database_and_automation_spark.plans.registry import register
+
+# DuckDB-side cosine between two DOUBLE[] lists.
+_COS_SQL = (
+    "list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+)
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _cosine(a, b):
+    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings").withColumn(
+        "vec", F.col("embedding").cast("array<double>")
+    )
+
+
+@register(
+    "embedding_norm_stats",
+    survey_ref="similarity,A1",
+    oracle="""
+SELECT label,
+       count(*) AS n,
+       round(avg(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 6) AS avg_norm
+FROM embeddings
+GROUP BY label
+""",
+)
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label vector-norm statistics — per-row norms are deterministic
+    folds; only the final avg is engine-summed (error << rounding grain)."""
+    e = _emb(spark, sf_dir)
+    return (
+        e.select("label", F.sqrt(_dot(F.col("vec"), F.col("vec"))).alias("norm"))
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("norm"), 6).alias("avg_norm"))
+    )
+
+
+@register(
+    "cosine_topk_bruteforce",
+    survey_ref="similarity,J7,W2",
+    oracle=f"""
+WITH q AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 10),
+r AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id >= 10),
+sims AS (
+  SELECT q.vec_id AS query_id, r.vec_id AS neighbor_id,
+         {_COS_SQL.format(a='q.v', b='r.v')} AS sim
+  FROM q CROSS JOIN r
+),
+ranked AS (
+  SELECT query_id, neighbor_id, sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk
+  FROM sims
+)
+SELECT query_id, neighbor_id, rk, round(sim, 6) AS sim
+FROM ranked WHERE rk <= 5
+""",
+)
+def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 neighbors for a query set — the ANN
+    correctness baseline. The 1-NN origin-estimator kernel
+    (OriginCountryEstimator.java:230-271) has this exact shape: broadcast
+    reference set, crossJoin, per-pair distance, rank per query."""
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < 10).select(F.col("vec_id").alias("query_id"), F.col("vec").alias("qv"))
+    r = e.filter(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("vec").alias("rv")
+    )
+    sims = F.broadcast(q).crossJoin(r).select(
+        "query_id", "neighbor_id", _cosine(F.col("qv"), F.col("rv")).alias("sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
+    return (
+        sims.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("query_id", "neighbor_id", "rk", F.round("sim", 6).alias("sim"))
+    )
+
+
+@register(
+    "knn_label_predict",
+    survey_ref="similarity,K3,W2",
+    oracle=f"""
+WITH q AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id % 7 = 0),
+r AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id % 7 <> 0),
+sims AS (
+  SELECT q.vec_id AS query_id, r.vec_id AS neighbor_id, r.label,
+         {_COS_SQL.format(a='q.v', b='r.v')} AS sim
+  FROM q CROSS JOIN r
+),
+ranked AS (
+  SELECT query_id, label, sim, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk
+  FROM sims
+)
+SELECT query_id, label AS predicted_label
+FROM ranked WHERE rk = 1
+""",
+)
+def knn_label_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-NN label prediction: held-out vectors classified by their nearest
+    reference neighbor — the 1-NN origin-country estimation semantics
+    (OriginCountryEstimator.java:91-186) with cosine in place of the
+    mutation-set distance."""
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id") % 7 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("qv")
+    )
+    r = e.filter(F.col("vec_id") % 7 != 0).select(
+        F.col("vec_id").alias("neighbor_id"), "label", F.col("vec").alias("rv")
+    )
+    sims = F.broadcast(q).crossJoin(r).select(
+        "query_id", "neighbor_id", "label", _cosine(F.col("qv"), F.col("rv")).alias("sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
+    return (
+        sims.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("query_id", F.col("label").alias("predicted_label"))
+    )
+
+
+@register(
+    "embedding_near_dup_pairs",
+    survey_ref="dedup-embedding,J7",
+    oracle=f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round({_COS_SQL.format(a='a.embedding::DOUBLE[]', b='b.embedding::DOUBLE[]')}, 6) AS sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE {_COS_SQL.format(a='a.embedding::DOUBLE[]', b='b.embedding::DOUBLE[]')} > 0.4
+""",
+)
+def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs above a similarity threshold.
+    All-pairs here (correctness baseline); the LSH-bucket variant below is
+    the scale path."""
+    e = _emb(spark, sf_dir)
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("vec").alias("va"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("vec").alias("vb"))
+    sim = _cosine(F.col("va"), F.col("vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .filter(sim > 0.4)
+        .select("vec_a", "vec_b", F.round(sim, 6).alias("sim"))
+    )
+
+
+@register(
+    "lsh_sign_buckets",
+    survey_ref="similarity-lsh,A4",
+    oracle="""
+WITH dims AS (SELECT unnest(generate_series(0, 7)) AS d)
+SELECT bucket, count(*) AS n_vectors,
+       string_agg(vec_id, ',' ORDER BY vec_id) AS members
+FROM (
+  SELECT vec_id,
+         CAST(sum(CASE WHEN embedding[d * 8 + 1] >= 0 THEN 1 << d ELSE 0 END) AS INT) AS bucket
+  FROM embeddings, dims
+  GROUP BY vec_id
+) t
+GROUP BY bucket
+""",
+)
+def lsh_sign_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-random-projection LSH bucketing (hyperplanes = coordinate dims
+    0,8,16,...,56): vectors sharing an 8-bit sign pattern land in one
+    bucket; ANN then probes only the query's bucket. The grouped members
+    string documents bucket composition for the oracle."""
+    e = load_table(spark, sf_dir, "embeddings")
+    dims = F.broadcast(spark.range(8).select(F.col("id").cast("int").alias("d")))
+    bucket = F.sum(
+        F.when(F.expr("embedding[d * 8] >= 0"), F.expr("shiftleft(1, d)")).otherwise(0)
+    ).cast("int")
+    buckets = e.crossJoin(dims).groupBy("vec_id").agg(bucket.alias("bucket"))
+    return buckets.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.array_join(F.transform(F.array_sort(F.collect_list("vec_id")), lambda v: v.cast("string")), ",").alias(
+            "members"
+        ),
+    )

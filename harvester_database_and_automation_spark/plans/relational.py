@@ -992,6 +992,91 @@ def part_name_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Sessionization via lag + cumulative sum (streaming-adjacent batch pattern).
+# ---------------------------------------------------------------------------
+@register(
+    "event_sessionization",
+    survey_ref="W2,streaming,A1",
+    oracle="""
+WITH gaps AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE OR
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+sessions AS (
+  SELECT user_id,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM gaps
+)
+SELECT user_id,
+       CAST(count(DISTINCT session_id) AS BIGINT) AS n_sessions,
+       count(*) AS n_events
+FROM sessions
+GROUP BY user_id
+""",
+)
+def event_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization: lag + cumulative sum over an event-time
+    window (30-minute inactivity gap). The batch twin of
+    session_window(ts, gap) in Structured Streaming."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    wsum = Window.partitionBy("user_id").orderBy("ts").rowsBetween(Window.unboundedPreceding, 0)
+    prev_ts = F.lag("ts").over(w)
+    new_session = F.when(
+        prev_ts.isNull() | ((F.col("ts") - prev_ts) > F.expr("INTERVAL 30 MINUTES")), 1
+    ).otherwise(0)
+    return (
+        e.withColumn("new_session", new_session)
+        .withColumn("session_id", F.sum("new_session").over(wsum))
+        .groupBy("user_id")
+        .agg(
+            F.countDistinct("session_id").cast("bigint").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pivot / conditional-aggregation matrix (A2 as a wide table).
+# ---------------------------------------------------------------------------
+@register(
+    "event_type_pivot",
+    survey_ref="A2,pivot",
+    oracle="""
+SELECT user_id,
+       round(coalesce(sum(value) FILTER (event_type = 'click'), 0), 2)    AS click_total,
+       round(coalesce(sum(value) FILTER (event_type = 'view'), 0), 2)     AS view_total,
+       round(coalesce(sum(value) FILTER (event_type = 'purchase'), 0), 2) AS purchase_total,
+       CAST(count(*) FILTER (event_type = 'error') AS BIGINT)             AS n_errors
+FROM events
+GROUP BY user_id
+""",
+)
+def event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide conditional-aggregation pivot (sum-by-case dashboards,
+    database/sql/quality_control.sql:31-44). Explicit pivot values keep the
+    plan a single aggregation pass."""
+    e = load_table(spark, sf_dir, "events")
+
+    def total(kind: str):
+        return F.round(
+            F.coalesce(F.sum(F.when(F.col("event_type") == kind, F.col("value"))), F.lit(0.0)), 2
+        )
+
+    return e.groupBy("user_id").agg(
+        total("click").alias("click_total"),
+        total("view").alias("view_total"),
+        total("purchase").alias("purchase_total"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).cast("bigint").alias("n_errors"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Split + explode (§2.8 array family).
 # ---------------------------------------------------------------------------
 @register(

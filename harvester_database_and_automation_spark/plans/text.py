@@ -1,1 +1,333 @@
-"""Text-analysis queries — populated in later milestones."""
+"""Text-analysis + deduplication queries over the ``documents`` table —
+the training-data-pipeline operator family (token statistics, language
+heuristics, quality scoring, fingerprinting, exact and near dedup).
+
+Near-dup machinery is expressed relationally (explode → join → agg) so the
+same plan scales on a cluster: shingle/minhash generation is an embarrassing
+map, candidate generation is an equi-join on (band, signature) — no
+all-pairs comparison ever materializes except among verified candidates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from harvester_database_and_automation_spark.catalog import load_table
+from harvester_database_and_automation_spark.plans.registry import register
+
+# Shared CTE: distinct 3-word shingles per document (dedup unit of the
+# MinHash/Jaccard family). DuckDB arrays are 1-based.
+_SHINGLES_SQL = """
+  SELECT DISTINCT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
+  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents) t,
+       unnest(generate_series(1, len(words) - 2)) AS u(i)
+"""
+
+
+def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct 3-word shingles per doc, via higher-order functions (no UDF)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(split(text, ' ')) - 3),"
+                    " i -> concat_ws(' ', slice(split(text, ' '), i + 1, 3)))"
+                )
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+
+
+@register(
+    "doc_token_stats",
+    survey_ref="text-analysis",
+    oracle="""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS INT)            AS n_tokens,
+       CAST(length(text) AS BIGINT)                         AS n_chars_actual,
+       round(length(replace(text, ' ', '')) * 1.0
+             / len(string_split(text, ' ')), 6)             AS avg_token_len
+FROM documents
+""",
+)
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token counting + char statistics per document."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split("text", " "))
+    return docs.select(
+        "doc_id",
+        n_tokens.cast("int").alias("n_tokens"),
+        F.length("text").cast("bigint").alias("n_chars_actual"),
+        F.round(F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))) * 1.0 / n_tokens, 6).alias(
+            "avg_token_len"
+        ),
+    )
+
+
+@register(
+    "doc_quality_score",
+    survey_ref="text-analysis,P4",
+    oracle="""
+SELECT doc_id,
+       round(least(1.0, len(string_split(text, ' ')) / 100.0) * 0.6
+             + (len(list_filter(string_split(text, ' '), w -> w IN ('the', 'a')))
+                * 1.0 / len(string_split(text, ' '))) * 0.4, 6) AS quality,
+       CASE
+         WHEN len(string_split(text, ' ')) < 30 THEN 'short'
+         WHEN len(list_filter(string_split(text, ' '), w -> w IN ('the', 'a'))) = 0 THEN 'no_stopwords'
+         ELSE 'ok'
+       END AS quality_class
+FROM documents
+""",
+)
+def doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality scoring: length score + stopword ratio, with a
+    rule-cascade class — the release rule-cascade shape
+    (database/R/export_spsp_submission.R:244-273)."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    n_tokens = F.size(words)
+    n_stop = F.size(F.filter(words, lambda w: w.isin("the", "a")))
+    quality = F.round(
+        F.least(F.lit(1.0), n_tokens / 100.0) * 0.6 + (n_stop * 1.0 / n_tokens) * 0.4, 6
+    )
+    quality_class = (
+        F.when(n_tokens < 30, "short")
+        .when(n_stop == 0, "no_stopwords")
+        .otherwise("ok")
+    )
+    return docs.select("doc_id", quality.alias("quality"), quality_class.alias("quality_class"))
+
+
+@register(
+    "doc_lang_guess",
+    survey_ref="text-analysis,P4,A2",
+    oracle="""
+WITH scored AS (
+  SELECT doc_id, lang,
+         CASE
+           WHEN len(list_filter(string_split(text, ' '), w -> w = 'the')) >= 3 THEN 'en'
+           WHEN len(list_filter(string_split(text, ' '), w -> w = 'data')) >= 3 THEN 'de'
+           ELSE 'und'
+         END AS lang_guess
+  FROM documents
+)
+SELECT lang, lang_guess, count(*) AS n
+FROM scored
+GROUP BY lang, lang_guess
+""",
+)
+def doc_lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-frequency language-ID heuristic cross-tabbed against the
+    labelled lang column (the classification-vs-truth reconciliation shape,
+    database/sql/gisaid.sql:169-254)."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    guess = (
+        F.when(F.size(F.filter(words, lambda w: w == "the")) >= 3, "en")
+        .when(F.size(F.filter(words, lambda w: w == "data")) >= 3, "de")
+        .otherwise("und")
+    )
+    return (
+        docs.select("lang", guess.alias("lang_guess"))
+        .groupBy("lang", "lang_guess")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "doc_top_words",
+    survey_ref="text-analysis,O1",
+    oracle="""
+SELECT word, count(*) AS n
+FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
+GROUP BY word
+ORDER BY n DESC, word
+LIMIT 20
+""",
+)
+def doc_top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level token frequency ranking (deterministic tie-break)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("word").asc())
+        .limit(20)
+    )
+
+
+@register(
+    "doc_fingerprint_exact_dedup",
+    survey_ref="dedup-exact,A10",
+    oracle="""
+SELECT md5(lower(text)) AS fingerprint,
+       min(doc_id)      AS keep_doc_id,
+       count(*)         AS n_copies
+FROM documents
+GROUP BY 1
+""",
+)
+def doc_fingerprint_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: content-hash groupBy keeping the smallest id — the
+    content-hash change-detection family (BatchProcessingWorker.java:214-297)
+    applied as dedup. Scales as a single hash aggregation."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5(F.lower("text")).alias("fingerprint"))
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+@register(
+    "ngram_jaccard_pairs",
+    survey_ref="dedup-near,J1,A1",
+    oracle=f"""
+WITH sh AS ({_SHINGLES_SQL}),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(n_common * 1.0 / (s1.sz + s2.sz - n_common), 6) AS jaccard
+FROM inter
+JOIN sizes s1 ON s1.doc_id = doc_a
+JOIN sizes s2 ON s2.doc_id = doc_b
+WHERE n_common * 1.0 / (s1.sz + s2.sz - n_common) >= 0.1
+""",
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-gram shingle Jaccard near-dup pairs via inverted-index self-join —
+    the candidate join only touches docs sharing a shingle, never all pairs."""
+    sh = _shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    jac = F.col("n_common") * 1.0 / (F.col("s1.sz") + F.col("s2.sz") - F.col("n_common"))
+    return (
+        inter.join(sizes.alias("s1"), F.col("doc_a") == F.col("s1.doc_id"))
+        .join(sizes.alias("s2"), F.col("doc_b") == F.col("s2.doc_id"))
+        .filter(jac >= 0.1)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+@register(
+    "minhash_lsh_candidates",
+    survey_ref="dedup-minhash,J1,A4",
+    oracle=f"""
+WITH sh AS ({_SHINGLES_SQL}),
+hashes AS (
+  SELECT doc_id, h, min(md5(h || '|' || shingle)) AS minhash
+  FROM sh, unnest(generate_series(0, 15)) AS u(h)
+  GROUP BY doc_id, h
+),
+bands AS (
+  SELECT doc_id, h // 4 AS band, md5(string_agg(minhash, ',' ORDER BY h)) AS band_sig
+  FROM hashes
+  GROUP BY doc_id, h // 4
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+""",
+)
+def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash (16 perms as md5-keyed min-ordering) + LSH banding (4 bands x
+    4 rows): candidate pairs are docs agreeing on any band signature.
+
+    This is the 100TB-scale dedup path: signature generation is a map-side
+    explode+agg, candidate generation an equi-join on (band, signature) —
+    cost is proportional to collisions, not to |docs|^2.
+    """
+    sh = _shingles(spark, sf_dir)
+    hashes = (
+        sh.crossJoin(F.broadcast(spark.range(16).select(F.col("id").cast("int").alias("h"))))
+        .groupBy("doc_id", "h")
+        .agg(F.min(F.md5(F.concat_ws("|", F.col("h"), F.col("shingle")))).alias("minhash"))
+    )
+    bands = (
+        hashes.withColumn("band", F.expr("h div 4"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("h", "minhash"))), lambda s: s["minhash"]
+                    ),
+                    ",",
+                )
+            ).alias("band_sig")
+        )
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+@register(
+    "simhash_buckets",
+    survey_ref="dedup-simhash",
+    oracle="""
+WITH tok AS (
+  SELECT DISTINCT doc_id, word
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents) t
+),
+bits AS (
+  SELECT doc_id, b,
+         CASE WHEN sum(CASE WHEN ((strpos('0123456789abcdef',
+                                          substr(md5(word), 1 + b // 4, 1)) - 1)
+                                  >> (b % 4)) & 1 = 1 THEN 1 ELSE -1 END) >= 0
+              THEN 1 ELSE 0 END AS bit
+  FROM tok, unnest(generate_series(0, 15)) AS u(b)
+  GROUP BY doc_id, b
+)
+SELECT doc_id,
+       CAST(sum(bit * (1 << b)) AS BIGINT) AS simhash16
+FROM bits
+GROUP BY doc_id
+""",
+)
+def simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash per document from token md5 bits — majority vote per
+    bit position over the token set, assembled into an integer bucket key.
+    Expressed as explode+agg so it scales as two hash aggregations."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("word")).distinct()
+    bitpos = F.broadcast(spark.range(16).select(F.col("id").cast("int").alias("b")))
+    # Bit b of the token hash: hex nibble (b div 4) of md5, bit (b % 4)
+    # inside it. instr-based nibble decode keeps the expression portable
+    # to the SQL oracle (no engine-specific hex casts).
+    vote = F.expr(
+        "CASE WHEN ((instr('0123456789abcdef', substr(md5(word), 1 + b div 4, 1)) - 1)"
+        " >> (b % 4)) & 1 = 1 THEN 1 ELSE -1 END"
+    )
+    bits = (
+        tok.crossJoin(bitpos)
+        .groupBy("doc_id", "b")
+        .agg(F.when(F.sum(vote) >= 0, 1).otherwise(0).alias("bit"))
+    )
+    return bits.groupBy("doc_id").agg(
+        F.sum(F.expr("bit * shiftleft(1, b)")).cast("bigint").alias("simhash16")
+    )
