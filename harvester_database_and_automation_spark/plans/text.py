@@ -25,9 +25,17 @@ _SHINGLES_SQL = """
 """
 
 
+def _fanout(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to the session's shuffle parallelism — the
+    documents scan is one small parquet split, so heavy per-row map work
+    (shingling, hashing) would otherwise run as a single task."""
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    return df.repartition(n)
+
+
 def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct 3-word shingles per doc, via higher-order functions (no UDF)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _fanout(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
     return (
         docs.select(
             "doc_id",
@@ -253,25 +261,25 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     cost is proportional to collisions, not to |docs|^2.
     """
     sh = _shingles(spark, sf_dir)
-    hashes = (
-        sh.crossJoin(F.broadcast(spark.range(16).select(F.col("id").cast("int").alias("h"))))
-        .groupBy("doc_id", "h")
-        .agg(F.min(F.md5(F.concat_ws("|", F.col("h"), F.col("shingle")))).alias("minhash"))
+    # All 16 minhashes as min-aggregates of ONE groupBy: partial (map-side)
+    # aggregation means each task ships at most 16 hashes per doc instead
+    # of 16x its shingle set — the shape that survives a 100TB corpus.
+    sigs = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat_ws("|", F.lit(str(h)), F.col("shingle")))).alias(f"m{h}")
+            for h in range(16)
+        ]
     )
-    bands = (
-        hashes.withColumn("band", F.expr("h div 4"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.md5(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("h", "minhash"))), lambda s: s["minhash"]
-                    ),
-                    ",",
-                )
-            ).alias("band_sig")
+    band_structs = [
+        F.struct(
+            F.lit(band).alias("band"),
+            F.md5(F.concat_ws(",", *[F.col(f"m{band * 4 + i}") for i in range(4)])).alias("band_sig"),
         )
-    )
+        for band in range(4)
+    ]
+    bands = sigs.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bs")
+    ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.band_sig").alias("band_sig"))
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -313,7 +321,7 @@ def simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash per document from token md5 bits — majority vote per
     bit position over the token set, assembled into an integer bucket key.
     Expressed as explode+agg so it scales as two hash aggregations."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _fanout(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
     tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("word")).distinct()
     bitpos = F.broadcast(spark.range(16).select(F.col("id").cast("int").alias("b")))
     # Bit b of the token hash: hex nibble (b div 4) of md5, bit (b % 4)
