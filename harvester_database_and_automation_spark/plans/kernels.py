@@ -8,7 +8,7 @@ harvester_database_and_automation_spark/functions/kernels.py.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from harvester_database_and_automation_spark.catalog import load_table
@@ -33,6 +33,405 @@ _VARIANT_DEFS = [
     ("BETA", 9, "A"),
 ]
 _VARIANT_VALUES_SQL = ", ".join(f"('{v}', {p}, '{b}')" for v, p, b in _VARIANT_DEFS)
+
+
+# Shared CTE fragments for the mutation-set kernels (K1/K3/K4): reference
+# genome = pseudo-sequence of doc 0; mutations = first-60-position diffs
+# vs the reference, skipping masked sites {3, 7} (the ext_problematic_site
+# contract, /root/reference/database/init.sql:969-974) and non-ACGT bases.
+_MASKED_SITES = (3, 7)
+_SEQ_WINDOW = 60
+
+_MUTS_CTES = f"""
+seqs AS (SELECT doc_id, {_SEQ_SQL} AS seq FROM documents),
+ref AS (SELECT seq AS refseq FROM seqs WHERE doc_id = 0),
+muts AS (
+  SELECT s.doc_id, i AS pos, substr(s.seq, i, 1) AS base
+  FROM seqs s CROSS JOIN ref r,
+       unnest(generate_series(1, {_SEQ_WINDOW})) AS u(i)
+  WHERE i <= least(length(s.seq), length(r.refseq))
+    AND substr(s.seq, i, 1) <> substr(r.refseq, i, 1)
+    AND substr(s.seq, i, 1) IN ('A','C','G','T')
+    AND substr(r.refseq, i, 1) IN ('A','C','G','T')
+    AND i NOT IN {_MASKED_SITES}
+),
+mut_sizes AS (
+  SELECT s.doc_id, count(m.pos) AS sz
+  FROM seqs s LEFT JOIN muts m ON s.doc_id = m.doc_id
+  GROUP BY s.doc_id
+)
+"""
+
+
+def _mutations(spark: SparkSession, sf_dir: str):
+    """(seqs, muts, sizes) DataFrames mirroring _MUTS_CTES.
+
+    K1 — nucleotide mutation finder (general/NucleotideMutationFinder.java:
+    76-117): aligned sequence vs broadcast reference, masked sites skipped,
+    non-ACGT skipped, (position, base) diffs emitted. Expressed as
+    explode(sequence) + filters — pure codegen, no UDF.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    seqs = docs.repartition(n).select(
+        "doc_id", F.upper(F.regexp_replace("text", "[^acgt]", "")).alias("seq")
+    )
+    ref = seqs.filter(F.col("doc_id") == 0).select(F.col("seq").alias("refseq"))
+    site = F.substring(F.col("seq"), F.col("pos"), 1)
+    ref_site = F.substring(F.col("refseq"), F.col("pos"), 1)
+    muts = (
+        seqs.crossJoin(F.broadcast(ref))
+        .select("doc_id", "seq", "refseq", F.explode(F.sequence(F.lit(1), F.lit(_SEQ_WINDOW))).alias("pos"))
+        .filter(F.col("pos") <= F.least(F.length("seq"), F.length("refseq")))
+        .filter(site != ref_site)
+        .filter(site.isin("A", "C", "G", "T") & ref_site.isin("A", "C", "G", "T"))
+        .filter(~F.col("pos").isin(*_MASKED_SITES))
+        .select("doc_id", "pos", site.alias("base"))
+    )
+    sizes = (
+        seqs.join(muts, "doc_id", "left")
+        .groupBy("doc_id")
+        .agg(F.count("pos").alias("sz"))
+    )
+    return seqs, muts, sizes
+
+
+def _pair_distances(spark: SparkSession, sf_dir: str, q_cond, r_cols):
+    """Mutation-set distance |A| + |B| - 2|A∩B| for every (query, reference)
+    doc pair, split by ``q_cond`` (queries where true). The pair spine is a
+    broadcast crossJoin of id+size projections — genome strings never enter
+    the shuffle (SURVEY.md §7 risk register)."""
+    _, muts, sizes = _mutations(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    q = (
+        docs.filter(q_cond)
+        .select(F.col("doc_id").alias("qid"))
+        .join(sizes.withColumnRenamed("doc_id", "qid"), "qid")
+        .withColumnRenamed("sz", "q_sz")
+    )
+    r = (
+        docs.filter(~q_cond)
+        .select(F.col("doc_id").alias("rid"), *r_cols)
+        .join(sizes.withColumnRenamed("doc_id", "rid"), "rid")
+        .withColumnRenamed("sz", "r_sz")
+    )
+    qm = muts.select(F.col("doc_id").alias("qid"), "pos", "base")
+    rm = muts.select(F.col("doc_id").alias("rid"), "pos", "base")
+    inter = (
+        qm.join(q.select("qid"), "qid", "left_semi")
+        .join(rm.join(r.select("rid"), "rid", "left_semi"), ["pos", "base"])
+        .groupBy("qid", "rid")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        F.broadcast(q)
+        .crossJoin(r)
+        .join(inter, ["qid", "rid"], "left")
+        .withColumn(
+            "dist",
+            F.col("q_sz") + F.col("r_sz") - 2 * F.coalesce(F.col("n_common"), F.lit(0)),
+        )
+    )
+
+
+@register(
+    "k1_mutation_finder",
+    survey_ref="K1,A1",
+    oracle=f"""
+WITH {_MUTS_CTES}
+SELECT pos, base, count(*) AS n_seqs
+FROM muts
+GROUP BY pos, base
+""",
+)
+def k1_mutation_finder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1 — nucleotide mutation finder, aggregated to the per-site mutation
+    spectrum (position, base, #sequences). The exploded long-format mutation
+    table is the same shape as consensus_sequence_mutation_nucleotide
+    (/root/reference/database/init.sql:403-410)."""
+    _, muts, _ = _mutations(spark, sf_dir)
+    return muts.groupBy("pos", "base").agg(F.count(F.lit(1)).alias("n_seqs"))
+
+
+@register(
+    "k3_origin_estimator",
+    survey_ref="K3,J8,W2,A1",
+    oracle=f"""
+WITH {_MUTS_CTES},
+pairs AS (
+  SELECT q.doc_id AS qid, r.doc_id AS rid, r.lang, r.doc_id % 5 AS fold,
+         sq.sz + sr.sz - 2 * coalesce(i.n_common, 0) AS dist
+  FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) q
+  CROSS JOIN (SELECT doc_id, lang FROM documents WHERE doc_id % 10 <> 0) r
+  JOIN mut_sizes sq ON sq.doc_id = q.doc_id
+  JOIN mut_sizes sr ON sr.doc_id = r.doc_id
+  LEFT JOIN (
+    SELECT a.doc_id AS qid, b.doc_id AS rid, count(*) AS n_common
+    FROM muts a JOIN muts b ON a.pos = b.pos AND a.base = b.base
+    WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+    GROUP BY 1, 2
+  ) i ON i.qid = q.doc_id AND i.rid = r.doc_id
+),
+nn AS (
+  SELECT qid, fold, lang,
+         row_number() OVER (PARTITION BY qid, fold ORDER BY dist, rid) AS rk
+  FROM pairs
+),
+votes AS (SELECT qid, lang, count(*) AS n_votes FROM nn WHERE rk = 1 GROUP BY 1, 2),
+best AS (
+  SELECT qid, lang, n_votes,
+         row_number() OVER (PARTITION BY qid ORDER BY n_votes DESC, lang) AS rk
+  FROM votes
+)
+SELECT qid AS doc_id,
+       CASE WHEN n_votes >= 3 THEN lang ELSE 'UNDECIDED' END AS origin_lang,
+       CAST(n_votes AS BIGINT) AS n_votes
+FROM best WHERE rk = 1
+""",
+)
+def k3_origin_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K3 — 1-NN origin estimation (origincountry/OriginCountryEstimator.
+    java:91-186, 230-271): mutation-set distance of each query sequence to
+    5 deterministic reference folds (doc_id % 5 in place of the random
+    subsample), nearest neighbor per fold votes its lang, majority >= 3/5
+    decides, else UNDECIDED. Random tie-breaks become (dist, rid) ordering
+    so the oracle agrees bit-for-bit."""
+    pairs = _pair_distances(
+        spark, sf_dir, F.col("doc_id") % 10 == 0, [F.col("lang")]
+    ).withColumn("fold", F.col("rid") % 5)
+    w = Window.partitionBy("qid", "fold").orderBy("dist", "rid")
+    nn = pairs.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") == 1)
+    votes = nn.groupBy("qid", "lang").agg(F.count(F.lit(1)).alias("n_votes"))
+    wv = Window.partitionBy("qid").orderBy(F.col("n_votes").desc(), F.col("lang"))
+    return (
+        votes.withColumn("rk", F.row_number().over(wv))
+        .filter(F.col("rk") == 1)
+        .select(
+            F.col("qid").alias("doc_id"),
+            F.when(F.col("n_votes") >= 3, F.col("lang")).otherwise("UNDECIDED").alias("origin_lang"),
+            F.col("n_votes").cast("bigint").alias("n_votes"),
+        )
+    )
+
+
+@register(
+    "k4_priority_scorer",
+    survey_ref="K4,W2,A1",
+    oracle=f"""
+WITH {_MUTS_CTES},
+pairs AS (
+  SELECT c.doc_id AS rid, c.n_chars, f.doc_id AS qid,
+         sc.sz + sf.sz - 2 * coalesce(i.n_common, 0) AS dist
+  FROM (SELECT doc_id, n_chars FROM documents WHERE doc_id % 10 <> 0) c
+  CROSS JOIN (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) f
+  JOIN mut_sizes sc ON sc.doc_id = c.doc_id
+  JOIN mut_sizes sf ON sf.doc_id = f.doc_id
+  LEFT JOIN (
+    SELECT a.doc_id AS qid, b.doc_id AS rid, count(*) AS n_common
+    FROM muts a JOIN muts b ON a.pos = b.pos AND a.base = b.base
+    WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+    GROUP BY 1, 2
+  ) i ON i.qid = f.doc_id AND i.rid = c.doc_id
+),
+closest AS (
+  SELECT rid, n_chars, qid AS closest_focal, dist,
+         row_number() OVER (PARTITION BY rid ORDER BY dist, qid) AS rk
+  FROM pairs
+),
+ranked AS (
+  SELECT rid, n_chars, closest_focal, dist,
+         row_number() OVER (PARTITION BY closest_focal ORDER BY dist, rid) AS crowd_rank
+  FROM closest WHERE rk = 1
+)
+SELECT rid AS doc_id, closest_focal, CAST(dist AS BIGINT) AS min_dist,
+       -dist - CAST(0.01 AS DOUBLE) * (n_chars % 10)
+             - CAST(0.1 AS DOUBLE) * (crowd_rank - 1) AS priority
+FROM ranked
+""",
+)
+def k4_priority_scorer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4 — genetic priority scorer (database/python/priorities_from_
+    database.py:29-119, 230-262): each context sequence scored by
+    -(min SNP distance to the focal set) with a quality penalty (n_chars%10
+    standing in for the N-count) and a crowding penalty of -0.1 per rank
+    among contexts sharing the same closest focal sequence. The sparse
+    matrix products become the mutation-set intersection join."""
+    pairs = _pair_distances(
+        spark, sf_dir, F.col("doc_id") % 10 == 0, [F.col("n_chars")]
+    )
+    wc = Window.partitionBy("rid").orderBy("dist", "qid")
+    closest = (
+        pairs.withColumn("rk", F.row_number().over(wc))
+        .filter(F.col("rk") == 1)
+        .select("rid", "n_chars", F.col("qid").alias("closest_focal"), "dist")
+    )
+    wr = Window.partitionBy("closest_focal").orderBy("dist", "rid")
+    ranked = closest.withColumn("crowd_rank", F.row_number().over(wr))
+    priority = (
+        -F.col("dist")
+        - F.lit(0.01).cast("double") * (F.col("n_chars") % 10)
+        - F.lit(0.1).cast("double") * (F.col("crowd_rank") - 1)
+    )
+    return ranked.select(
+        F.col("rid").alias("doc_id"),
+        "closest_focal",
+        F.col("dist").cast("bigint").alias("min_dist"),
+        priority.alias("priority"),
+    )
+
+
+@register(
+    "k7_alias_resolver",
+    survey_ref="K7,P3,J1",
+    oracle="""
+WITH aliases AS (
+  SELECT * FROM (VALUES ('AY', 'B.1.617.2'), ('BA', 'B.1.1.529'), ('XD', 'X.4')) AS a(alias, full_name)
+),
+lin AS (
+  SELECT doc_id,
+         (CASE doc_id % 4 WHEN 0 THEN 'AY' WHEN 1 THEN 'BA' WHEN 2 THEN 'QQ' ELSE 'zz' END)
+           || '.' || (doc_id % 3) || '.' || (n_chars % 5) AS lineage
+  FROM documents
+),
+resolved AS (
+  SELECT l.doc_id, l.lineage,
+         regexp_matches(l.lineage, '^[A-Z]{1,2}(\\.[0-9]{1,3})*$') AS is_valid,
+         coalesce(a.full_name || substr(l.lineage, length(split_part(l.lineage, '.', 1)) + 1),
+                  l.lineage) AS full_lineage
+  FROM lin l
+  LEFT JOIN aliases a ON split_part(l.lineage, '.', 1) = a.alias
+)
+SELECT lineage, full_lineage, is_valid, count(*) AS n_docs
+FROM resolved
+GROUP BY lineage, full_lineage, is_valid
+""",
+)
+def k7_alias_resolver(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K7 — pango-style alias resolution (pangolineage/PangolinLineage
+    AliasImporter.java:47-195): validity regex [A-Z]{1,2}(\\.[0-9]{1,3})*,
+    alias prefix expanded to the full name via a broadcast dim join
+    (alias 'BA' + '.1.2' -> 'B.1.1.529.1.2'), unknown prefixes pass
+    through unchanged."""
+    docs = load_table(spark, sf_dir, "documents")
+    aliases = spark.createDataFrame(
+        [("AY", "B.1.617.2"), ("BA", "B.1.1.529"), ("XD", "X.4")], "alias string, full_name string"
+    )
+    prefix = (
+        F.when(F.col("doc_id") % 4 == 0, "AY")
+        .when(F.col("doc_id") % 4 == 1, "BA")
+        .when(F.col("doc_id") % 4 == 2, "QQ")
+        .otherwise("zz")
+    )
+    lin = docs.select(
+        "doc_id",
+        F.concat_ws(
+            ".", prefix, (F.col("doc_id") % 3).cast("string"), (F.col("n_chars") % 5).cast("string")
+        ).alias("lineage"),
+    )
+    head = F.split_part(F.col("lineage"), F.lit("."), F.lit(1))
+    resolved = (
+        lin.join(F.broadcast(aliases), head == F.col("alias"), "left")
+        .select(
+            "lineage",
+            F.col("lineage").rlike(r"^[A-Z]{1,2}(\.[0-9]{1,3})*$").alias("is_valid"),
+            F.coalesce(
+                F.concat(F.col("full_name"), F.expr("substr(lineage, length(split_part(lineage, '.', 1)) + 1)")),
+                F.col("lineage"),
+            ).alias("full_lineage"),
+        )
+    )
+    return resolved.groupBy("lineage", "full_lineage", "is_valid").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+@register(
+    "k11_read_distribution",
+    survey_ref="K11,A2",
+    oracle=f"""
+WITH seqs AS (SELECT doc_id, {_SEQ_SQL} AS seq FROM documents),
+by_pos AS (
+  SELECT i AS pos, substr(seq, i, 1) AS base
+  FROM seqs, unnest(generate_series(1, 20)) AS u(i)
+  WHERE i <= length(seq)
+)
+SELECT pos,
+       CAST(sum(CASE WHEN base = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS a_count,
+       CAST(sum(CASE WHEN base = 'C' THEN 1 ELSE 0 END) AS BIGINT) AS c_count,
+       CAST(sum(CASE WHEN base = 'G' THEN 1 ELSE 0 END) AS BIGINT) AS g_count,
+       CAST(sum(CASE WHEN base = 'T' THEN 1 ELSE 0 END) AS BIGINT) AS t_count
+FROM by_pos
+GROUP BY pos
+""",
+)
+def k11_read_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K11 — read-distribution inspector (database/R/utility.R:208-258):
+    per-position A/C/G/T counts across the corpus, as a conditional-agg
+    pivot over the first 20 sites."""
+    docs = load_table(spark, sf_dir, "documents")
+    seqs = docs.select(F.upper(F.regexp_replace("text", "[^acgt]", "")).alias("seq"))
+    by_pos = (
+        seqs.select(F.explode(F.sequence(F.lit(1), F.lit(20))).alias("pos"), "seq")
+        .filter(F.col("pos") <= F.length("seq"))
+        .select("pos", F.substring(F.col("seq"), F.col("pos"), 1).alias("base"))
+    )
+    def cnt(b: str):
+        return F.sum(F.when(F.col("base") == b, 1).otherwise(0)).cast("bigint")
+
+    return by_pos.groupBy("pos").agg(
+        cnt("A").alias("a_count"), cnt("C").alias("c_count"),
+        cnt("G").alias("g_count"), cnt("T").alias("t_count"),
+    )
+
+
+@register(
+    "a11_mean_hamming",
+    survey_ref="A11,J7,A1",
+    oracle=f"""
+WITH seqs AS (
+  SELECT doc_id, lang, substr({_SEQ_SQL}, 1, 30) AS s
+  FROM documents
+  WHERE doc_id % 17 = 0 AND length({_SEQ_SQL}) >= 30
+),
+pairs AS (
+  SELECT a.lang, a.doc_id AS da, b.doc_id AS db,
+         (SELECT count(*) FROM unnest(generate_series(1, 30)) AS u(i)
+          WHERE substr(a.s, i, 1) <> substr(b.s, i, 1)) AS hamming
+  FROM seqs a JOIN seqs b ON a.lang = b.lang AND a.doc_id < b.doc_id
+)
+SELECT lang, count(*) AS n_pairs, round(avg(hamming), 6) AS mean_hamming
+FROM pairs
+GROUP BY lang
+""",
+)
+def a11_mean_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11 — mean pairwise Hamming distance per group (database/R/
+    utility.R:306-313, phangorn::dist.hamming): sampled sequences self-join
+    within lang, per-pair distance via a higher-order count over the first
+    30 sites, then group mean."""
+    docs = load_table(spark, sf_dir, "documents")
+    seq = F.upper(F.regexp_replace("text", "[^acgt]", ""))
+    seqs = (
+        docs.filter(F.col("doc_id") % 17 == 0)
+        .select("doc_id", "lang", F.substring(seq, 1, 30).alias("s"))
+        .filter(F.length(seq) >= 30)
+    )
+    a = seqs.select(F.col("lang"), F.col("doc_id").alias("da"), F.col("s").alias("sa"))
+    b = seqs.select(F.col("lang").alias("lang_b"), F.col("doc_id").alias("db"), F.col("s").alias("sb"))
+    hamming = F.size(
+        F.filter(
+            F.sequence(F.lit(1), F.lit(30)),
+            lambda i: F.substring(F.col("sa"), 1, 30).substr(i, F.lit(1))
+            != F.substring(F.col("sb"), 1, 30).substr(i, F.lit(1)),
+        )
+    )
+    pairs = (
+        a.join(b, (F.col("lang") == F.col("lang_b")) & (F.col("da") < F.col("db")))
+        .select("lang", hamming.alias("hamming"))
+    )
+    return pairs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_pairs"), F.round(F.avg("hamming"), 6).alias("mean_hamming")
+    )
 
 
 @register(
