@@ -606,6 +606,39 @@ def k9_condition_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "k6_geo_rules",
+    survey_ref="K6",
+    oracle=None,  # iterative per-row fixpoint rewriting is not SQL-expressible
+)
+def k6_geo_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K6 — geo-location rule rewriting (gisaid/GeoLocationMapper.java:
+    20-131) applied to tuples derived from the documents table: lang acts
+    as the country field, source as the division. The rule set includes a
+    wildcard rule and a 2-step chain so the fixpoint loop is exercised.
+    Unit-level semantics are covered by tests/test_geo.py; here the rows
+    pass through the broadcast-rules pandas UDF and aggregate."""
+    from harvester_database_and_automation_spark.functions.geo import GeoRule, geo_rewrite_udf
+
+    rules = [
+        # Chain: de -> Deutsch -> Germany (two rounds to fixpoint).
+        GeoRule(("*", "de", "*", "*"), ("*", "Deutsch", "*", "*")),
+        GeoRule(("*", "Deutsch", "*", "*"), ("Europe", "Germany", "*", "*")),
+        GeoRule(("*", "fr", "*", "*"), ("Europe", "France", "*", "*")),
+        GeoRule(("*", "zh", "*", "*"), ("Asia", "China", "*", "*")),
+        # Division normalization independent of country.
+        GeoRule(("*", "*", "src0", "*"), ("*", "*", "source-zero", "*")),
+    ]
+    docs = load_table(spark, sf_dir, "documents")
+    udf = geo_rewrite_udf(rules)
+    resolved = docs.select(
+        udf(F.lit("unknown"), F.col("lang"), F.col("source"), F.lit("")).alias("g")
+    ).select("g.*")
+    return resolved.groupBy("region", "country", "division").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+@register(
     "k10_base_frequency",
     survey_ref="K10,A1",
     oracle=f"""
