@@ -1,0 +1,15 @@
+"""Typed readers/writers and row-validation (SURVEY.md §2.1, §2.2 P6)."""
+
+from harvester_database_and_automation_spark.sources.fasta import read_fasta, write_fasta
+from harvester_database_and_automation_spark.sources.jsonl import check_field_drift, read_jsonl
+from harvester_database_and_automation_spark.sources.quarantine import validate
+from harvester_database_and_automation_spark.sources.tabular import read_csv
+
+__all__ = [
+    "read_fasta",
+    "write_fasta",
+    "read_jsonl",
+    "check_field_drift",
+    "validate",
+    "read_csv",
+]

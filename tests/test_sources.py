@@ -1,0 +1,141 @@
+"""Tests for the sources layer: FASTA, JSON-lines, CSV, quarantine."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from harvester_database_and_automation_spark.sources import (
+    check_field_drift,
+    read_csv,
+    read_fasta,
+    read_jsonl,
+    validate,
+    write_fasta,
+)
+from harvester_database_and_automation_spark.sources.quarantine import (
+    date_between,
+    enum_check,
+    not_null,
+)
+
+FASTA = """>seq1 Switzerland/ZH/2021
+ACGTACGT
+ACGTNNNN
+>seq2
+TTTT
+>seq3 with a longer description
+AC GT
+"""
+
+
+@pytest.fixture()
+def fasta_path(tmp_path):
+    p = tmp_path / "in.fasta"
+    p.write_text(FASTA)
+    return str(p)
+
+
+def test_read_fasta(spark, fasta_path):
+    rows = {r["name"]: r for r in read_fasta(spark, fasta_path).collect()}
+    assert set(rows) == {"seq1", "seq2", "seq3"}
+    assert rows["seq1"]["sequence"] == "ACGTACGTACGTNNNN"  # multi-line joined
+    assert rows["seq1"]["description"] == "Switzerland/ZH/2021"
+    assert rows["seq2"]["description"] == ""
+    assert rows["seq2"]["sequence"] == "TTTT"
+    assert rows["seq3"]["description"] == "with a longer description"
+    assert rows["seq3"]["sequence"] == "ACGT"  # internal whitespace stripped
+
+
+def test_fasta_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("a", "ACGTACGTACGT"), ("b", "TTTTT")], "name string, sequence string"
+    )
+    out = str(tmp_path / "out_fasta")
+    write_fasta(df, out, wrap=5)
+    back = {r["name"]: r["sequence"] for r in read_fasta(spark, out).collect()}
+    assert back == {"a": "ACGTACGTACGT", "b": "TTTTT"}
+
+
+def test_write_fasta_max_records_per_file(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(f"s{i}", "ACGT") for i in range(10)], "name string, sequence string"
+    ).coalesce(1)
+    out = tmp_path / "chunked"
+    write_fasta(df, str(out), max_records_per_file=3)
+    data_files = [p for p in out.iterdir() if p.name.startswith("part-")]
+    assert len(data_files) >= 4  # 10 records / 3 per file
+
+
+def test_read_jsonl_quarantines_corrupt(spark, tmp_path):
+    p = tmp_path / "feed.jsonl"
+    p.write_text(
+        '{"id": 1, "name": "x"}\n'
+        "this is not json\n"
+        '{"id": 2, "name": "y"}\n'
+    )
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("name", T.StringType())]
+    )
+    good, corrupt = read_jsonl(spark, str(p), schema)
+    assert {r["id"] for r in good.collect()} == {1, 2}
+    assert corrupt.count() == 1
+    assert "not json" in corrupt.collect()[0][0]
+
+
+def test_check_field_drift(spark, tmp_path):
+    p = tmp_path / "feed.jsonl"
+    p.write_text('{"covv_virus_name": "a", "covv_location": "b", "surprise": 1}\n')
+    rep = check_field_drift(
+        spark,
+        str(p),
+        required={"covv_virus_name", "covv_collection_date"},
+        expected={"covv_location"},
+    )
+    assert rep.missing_required == {"covv_collection_date"}
+    assert rep.unexpected == {"surprise"}
+    assert not rep.ok
+    ok_rep = check_field_drift(spark, str(p), required={"covv_virus_name"})
+    assert ok_rep.ok
+
+
+def test_read_csv_semicolon_typed(spark, tmp_path):
+    p = tmp_path / "nextclade.csv"
+    p.write_text("sample;clade;score\ns1;20A;0.5\ns2;20B;oops\ns3;21K;1.25\n")
+    schema = T.StructType(
+        [
+            T.StructField("sample", T.StringType()),
+            T.StructField("clade", T.StringType()),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+    good, corrupt = read_csv(spark, str(p), schema, sep=";")
+    assert {r["sample"] for r in good.collect()} == {"s1", "s3"}
+    assert corrupt.count() == 1
+    assert "oops" in corrupt.collect()[0]["_corrupt_record"]
+
+
+def test_validate_quarantine_reasons(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "B.1.1.7", "2021-03-01"),
+            (2, None, "2021-03-02"),
+            (3, "XYZ", "1999-01-01"),
+        ],
+        "id int, lineage string, d string",
+    ).withColumn("d", F.col("d").cast("date"))
+    good, bad = validate(
+        df,
+        {
+            "lineage_required": not_null("lineage"),
+            "lineage_valid": F.col("lineage").rlike(r"^[A-Z]+(\.[0-9]+)*$"),
+            "date_in_range": date_between("d", "2020-02-24"),
+        },
+    )
+    assert [r["id"] for r in good.collect()] == [1]
+    reasons = {r["id"]: set(r["_failed_checks"]) for r in bad.collect()}
+    assert reasons == {
+        2: {"lineage_required", "lineage_valid"},
+        3: {"date_in_range"},
+    }
