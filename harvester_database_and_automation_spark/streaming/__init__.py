@@ -1,0 +1,12 @@
+"""Structured Streaming skin over the reference's polling microservices
+(SURVEY.md §2.11)."""
+
+from harvester_database_and_automation_spark.streaming.ingest import incremental_file_ingest
+from harvester_database_and_automation_spark.streaming.stateful import running_dedup_counts
+from harvester_database_and_automation_spark.streaming.windows import windowed_event_counts
+
+__all__ = [
+    "incremental_file_ingest",
+    "windowed_event_counts",
+    "running_dedup_counts",
+]

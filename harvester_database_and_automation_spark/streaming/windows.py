@@ -1,0 +1,36 @@
+"""Watermarked event-time windowed aggregation.
+
+The reference handles late/dirty data by full-file reprocessing
+(SURVEY.md §2.11); at 100TB-stream scale the Spark-native answer is an
+event-time window plus a watermark bounding state. This is the building
+block for the weekly counting queries (gisaid.sql:47-87) run continuously.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Counts and value sums per (event-time window, key), tolerating late
+    arrivals up to ``watermark``. Works on both a streaming and a batch
+    DataFrame (batch ignores the watermark) — handy for oracle testing."""
+    df = events.withWatermark(ts_col, watermark) if events.isStreaming else events
+    return (
+        df.groupBy(F.window(F.col(ts_col), window).alias("win"), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            key_col,
+            "n_events",
+            "total_value",
+        )
+    )

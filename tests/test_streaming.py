@@ -1,0 +1,153 @@
+"""Tests for the streaming layer: incremental ingest ledger semantics,
+watermarked windows, stateful per-key counts."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from harvester_database_and_automation_spark.streaming import (
+    incremental_file_ingest,
+    running_dedup_counts,
+    windowed_event_counts,
+)
+
+CSV_SCHEMA = T.StructType(
+    [T.StructField("id", T.IntegerType()), T.StructField("name", T.StringType())]
+)
+
+
+def test_incremental_ingest_processes_each_file_once(spark, tmp_path):
+    src = tmp_path / "incoming"
+    src.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    (src / "a.csv").write_text("1,alpha\n2,beta\n")
+    incremental_file_ingest(spark, str(src), CSV_SCHEMA, ckpt, out)
+    assert spark.read.parquet(out).count() == 2
+
+    # Second poll with no new files: nothing re-processed.
+    incremental_file_ingest(spark, str(src), CSV_SCHEMA, ckpt, out)
+    assert spark.read.parquet(out).count() == 2
+
+    # New file arrives: only its rows are appended (ledger semantics).
+    (src / "b.csv").write_text("3,gamma\n")
+    incremental_file_ingest(spark, str(src), CSV_SCHEMA, ckpt, out)
+    got = {r["id"] for r in spark.read.parquet(out).collect()}
+    assert got == {1, 2, 3}
+
+
+def test_incremental_ingest_with_transform(spark, tmp_path):
+    src = tmp_path / "incoming"
+    src.mkdir()
+    (src / "a.csv").write_text("1,alpha\n2,beta\n")
+    out = str(tmp_path / "out")
+    incremental_file_ingest(
+        spark,
+        str(src),
+        CSV_SCHEMA,
+        str(tmp_path / "ckpt"),
+        out,
+        transform=lambda df: df.filter(F.col("id") > 1).withColumn("name", F.upper("name")),
+    )
+    rows = spark.read.parquet(out).collect()
+    assert [(r["id"], r["name"]) for r in rows] == [(2, "BETA")]
+
+
+def test_windowed_event_counts_batch_semantics(spark):
+    events = spark.createDataFrame(
+        [
+            ("2024-01-01 10:05:00", "click", 1.0),
+            ("2024-01-01 10:55:00", "click", 2.0),
+            ("2024-01-01 11:05:00", "click", 4.0),
+            ("2024-01-01 10:10:00", "view", 8.0),
+        ],
+        "ts string, event_type string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {
+        (str(r["window_start"]), r["event_type"]): (r["n_events"], r["total_value"])
+        for r in windowed_event_counts(events).collect()
+    }
+    assert got == {
+        ("2024-01-01 10:00:00", "click"): (2, 3.0),
+        ("2024-01-01 11:00:00", "click"): (1, 4.0),
+        ("2024-01-01 10:00:00", "view"): (1, 8.0),
+    }
+
+
+def test_windowed_event_counts_streaming_with_watermark(spark, tmp_path):
+    src = tmp_path / "events"
+    src.mkdir()
+    out = str(tmp_path / "win_out")
+    (src / "e1.json").write_text(
+        '{"ts": "2024-01-01T10:05:00", "event_type": "click", "value": 1.0}\n'
+        '{"ts": "2024-01-01T10:20:00", "event_type": "click", "value": 2.0}\n'
+    )
+    schema = "ts timestamp, event_type string, value double"
+
+    def run_poll():
+        stream = spark.readStream.schema(schema).json(str(src))
+        (
+            windowed_event_counts(stream, window="30 minutes", watermark="1 hour")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")  # requires the watermark -> exercises it
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+
+    run_poll()
+    # Append mode emits only windows the watermark has closed; nothing yet.
+    assert spark.read.schema(
+        "window_start timestamp, window_end timestamp, event_type string,"
+        " n_events bigint, total_value double"
+    ).parquet(out).count() == 0
+
+    # A much later event advances the watermark past the first window.
+    (src / "e2.json").write_text(
+        '{"ts": "2024-01-01T12:00:00", "event_type": "view", "value": 5.0}\n'
+    )
+    run_poll()
+    rows = spark.read.parquet(out).collect()
+    got = {(str(r["window_start"]), r["event_type"]): r["n_events"] for r in rows}
+    assert got == {("2024-01-01 10:00:00", "click"): 2}
+
+
+def test_running_dedup_counts_state_survives_batches(spark, tmp_path):
+    src = tmp_path / "keys"
+    src.mkdir()
+    (src / "b1.json").write_text('{"key": "a"}\n{"key": "a"}\n{"key": "b"}\n')
+    schema = "key string"
+
+    out = str(tmp_path / "counts_out")
+
+    def run_batch(tag: str):
+        stream = spark.readStream.schema(schema).json(str(src))
+
+        def sink(batch_df, _batch_id):
+            batch_df.withColumn("run", F.lit(tag)).write.mode("append").parquet(out)
+
+        q = (
+            running_dedup_counts(stream)
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {
+            r["key"]: (r["total_seen"], r["new_in_batch"])
+            for r in spark.read.parquet(out).filter(F.col("run") == tag).collect()
+        }
+
+    first = run_batch("r1")
+    assert first == {"a": (2, 2), "b": (1, 1)}
+
+    (src / "b2.json").write_text('{"key": "a"}\n')
+    second = run_batch("r2")
+    # State for 'a' carried across the restart via the checkpoint.
+    assert second["a"] == (3, 1)
