@@ -1,0 +1,145 @@
+"""The feed-import DAG — the Spark re-design of the reference's largest
+pipeline (GISAID API daily import, SURVEY.md §3.1; gisaid/
+GisaidApiImporter.java:44-60 and BatchProcessingWorker.java:80-205).
+
+One declarative DAG replaces the worker/queue machinery:
+
+1. schema-drift check on the feed head (abort when required fields vanish)
+2. schema-on-read with corrupt-line quarantine
+3. row validation -> clean / quarantined
+4. change classification vs the current published table (content hashes)
+5. expensive annotation ONLY for inserted/payload-changed rows — the
+   skip-reprocessing contract that makes daily 100TB feeds tractable
+6. merge upsert + tombstone deletes
+7. atomic versioned publish + run report
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from harvester_database_and_automation_spark.operators.merge import (
+    CHANGE_COL,
+    apply_deletes,
+    classify_changes,
+    merge_upsert,
+)
+from harvester_database_and_automation_spark.operators.publish import (
+    current_version,
+    publish_versioned,
+    read_published,
+)
+from harvester_database_and_automation_spark.sources.jsonl import check_field_drift, read_jsonl
+from harvester_database_and_automation_spark.sources.quarantine import validate
+
+
+@dataclass
+class FeedImportReport:
+    version: int
+    n_corrupt: int
+    n_quarantined: int
+    n_insert: int
+    n_metadata_changed: int
+    n_payload_changed: int
+    n_unchanged: int
+    n_delete: int
+    n_annotated: int
+
+    @property
+    def ok(self) -> bool:
+        """The reference fails the run when >=5% of rows failed
+        (GisaidApiImporter.java:392-393)."""
+        total = (
+            self.n_insert
+            + self.n_metadata_changed
+            + self.n_payload_changed
+            + self.n_unchanged
+            + self.n_quarantined
+            + self.n_corrupt
+        )
+        bad = self.n_quarantined + self.n_corrupt
+        return total == 0 or bad / total < 0.05
+
+
+def run_feed_import(
+    spark: SparkSession,
+    feed_path: str,
+    table_dir: str,
+    schema: T.StructType,
+    keys: list[str],
+    metadata_cols: list[str],
+    payload_cols: list[str],
+    checks: dict[str, Column],
+    annotate: Callable[[DataFrame], DataFrame] | None = None,
+    required_fields: set[str] | None = None,
+) -> FeedImportReport:
+    """Run one import cycle of ``feed_path`` into ``table_dir``.
+
+    ``annotate`` (if given) maps a DataFrame of to-be-processed rows to the
+    same schema plus derived columns already present in ``schema`` — it is
+    invoked ONLY on insert/payload_changed rows; unchanged and
+    metadata-changed rows keep their stored annotation untouched.
+    """
+    if required_fields:
+        drift = check_field_drift(spark, feed_path, required=required_fields)
+        if not drift.ok:
+            raise ValueError(f"feed schema drift: missing required {sorted(drift.missing_required)}")
+
+    good, corrupt = read_jsonl(spark, feed_path, schema)
+    clean, quarantined = validate(good, checks)
+    n_corrupt = corrupt.count()
+    n_quarantined = quarantined.count()
+
+    first_run = current_version(table_dir) is None
+    if first_run:
+        current = spark.createDataFrame([], schema)
+    else:
+        current = read_published(spark, table_dir).select(*[f.name for f in schema.fields])
+
+    classified = classify_changes(current, clean, keys, metadata_cols, payload_cols).cache()
+    by_type = {
+        r[CHANGE_COL]: r["n"]
+        for r in classified.groupBy(CHANGE_COL).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+
+    to_process = classified.filter(F.col(CHANGE_COL).isin("insert", "payload_changed")).drop(
+        CHANGE_COL
+    )
+    if annotate is not None:
+        to_process = annotate(to_process)
+    n_annotated = to_process.count()
+
+    # Metadata-only changes take metadata from the feed but KEEP the stored
+    # payload-derived columns (the feed carries them as nulls; recomputing
+    # them is exactly what this route exists to avoid).
+    kept_cols = [c for c in current.columns if c not in keys and c not in metadata_cols]
+    meta_updates = (
+        classified.filter(F.col(CHANGE_COL) == "metadata_changed")
+        .select(*keys, *metadata_cols)
+        .join(current.select(*keys, *kept_cols), list(keys))
+        .select(*current.columns)
+    )
+    updates = to_process.unionByName(meta_updates)
+    deletes = classified.filter(F.col(CHANGE_COL) == "delete").select(*keys)
+
+    merged = merge_upsert(current, updates, keys)
+    final = apply_deletes(merged, deletes, keys)
+    version = publish_versioned(final, table_dir)
+    classified.unpersist()
+
+    return FeedImportReport(
+        version=version,
+        n_corrupt=n_corrupt,
+        n_quarantined=n_quarantined,
+        n_insert=by_type.get("insert", 0),
+        n_metadata_changed=by_type.get("metadata_changed", 0),
+        n_payload_changed=by_type.get("payload_changed", 0),
+        n_unchanged=by_type.get("unchanged", 0),
+        n_delete=by_type.get("delete", 0),
+        n_annotated=n_annotated,
+    )

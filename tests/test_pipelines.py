@@ -1,0 +1,137 @@
+"""Integration tests: feed-import DAG over two cycles; release cascade."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from harvester_database_and_automation_spark.operators.publish import read_published
+from harvester_database_and_automation_spark.pipelines import build_release_plan, run_feed_import
+from harvester_database_and_automation_spark.pipelines.release import suspicious_batches
+from harvester_database_and_automation_spark.sources.quarantine import not_null
+
+FEED_SCHEMA = T.StructType(
+    [
+        T.StructField("seq_id", T.StringType()),
+        T.StructField("country", T.StringType()),
+        T.StructField("sequence", T.StringType()),
+        T.StructField("n_mut", T.IntegerType()),  # derived by annotate
+    ]
+)
+
+
+def _write_feed(path, rows):
+    with open(path, "w", encoding="utf-8") as fh:
+        for r in rows:
+            fh.write(json.dumps(r) + "\n")
+
+
+def _annotate(df):
+    """Stand-in for the expensive alignment/mutation stage: count 'G's."""
+    return df.withColumn(
+        "n_mut", F.length("sequence") - F.length(F.regexp_replace("sequence", "G", ""))
+    ).select(*[f.name for f in FEED_SCHEMA.fields])
+
+
+def _run(spark, feed, table):
+    return run_feed_import(
+        spark,
+        feed,
+        table,
+        FEED_SCHEMA,
+        keys=["seq_id"],
+        metadata_cols=["country"],
+        payload_cols=["sequence"],
+        checks={"country_required": not_null("country")},
+        annotate=_annotate,
+        required_fields={"seq_id", "sequence"},
+    )
+
+
+def test_feed_import_two_cycles(spark, tmp_path):
+    feed1 = str(tmp_path / "feed1.jsonl")
+    table = str(tmp_path / "seq_table")
+    _write_feed(
+        feed1,
+        [
+            {"seq_id": "a", "country": "CH", "sequence": "ACGG"},
+            {"seq_id": "b", "country": "DE", "sequence": "TTTT"},
+            {"seq_id": "c", "country": None, "sequence": "GGGG"},  # quarantined
+        ],
+    )
+    rep1 = _run(spark, feed1, table)
+    assert (rep1.version, rep1.n_insert, rep1.n_quarantined) == (1, 2, 1)
+    assert rep1.n_annotated == 2
+    t1 = {r["seq_id"]: r for r in read_published(spark, table).collect()}
+    assert set(t1) == {"a", "b"} and t1["a"]["n_mut"] == 2
+
+    # Cycle 2: a unchanged, b metadata-only change, d new, b'? no — drop
+    # nothing yet... e deletes happen for rows absent from the feed.
+    feed2 = str(tmp_path / "feed2.jsonl")
+    _write_feed(
+        feed2,
+        [
+            {"seq_id": "a", "country": "CH", "sequence": "ACGG"},   # unchanged
+            {"seq_id": "b", "country": "FR", "sequence": "TTTT"},   # metadata only
+            {"seq_id": "d", "country": "IT", "sequence": "GGGA"},   # insert
+        ],
+    )
+    rep2 = _run(spark, feed2, table)
+    assert rep2.version == 2
+    assert (rep2.n_unchanged, rep2.n_metadata_changed, rep2.n_insert, rep2.n_delete) == (1, 1, 1, 0)
+    # Annotation ran ONLY for the insert (the skip-reprocessing contract).
+    assert rep2.n_annotated == 1
+    t2 = {r["seq_id"]: r for r in read_published(spark, table).collect()}
+    assert set(t2) == {"a", "b", "d"}
+    assert t2["b"]["country"] == "FR"
+    assert t2["b"]["n_mut"] == 0  # stored annotation kept, not recomputed
+    assert t2["d"]["n_mut"] == 3
+
+
+def test_feed_import_drift_aborts(spark, tmp_path):
+    feed = str(tmp_path / "feed.jsonl")
+    _write_feed(feed, [{"seq_id": "a", "country": "CH"}])  # no 'sequence'
+    with pytest.raises(ValueError, match="drift"):
+        _run(spark, feed, str(tmp_path / "tbl"))
+
+
+def test_release_cascade_single_reason_and_report(spark):
+    df = spark.createDataFrame(
+        [
+            # (ethid, consensus_n, batch, name)
+            ("e1", 10, "b1", "s1"),      # release
+            ("e1", 50, "b1", "s2"),      # duplicate (worse)
+            ("e2", 999, "b1", "s3"),     # too many Ns
+            ("e3", 10, "b2", "s4"),      # release
+            ("e4", 998, "b2", "s5"),     # too many Ns -> b2 rate 0.5
+        ],
+        "ethid string, consensus_n int, batch string, sample_name string",
+    )
+    annotated, report = build_release_plan(
+        df,
+        key_col="ethid",
+        quality_col="consensus_n",
+        batch_col="batch",
+        rules=[
+            ("duplicate", F.col("duplicate_idx") > 1),
+            ("too_many_n", F.col("consensus_n") > 500),
+        ],
+        tiebreak_col="sample_name",
+    )
+    reasons = {r["sample_name"]: r["reason"] for r in annotated.collect()}
+    assert reasons == {
+        "s1": "release",
+        "s2": "duplicate",
+        "s3": "too_many_n",
+        "s4": "release",
+        "s5": "too_many_n",
+    }
+    rep = {(r["batch"], r["reason"]): r["frac_batch"] for r in report.collect()}
+    assert rep[("b1", "release")] == pytest.approx(1 / 3)
+    assert rep[("b2", "too_many_n")] == pytest.approx(0.5)
+
+    sus = suspicious_batches(report, "batch", threshold=0.8).collect()
+    assert {r["batch"] for r in sus} == {"b1", "b2"}
