@@ -98,39 +98,38 @@ def _mutations(spark: SparkSession, sf_dir: str):
 
 def _pair_distances(spark: SparkSession, sf_dir: str, q_cond, r_cols):
     """Mutation-set distance |A| + |B| - 2|A∩B| for every (query, reference)
-    doc pair, split by ``q_cond`` (queries where true). The pair spine is a
-    broadcast crossJoin of id+size projections — genome strings never enter
-    the shuffle (SURVEY.md §7 risk register)."""
-    _, muts, sizes = _mutations(spark, sf_dir)
+    doc pair, split by ``q_cond`` (queries where true).
+
+    Each doc's mutation set is aggregated ONCE into a sorted int-encoded
+    array (pos*256 + base codepoint); the query side (small by
+    construction) is broadcast and the per-pair distance is
+    size+size-2*size(array_intersect) — distances are exact integers, so
+    this is free to differ structurally from the SQL oracle. No muts-muts
+    shuffle join, no recomputation of the mutation subtree per use, and
+    genome strings never enter a shuffle (SURVEY.md §7 risk register).
+    """
+    _, muts, _ = _mutations(spark, sf_dir)
+    enc = (F.col("pos") * 256 + F.ascii("base")).cast("int")
+    msets = muts.groupBy("doc_id").agg(F.array_sort(F.collect_list(enc)).alias("mset"))
     docs = load_table(spark, sf_dir, "documents")
-    q = (
-        docs.filter(q_cond)
-        .select(F.col("doc_id").alias("qid"))
-        .join(sizes.withColumnRenamed("doc_id", "qid"), "qid")
-        .withColumnRenamed("sz", "q_sz")
+    base = docs.join(msets, "doc_id", "left").withColumn(
+        "mset", F.coalesce(F.col("mset"), F.array().cast("array<int>"))
     )
+    q = base.filter(q_cond).select(F.col("doc_id").alias("qid"), F.col("mset").alias("qset"))
+    n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     r = (
-        docs.filter(~q_cond)
-        .select(F.col("doc_id").alias("rid"), *r_cols)
-        .join(sizes.withColumnRenamed("doc_id", "rid"), "rid")
-        .withColumnRenamed("sz", "r_sz")
-    )
-    qm = muts.select(F.col("doc_id").alias("qid"), "pos", "base")
-    rm = muts.select(F.col("doc_id").alias("rid"), "pos", "base")
-    inter = (
-        qm.join(q.select("qid"), "qid", "left_semi")
-        .join(rm.join(r.select("rid"), "rid", "left_semi"), ["pos", "base"])
-        .groupBy("qid", "rid")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+        base.filter(~q_cond)
+        .select(F.col("doc_id").alias("rid"), *r_cols, F.col("mset").alias("rset"))
+        .repartition(n)
     )
     return (
         F.broadcast(q)
         .crossJoin(r)
-        .join(inter, ["qid", "rid"], "left")
         .withColumn(
             "dist",
-            F.col("q_sz") + F.col("r_sz") - 2 * F.coalesce(F.col("n_common"), F.lit(0)),
+            F.size("qset") + F.size("rset") - 2 * F.size(F.array_intersect("qset", "rset")),
         )
+        .drop("qset", "rset")
     )
 
 
