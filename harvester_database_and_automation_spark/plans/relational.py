@@ -1097,3 +1097,156 @@ def part_name_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Lateral-join stratified subsample (J8), work-queue slicing (O3),
+# boolean-priority top-k (W3/O2), newest-per-key max_by (O4), and
+# string_agg ordered by a different column (A4).
+# ---------------------------------------------------------------------------
+@register(
+    "stratified_sample_per_nation",
+    survey_ref="J8,W2",
+    oracle="""
+SELECT n_name, c_custkey
+FROM (
+  SELECT n.n_name, c.c_custkey,
+         row_number() OVER (PARTITION BY n.n_name ORDER BY md5(c.c_custkey::VARCHAR), c.c_custkey) AS rk
+  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+) t
+WHERE rk <= 3
+""",
+)
+def stratified_sample_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8 — the per-group correlated 'order by random() limit n' subsample
+    (origincountry/OriginCountryEstimator.java:155-162) as a window over a
+    deterministic pseudo-random key (md5 of the id): rank within group,
+    keep rk <= n. Same plan shape as the lateral join, one shuffle."""
+    c = load_table(spark, sf_dir, "customer")
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    w = Window.partitionBy("n_name").orderBy(
+        F.md5(F.col("c_custkey").cast("string")), F.col("c_custkey")
+    )
+    return (
+        c.join(n, F.col("c_nationkey") == F.col("n_nationkey"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("n_name", "c_custkey")
+    )
+
+
+@register(
+    "work_queue_next_slice",
+    survey_ref="O3,J6",
+    oracle="""
+SELECT o_orderkey, o_orderpriority
+FROM orders o
+WHERE NOT EXISTS (
+  SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey AND l.l_linenumber >= 3
+)
+ORDER BY o_orderkey
+LIMIT 100
+""",
+)
+def work_queue_next_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3 — incremental work-queueing: 'next N items without a result yet'
+    (import_nextclade.R:197-209, OriginCountryEstimator.java:189-209) as an
+    anti-join against the done-set plus a deterministic order + limit.
+    At scale the limit disappears and the anti-join alone drives the run."""
+    o = load_table(spark, sf_dir, "orders")
+    done = load_table(spark, sf_dir, "lineitem").filter(F.col("l_linenumber") >= 3)
+    return (
+        o.join(done, F.col("o_orderkey") == F.col("l_orderkey"), "left_anti")
+        .orderBy("o_orderkey")
+        .limit(100)
+        .select("o_orderkey", "o_orderpriority")
+    )
+
+
+@register(
+    "priority_boolean_topk",
+    survey_ref="W3,O2",
+    oracle="""
+SELECT o_orderkey, o_orderpriority, o_totalprice
+FROM orders
+ORDER BY (o_orderpriority = '1-URGENT') DESC,
+         (o_totalprice > 200000) DESC,
+         o_orderdate,
+         o_orderkey
+LIMIT 20
+""",
+)
+def priority_boolean_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 — prioritization by ordered boolean sort keys then take-k (the
+    plate-selection ordering, database/sql/viollier_test.sql:286-291).
+    Spark's TakeOrderedAndProject keeps this a single pass, no full sort."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(
+            (F.col("o_orderpriority") == "1-URGENT").desc(),
+            (F.col("o_totalprice") > 200000).desc(),
+            F.col("o_orderdate").asc(),
+            F.col("o_orderkey").asc(),
+        )
+        .limit(20)
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+    )
+
+
+@register(
+    "latest_event_type_per_user",
+    survey_ref="O4,A10",
+    oracle="""
+SELECT user_id,
+       (max(struct_pack(ts := ts, eid := event_id, et := event_type))).et AS last_event_type,
+       max(ts) AS last_ts
+FROM events
+GROUP BY user_id
+""",
+)
+def latest_event_type_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4 — newest-item selection per key (the newest-file pattern,
+    pangolin_lineage_exporter.py:46-63): max over a (ts, id, value) struct
+    — lexicographic struct comparison gives max_by with a deterministic
+    tie-break in both engines."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(
+        F.max(F.struct(F.col("ts"), F.col("event_id").alias("eid"), F.col("event_type").alias("et")))
+        .getField("et")
+        .alias("last_event_type"),
+        F.max("ts").alias("last_ts"),
+    )
+
+
+@register(
+    "nations_by_key_desc_string_agg",
+    survey_ref="A4",
+    oracle="""
+SELECT r_name,
+       string_agg(n_name, ',' ORDER BY n_nationkey DESC) AS nations_newest_first
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+""",
+)
+def nations_by_key_desc_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 — string_agg ordered by a DIFFERENT column than the aggregated
+    one ('string_agg(... order by seq_method)', viollier_plate.sql:202-205):
+    collect (sort_key, value) structs, array_sort descending via a struct
+    trick (negated key), then project the values."""
+    n = load_table(spark, sf_dir, "nation")
+    r = F.broadcast(load_table(spark, sf_dir, "region"))
+    return (
+        n.join(r, F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct((-F.col("n_nationkey")).alias("k"), F.col("n_name")))
+                    ),
+                    lambda s: s["n_name"],
+                ),
+                ",",
+            ).alias("nations_newest_first")
+        )
+    )
