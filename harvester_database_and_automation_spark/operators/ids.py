@@ -1,0 +1,45 @@
+"""W1 at scale — global sequential id assignment without a
+single-partition sort.
+
+The reference assigns new ETHIDs as ``<first free id> + row_number()``
+over the whole table (database/sql/viollier_test.sql:34-47). A plain
+``row_number() OVER (ORDER BY ...)`` forces every row through one
+partition; this helper keeps the sort distributed:
+
+1. range-repartition + sort within partitions by the order columns
+   (a total order across partition boundaries),
+2. first pass counts rows per partition (cheap: no data movement),
+3. second pass adds ``offset[partition] + local_index``.
+
+Ids are identical to the window formulation for any deterministic total
+order (include a unique tie-break column).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import types as T
+
+
+def assign_global_ids(
+    df: DataFrame,
+    order_cols: list[Column | str],
+    start: int = 1,
+    id_col: str = "assigned_id",
+) -> DataFrame:
+    """Add ``id_col`` = start, start+1, ... in the total order given by
+    ``order_cols`` — distributed (no single-partition window)."""
+    sorted_df = df.repartitionByRange(*order_cols).sortWithinPartitions(*order_cols)
+    rdd = sorted_df.rdd
+    counts = rdd.mapPartitions(lambda it: [sum(1 for _ in it)]).collect()
+    offsets: list[int] = [start]
+    for c in counts[:-1]:
+        offsets.append(offsets[-1] + c)
+
+    def add_ids(idx: int, it):
+        base = offsets[idx] if idx < len(offsets) else start
+        for i, row in enumerate(it):
+            yield (*row, base + i)
+
+    schema = T.StructType(sorted_df.schema.fields + [T.StructField(id_col, T.LongType(), False)])
+    return sorted_df.sparkSession.createDataFrame(rdd.mapPartitionsWithIndex(add_ids), schema)

@@ -462,7 +462,8 @@ def k2_variant_caller(spark: SparkSession, sf_dir: str) -> DataFrame:
     version gisaid.sql:170-254). crossJoin(sequences, defs) + conditional
     agg, with the small definition table broadcast."""
     docs = load_table(spark, sf_dir, "documents")
-    seqs = docs.select(
+    n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    seqs = docs.select("doc_id", "text").repartition(n).select(
         "doc_id", F.upper(F.regexp_replace("text", "[^acgt]", "")).alias("seq")
     )
     defs = spark.createDataFrame(_VARIANT_DEFS, "variant string, pos int, base string")

@@ -147,3 +147,28 @@ def test_merge_upsert_null_overwrites(spark, current):
     got = {r["id"]: r["meta"] for r in merge_upsert(current, updates, ["id"]).collect()}
     # A NULL carried by the update must overwrite, not fall back to current.
     assert got[1] is None and got[2] == "m2"
+
+
+def test_assign_global_ids_matches_window(spark):
+    from pyspark.sql import Window
+
+    from harvester_database_and_automation_spark.operators.ids import assign_global_ids
+
+    df = spark.createDataFrame(
+        [(i, f"name_{i % 97:03d}_{i}") for i in range(5000)], "k int, name string"
+    ).repartition(16)
+    got = assign_global_ids(df, ["name"], start=1000)
+    # Distributed result must equal the window formulation exactly.
+    expected = df.withColumn(
+        "assigned_id", (F.lit(999) + F.row_number().over(Window.orderBy("name"))).cast("long")
+    )
+    assert got.count() == 5000
+    diff = got.join(expected, ["k", "name", "assigned_id"], "inner").count()
+    assert diff == 5000
+    # Ids are dense and start where asked.
+    stats = got.agg(
+        F.min("assigned_id").alias("lo"),
+        F.max("assigned_id").alias("hi"),
+        F.countDistinct("assigned_id").alias("n"),
+    ).collect()[0]
+    assert (stats["lo"], stats["hi"], stats["n"]) == (1000, 5999, 5000)
