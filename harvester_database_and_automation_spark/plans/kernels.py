@@ -415,18 +415,13 @@ def a11_mean_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", F.substring(seq, 1, 30).alias("s"))
         .filter(F.length(seq) >= 30)
     )
+    from harvester_database_and_automation_spark.functions.genomics import hamming
+
     a = seqs.select(F.col("lang"), F.col("doc_id").alias("da"), F.col("s").alias("sa"))
     b = seqs.select(F.col("lang").alias("lang_b"), F.col("doc_id").alias("db"), F.col("s").alias("sb"))
-    hamming = F.size(
-        F.filter(
-            F.sequence(F.lit(1), F.lit(30)),
-            lambda i: F.substring(F.col("sa"), 1, 30).substr(i, F.lit(1))
-            != F.substring(F.col("sb"), 1, 30).substr(i, F.lit(1)),
-        )
-    )
     pairs = (
         a.join(b, (F.col("lang") == F.col("lang_b")) & (F.col("da") < F.col("db")))
-        .select("lang", hamming.alias("hamming"))
+        .select("lang", hamming("sa", "sb", 30).alias("hamming"))
     )
     return pairs.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_pairs"), F.round(F.avg("hamming"), 6).alias("mean_hamming")
@@ -517,13 +512,10 @@ def k5_frameshift_detector(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("-"),
         (F.col("n_chars") % 11 + F.col("n_chars") % 5).cast("string"),
     )
-    has_fs = F.exists(
-        F.split(F.col("gaps"), ","),
-        lambda g: (F.split_part(g, F.lit("-"), F.lit(2)).cast("int")
-                   - F.split_part(g, F.lit("-"), F.lit(1)).cast("int")) % 3 != 0,
-    )
+    from harvester_database_and_automation_spark.functions.genomics import has_frameshift
+
     return docs.select("doc_id", gaps.alias("gaps")).select(
-        "doc_id", "gaps", has_fs.alias("has_frameshift")
+        "doc_id", "gaps", has_frameshift("gaps").alias("has_frameshift")
     )
 
 

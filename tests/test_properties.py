@@ -1,0 +1,98 @@
+"""Property-based tests for the kernel functions (SURVEY.md §5: mutation
+finder diff(ref,ref)=∅, distance symmetry, frameshift multiples-of-3).
+
+Hypothesis generates the cases; each property evaluates ALL examples in a
+single Spark job (batched into one DataFrame) so the suite stays fast.
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from harvester_database_and_automation_spark.functions.genomics import (
+    has_frameshift,
+    hamming,
+)
+from harvester_database_and_automation_spark.functions.geo import GeoRule, resolve_geo
+
+# ---------------------------------------------------------------------------
+# K5 frameshift: pure-Python model vs the Spark expression.
+# ---------------------------------------------------------------------------
+gap_pairs = st.lists(
+    st.tuples(st.integers(0, 500), st.integers(0, 500)).map(
+        lambda t: (min(t), min(t) + abs(t[1] - t[0]))
+    ),
+    min_size=0,
+    max_size=6,
+)
+
+
+@given(st.lists(gap_pairs, min_size=1, max_size=30))
+@settings(max_examples=20, deadline=None)
+def test_frameshift_matches_python_model(spark, cases):
+    rows = []
+    expected = []
+    for pairs in cases:
+        gaps = ",".join(f"{a}-{b}" for a, b in pairs)
+        rows.append((gaps,))
+        expected.append(any((b - a) % 3 != 0 for a, b in pairs) if pairs else False)
+    df = spark.createDataFrame(rows, "gaps string")
+    got = [r[0] for r in df.select(has_frameshift("gaps")).collect()]
+    assert got == expected
+
+
+def test_frameshift_all_multiples_of_three_is_false(spark):
+    df = spark.createDataFrame([("0-3,10-16,20-29",), ("",), (None,)], "gaps string")
+    assert [r[0] for r in df.select(has_frameshift("gaps")).collect()] == [False, False, False]
+
+
+# ---------------------------------------------------------------------------
+# A11 hamming: symmetry, identity, bounds.
+# ---------------------------------------------------------------------------
+seqs = st.text(alphabet="ACGT", min_size=8, max_size=8)
+
+
+@given(st.lists(st.tuples(seqs, seqs), min_size=1, max_size=40))
+@settings(max_examples=20, deadline=None)
+def test_hamming_symmetry_identity_bounds(spark, pairs):
+    df = spark.createDataFrame(pairs, "a string, b string")
+    out = df.select(
+        hamming("a", "b", 8).alias("ab"),
+        hamming("b", "a", 8).alias("ba"),
+        hamming("a", "a", 8).alias("aa"),
+    ).collect()
+    for r, (a, b) in zip(out, pairs):
+        expected = sum(1 for x, y in zip(a, b) if x != y)
+        assert r["ab"] == expected  # matches the python model
+        assert r["ab"] == r["ba"]  # symmetric
+        assert r["aa"] == 0  # identity
+        assert 0 <= r["ab"] <= 8  # bounded
+
+
+# ---------------------------------------------------------------------------
+# K6 geo rules: fixpoint idempotence; no-rule identity (pure Python, no
+# Spark needed — the UDF wraps resolve_geo directly).
+# ---------------------------------------------------------------------------
+geo_field = st.sampled_from(["Europe", "Asia", "Suisse", "Switzerland", "Zuerich", "x", ""])
+geo_tuples = st.tuples(geo_field, geo_field, geo_field, geo_field)
+
+RULES = [
+    GeoRule(("*", "Suisse", "*", "*"), ("Europe", "Switzerland", "*", "*")),
+    GeoRule(("Europe", "Switzerland", "Zuerich", "*"), ("Europe", "Switzerland", "Zurich", "*")),
+    GeoRule(("Asia", "*", "*", "*"), ("Asia", "*", "*", "*")),  # self-map: must not loop
+]
+
+
+@given(geo_tuples)
+@settings(max_examples=200, deadline=None)
+def test_geo_resolution_is_idempotent(value):
+    once = resolve_geo(RULES, value)
+    assert resolve_geo(RULES, once) == once
+
+
+@given(geo_tuples)
+@settings(max_examples=50, deadline=None)
+def test_geo_no_rules_is_identity(value):
+    assert resolve_geo([], value) == value
