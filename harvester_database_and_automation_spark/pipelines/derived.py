@@ -1,0 +1,110 @@
+"""The derived-table cascade — Spark re-design of the cov-spectrum
+materialized-view layer (SURVEY.md §3.3; database/sql/spectrum/
+sequences_gisaid_api_based.sql:22-521, refreshes.sql:3-36).
+
+The reference refreshes 8 materialized views after every ingest. Here a
+derived table is a named function over the base corpus plus previously
+built derived tables; ``rebuild`` walks the registry in dependency order
+and atomically publishes each via the versioned-directory swap — readers
+of table N never see a state where N is newer than its inputs unless the
+build completed.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from harvester_database_and_automation_spark.catalog import load_table
+from harvester_database_and_automation_spark.operators.publish import (
+    publish_versioned,
+    read_published,
+)
+
+
+@dataclass(frozen=True)
+class DerivedTable:
+    name: str
+    build: Callable[[SparkSession, str, dict[str, DataFrame]], DataFrame]
+    depends_on: tuple[str, ...] = ()
+
+
+@dataclass
+class DerivedLayer:
+    tables: dict[str, DerivedTable] = field(default_factory=dict)
+
+    def register(self, name: str, depends_on: tuple[str, ...] = ()):
+        def deco(fn):
+            if name in self.tables:
+                raise ValueError(f"duplicate derived table {name!r}")
+            for dep in depends_on:
+                if dep not in self.tables:
+                    raise ValueError(f"{name!r} depends on unknown table {dep!r}")
+            self.tables[name] = DerivedTable(name, fn, depends_on)
+            return fn
+
+        return deco
+
+    def rebuild(self, spark: SparkSession, sf_dir: str, out_root: str) -> dict[str, int]:
+        """Build every derived table in registration (= dependency) order,
+        publishing each atomically. Returns {table: version}."""
+        built: dict[str, DataFrame] = {}
+        versions: dict[str, int] = {}
+        for name, spec in self.tables.items():
+            deps = {d: built[d] for d in spec.depends_on}
+            df = spec.build(spark, sf_dir, deps)
+            versions[name] = publish_versioned(df, os.path.join(out_root, name))
+            built[name] = read_published(spark, os.path.join(out_root, name))
+        return versions
+
+
+# ---------------------------------------------------------------------------
+# The demo cascade over the synthetic corpus — same shapes as the spectrum
+# layer: conformed union + window dedup -> projection -> spine rollup.
+# ---------------------------------------------------------------------------
+LAYER = DerivedLayer()
+
+
+@LAYER.register("doc_public_meta")
+def doc_public_meta(spark: SparkSession, sf_dir: str, deps) -> DataFrame:
+    """Layer 1 — conformed, deduplicated document metadata (the
+    spectrum_sequence_public_meta analog: union of sources, best-per-key
+    window dedup, release-aware naming)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang", "source").orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .withColumn("is_best", F.col("rn") == 1)
+        .select("doc_id", "lang", "source", "n_chars", "is_best")
+    )
+
+
+@LAYER.register("doc_term_projection", depends_on=("doc_public_meta",))
+def doc_term_projection(spark: SparkSession, sf_dir: str, deps) -> DataFrame:
+    """Layer 2 — long-format term table for best docs only (the mutation
+    projection analog: explode from the deduped layer, not the raw feed)."""
+    docs = load_table(spark, sf_dir, "documents")
+    best = deps["doc_public_meta"].filter("is_best").select("doc_id")
+    return (
+        docs.join(best, "doc_id", "left_semi")
+        .select("doc_id", "lang", F.explode(F.split("text", " ")).alias("term"))
+        .filter(F.length("term") >= 6)
+    )
+
+
+@LAYER.register("lang_term_intensity", depends_on=("doc_term_projection",))
+def lang_term_intensity(spark: SparkSession, sf_dir: str, deps) -> DataFrame:
+    """Layer 3 — rollup counts per (lang, term) with totals row (the
+    date-spine × country intensity rollup analog)."""
+    terms = deps["doc_term_projection"]
+    return (
+        terms.rollup("lang", "term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("lang").isNotNull() | F.col("term").isNull())  # drop (null, term) holes
+    )

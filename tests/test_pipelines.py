@@ -135,3 +135,36 @@ def test_release_cascade_single_reason_and_report(spark):
 
     sus = suspicious_batches(report, "batch", threshold=0.8).collect()
     assert {r["batch"] for r in sus} == {"b1", "b2"}
+
+
+def test_derived_layer_rebuild_dependency_order(spark, tmp_path):
+    from harvester_database_and_automation_spark.operators.publish import read_published
+    from harvester_database_and_automation_spark.pipelines.derived import LAYER, DerivedLayer
+
+    out = str(tmp_path / "derived")
+    versions = LAYER.rebuild(spark, "/root/testdata/sf0.001", out)
+    assert versions == {"doc_public_meta": 1, "doc_term_projection": 1, "lang_term_intensity": 1}
+
+    meta = read_published(spark, f"{out}/doc_public_meta")
+    proj = read_published(spark, f"{out}/doc_term_projection")
+    inten = read_published(spark, f"{out}/lang_term_intensity")
+    # Layer 2 only contains best docs from layer 1.
+    n_best = meta.filter("is_best").count()
+    assert proj.select("doc_id").distinct().count() <= n_best
+    # Rollup grand-total row equals the projection row count.
+    total = inten.filter("lang is null and term is null").collect()[0]["n"]
+    assert total == proj.count()
+
+    # Second rebuild bumps every version (atomic swap per table).
+    versions2 = LAYER.rebuild(spark, "/root/testdata/sf0.001", out)
+    assert all(v == 2 for v in versions2.values())
+
+    # Registry validation: unknown dependency rejected.
+    layer = DerivedLayer()
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown table"):
+
+        @layer.register("x", depends_on=("nope",))
+        def x(spark, sf_dir, deps):
+            return None
