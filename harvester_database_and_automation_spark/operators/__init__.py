@@ -1,10 +1,16 @@
 """Write-path operators (SURVEY.md §2.10 M1-M6)."""
 
 from harvester_database_and_automation_spark.operators.dedup import keep_best
+from harvester_database_and_automation_spark.operators.joins import coalesce_join
 from harvester_database_and_automation_spark.operators.merge import (
     apply_deletes,
     classify_changes,
     merge_upsert,
+)
+from harvester_database_and_automation_spark.operators.skew import (
+    salted_aggregate,
+    salted_count_distinct,
+    salted_join,
 )
 from harvester_database_and_automation_spark.operators.publish import (
     current_version,
@@ -22,4 +28,8 @@ __all__ = [
     "current_version",
     "JobState",
     "keep_best",
+    "coalesce_join",
+    "salted_join",
+    "salted_aggregate",
+    "salted_count_distinct",
 ]

@@ -172,3 +172,92 @@ def test_assign_global_ids_matches_window(spark):
         F.countDistinct("assigned_id").alias("n"),
     ).collect()[0]
     assert (stats["lo"], stats["hi"], stats["n"]) == (1000, 5999, 5000)
+
+
+# ---------------------------------------------------------------------------
+# Skew helpers: salted plans must equal their naive counterparts.
+# ---------------------------------------------------------------------------
+@pytest.fixture()
+def skewed_facts(spark):
+    # 90% of rows share key 0 — the hot-key shape salting exists for.
+    rows = [(0 if i % 10 else i % 7 + 1, float(i)) for i in range(2000)]
+    return spark.createDataFrame(rows, "k int, x double")
+
+
+def test_salted_join_matches_plain_join(spark, skewed_facts):
+    from harvester_database_and_automation_spark.operators import salted_join
+
+    dim = spark.createDataFrame([(k, f"label_{k}") for k in range(8)], "k int, label string")
+    got = salted_join(skewed_facts, dim, ["k"], num_salts=4)
+    plain = skewed_facts.join(dim, ["k"], "inner")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_salted_join_left_keeps_unmatched(spark, skewed_facts):
+    from harvester_database_and_automation_spark.operators import salted_join
+
+    dim = spark.createDataFrame([(1, "one")], "k int, label string")
+    got = salted_join(skewed_facts, dim, ["k"], how="left", num_salts=4)
+    plain = skewed_facts.join(dim, ["k"], "left")
+    assert got.count() == plain.count() == skewed_facts.count()
+    assert got.filter("label IS NULL").count() == plain.filter("label IS NULL").count()
+
+
+def test_salted_aggregate_matches_plain(spark, skewed_facts):
+    from harvester_database_and_automation_spark.operators import salted_aggregate
+
+    got = salted_aggregate(
+        skewed_facts,
+        ["k"],
+        partial={"s": F.sum("x"), "c": F.count(F.lit(1)), "m": F.max("x")},
+        final={"total": F.sum("s"), "n": F.sum("c"), "mx": F.max("m")},
+        num_salts=4,
+    )
+    plain = skewed_facts.groupBy("k").agg(
+        F.sum("x").alias("total"), F.count(F.lit(1)).alias("n"), F.max("x").alias("mx")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_salted_count_distinct_matches(spark, skewed_facts):
+    from harvester_database_and_automation_spark.operators import salted_count_distinct
+
+    df = skewed_facts.withColumn("v", (F.col("x") % 50).cast("int"))
+    got = salted_count_distinct(df, ["k"], "v")
+    plain = df.groupBy("k").agg(F.countDistinct("v").alias("n_distinct"))
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_salt_col_collision_rejected(spark, skewed_facts):
+    from harvester_database_and_automation_spark.operators import salted_join
+
+    bad = skewed_facts.withColumn("__salt", F.lit(1))
+    with pytest.raises(ValueError, match="__salt"):
+        salted_join(bad, skewed_facts, ["k"])
+
+
+# ---------------------------------------------------------------------------
+# coalesce_join (J9; database/R/utility.R:324-357)
+# ---------------------------------------------------------------------------
+def test_coalesce_join_fills_gaps_left_wins(spark):
+    from harvester_database_and_automation_spark.operators import coalesce_join
+
+    left = spark.createDataFrame(
+        [(1, "ZH", None), (2, None, "f"), (3, "BE", "m")],
+        "id int, canton string, sex string",
+    )
+    right = spark.createDataFrame(
+        [(1, "GE", "m", "viollier"), (2, "VD", "x", "imv")],
+        "id int, canton string, sex string, lab string",
+    )
+    got = {r["id"]: (r["canton"], r["sex"], r["lab"]) for r in coalesce_join(left, right, ["id"]).collect()}
+    # Existing values win; NULLs fill from the right; right-only cols appended.
+    assert got == {1: ("ZH", "m", "viollier"), 2: ("VD", "f", "imv"), 3: ("BE", "m", None)}
+
+
+def test_coalesce_join_prefer_right(spark):
+    from harvester_database_and_automation_spark.operators import coalesce_join
+
+    left = spark.createDataFrame([(1, "old")], "id int, v string")
+    right = spark.createDataFrame([(1, "new")], "id int, v string")
+    assert coalesce_join(left, right, ["id"], prefer="right").collect()[0]["v"] == "new"
