@@ -108,3 +108,27 @@ def lang_term_intensity(spark: SparkSession, sf_dir: str, deps) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("lang").isNotNull() | F.col("term").isNull())  # drop (null, term) holes
     )
+
+
+@LAYER.register("daily_event_intensity")
+def daily_event_intensity(spark: SparkSession, sf_dir: str, deps) -> DataFrame:
+    """Layer 4 — zero-filled date-spine × event-type counts with rollup
+    subtotals: the spectrum_sequence_intensity table itself
+    (sequences_gisaid_api_based.sql:384-427). Same plan as the
+    ``intensity_spine_rollup`` registered query, published as a table so
+    downstream dashboards read the materialization, not the recompute."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("day", "ts").cast("timestamp_ntz").alias("day"), "event_type"
+    )
+    bounds = ev.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    spine = bounds.select(
+        F.explode(F.sequence(F.col("lo"), F.col("hi"), F.expr("INTERVAL 1 DAY"))).alias("day")
+    )
+    types = ev.select("event_type").distinct()
+    daily = ev.groupBy("day", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    filled = (
+        spine.crossJoin(F.broadcast(types))
+        .join(daily, ["day", "event_type"], "left")
+        .select("day", "event_type", F.coalesce("n", F.lit(0)).alias("n"))
+    )
+    return filled.rollup("day", "event_type").agg(F.sum("n").alias("n_events"))

@@ -389,6 +389,59 @@ def monthly_priority_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Rollup over a zero-filled date spine (J7 + J2 + A6 composed) — the full
+# spectrum_sequence_intensity shape.
+# ---------------------------------------------------------------------------
+@register(
+    "intensity_spine_rollup",
+    survey_ref="J7,J2,A6",
+    oracle="""
+WITH bounds AS (
+  SELECT min(date_trunc('day', ts)) AS lo, max(date_trunc('day', ts)) AS hi FROM events
+), spine AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day FROM bounds
+), types AS (
+  SELECT DISTINCT event_type FROM events
+), daily AS (
+  SELECT date_trunc('day', ts) AS day, event_type, count(*) AS n FROM events GROUP BY 1, 2
+), filled AS (
+  SELECT spine.day, types.event_type, coalesce(daily.n, 0) AS n
+  FROM spine CROSS JOIN types
+  LEFT JOIN daily ON daily.day = spine.day AND daily.event_type = types.event_type
+)
+SELECT day, event_type, CAST(sum(n) AS BIGINT) AS n_events
+FROM filled GROUP BY ROLLUP(day, event_type)
+""",
+)
+def intensity_spine_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete spectrum_sequence_intensity shape: data-driven date
+    spine × dimension cross join, zero-filled left join, then
+    ``group by rollup(...)`` for the subtotal rows
+    (database/sql/spectrum/sequences_gisaid_api_based.sql:384-427).
+
+    The spine bounds come from a 1-row aggregate crossJoined in (no
+    driver collect); the spine and dim sides are broadcast — the only
+    shuffle is the daily count's groupBy, keyed on (day, type), which
+    scales with days × types, not row count.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        _trunc_ntz("day", "ts").alias("day"), "event_type"
+    )
+    bounds = ev.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    spine = bounds.select(
+        F.explode(F.sequence(F.col("lo"), F.col("hi"), F.expr("INTERVAL 1 DAY"))).alias("day")
+    )
+    types = ev.select("event_type").distinct()
+    daily = ev.groupBy("day", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    filled = (
+        spine.crossJoin(F.broadcast(types))
+        .join(daily, ["day", "event_type"], "left")
+        .select("day", "event_type", F.coalesce("n", F.lit(0)).alias("n"))
+    )
+    return filled.rollup("day", "event_type").agg(F.sum("n").alias("n_events"))
+
+
+# ---------------------------------------------------------------------------
 # Expression join (J9): join on a value parsed out of a string.
 # ---------------------------------------------------------------------------
 @register(

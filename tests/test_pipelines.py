@@ -143,7 +143,12 @@ def test_derived_layer_rebuild_dependency_order(spark, tmp_path):
 
     out = str(tmp_path / "derived")
     versions = LAYER.rebuild(spark, "/root/testdata/sf0.001", out)
-    assert versions == {"doc_public_meta": 1, "doc_term_projection": 1, "lang_term_intensity": 1}
+    assert versions == {
+        "doc_public_meta": 1,
+        "doc_term_projection": 1,
+        "lang_term_intensity": 1,
+        "daily_event_intensity": 1,
+    }
 
     meta = read_published(spark, f"{out}/doc_public_meta")
     proj = read_published(spark, f"{out}/doc_term_projection")
@@ -154,6 +159,17 @@ def test_derived_layer_rebuild_dependency_order(spark, tmp_path):
     # Rollup grand-total row equals the projection row count.
     total = inten.filter("lang is null and term is null").collect()[0]["n"]
     assert total == proj.count()
+
+    # Spine table: grand total equals the event count; no gaps in the spine.
+    intensity = read_published(spark, f"{out}/daily_event_intensity")
+    from harvester_database_and_automation_spark.catalog import load_table
+
+    n_events = load_table(spark, "/root/testdata/sf0.001", "events").count()
+    grand = intensity.filter("day is null and event_type is null").collect()[0]["n_events"]
+    assert grand == n_events
+    n_days = intensity.filter("day is not null and event_type is null").count()
+    n_types = intensity.filter("day is not null and event_type is not null").select("event_type").distinct().count()
+    assert intensity.count() == n_days * n_types + n_days + 1
 
     # Second rebuild bumps every version (atomic swap per table).
     versions2 = LAYER.rebuild(spark, "/root/testdata/sf0.001", out)
