@@ -28,9 +28,12 @@ def main() -> None:
     sf = float(m.group(1)) if m else None
 
     spark = get_spark("harvester-bench")
-    # JVM/codegen warmup on the flagship so per-query numbers measure the
-    # plan, not first-call initialization.
-    QUERIES["pricing_summary"].fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+    # Full untimed warmup pass: JIT/codegen for every plan shape, parquet
+    # footers cached. The timed pass then measures steady-state execution —
+    # first-call numbers were dominated by JIT compilation (≈5x on the
+    # widest plans), which a long-lived cluster never pays per query.
+    for spec in QUERIES.values():
+        spec.fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
 
     per_query: dict[str, float] = {}
     for name, spec in QUERIES.items():
@@ -42,7 +45,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "total wall-clock over registered query inventory",
+                "metric": "total warm wall-clock over registered query inventory",
                 "value": total,
                 "unit": "sec",
                 "queries": per_query,

@@ -216,6 +216,110 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ivf_topk_probe",
+    survey_ref="similarity-ivf,J1,W2",
+    oracle=f"""
+WITH cents AS (
+  SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id < 8
+), vecs AS (
+  SELECT vec_id, embedding::DOUBLE[] AS vv FROM embeddings
+), vc AS (
+  SELECT vecs.vec_id, cents.cid,
+         {_COS_SQL.format(a='vecs.vv', b='cents.cv')} AS sim
+  FROM vecs CROSS JOIN cents
+), assign AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rk
+    FROM vc
+  ) t WHERE rk = 1
+), queries AS (
+  SELECT vec_id AS query_id, vv AS qv FROM vecs WHERE vec_id % 13 = 0
+), probe AS (
+  SELECT query_id, cid AS cell FROM (
+    SELECT q.query_id, vc.cid,
+           row_number() OVER (PARTITION BY q.query_id ORDER BY vc.sim DESC, vc.cid) AS rk
+    FROM queries q JOIN vc ON vc.vec_id = q.query_id
+  ) t WHERE rk <= 2
+), cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id
+  FROM probe p JOIN assign a ON a.cell = p.cell
+  WHERE a.vec_id <> p.query_id
+), sims AS (
+  SELECT c.query_id, c.neighbor_id,
+         {_COS_SQL.format(a='q.qv', b='n.vv')} AS sim
+  FROM cand c
+  JOIN queries q ON q.query_id = c.query_id
+  JOIN vecs n ON n.vec_id = c.neighbor_id
+)
+SELECT query_id, neighbor_id, rk, round(sim, 6) AS sim
+FROM (
+  SELECT query_id, neighbor_id, sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk
+  FROM sims
+) t WHERE rk <= 3
+""",
+)
+def ivf_topk_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: assign every vector to its nearest coarse centroid
+    (the inverted file), probe each query's top-2 cells, exact-rerank only
+    the candidates in those cells.
+
+    The centroid set here is fixed by id so a SQL oracle can replay the
+    plan; in production the centroids come from sampled k-means and the
+    plan is unchanged (they are a broadcast dim either way). Scale shape:
+    assignment is a broadcast crossJoin against k centroids (k ≪ N); the
+    candidate join is an equi-join on cell, so rerank cost tracks cell
+    occupancy (≈ 2N/k per query), never N² — the brute-force baseline
+    (`cosine_topk_bruteforce`) exists to measure that recall trade.
+    """
+    e = _emb_with_norm(spark, sf_dir)
+    cents = F.broadcast(
+        e.filter(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("cid"), F.col("vec").alias("cv"), F.col("norm").alias("cn")
+        )
+    )
+    vecs = _fanout(e.select("vec_id", "vec", "norm"))
+    vc = vecs.crossJoin(cents).select(
+        "vec_id", "cid", (_dot(F.col("vec"), F.col("cv")) / (F.col("norm") * F.col("cn"))).alias("sim")
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("cid").asc())
+    ranked = vc.withColumn("rk", F.row_number().over(w_assign))
+    assign = ranked.filter(F.col("rk") == 1).select("vec_id", F.col("cid").alias("cell"))
+    queries = e.filter(F.col("vec_id") % 13 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("qv"), F.col("norm").alias("qn")
+    )
+    probe = (
+        ranked.join(queries.select(F.col("query_id").alias("vec_id")), "vec_id", "inner")
+        .filter(F.col("rk") <= 2)
+        .select(F.col("vec_id").alias("query_id"), F.col("cid").alias("cell"))
+    )
+    cand = (
+        probe.join(assign, "cell", "inner")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    sims = (
+        cand.join(F.broadcast(queries), "query_id")
+        .join(
+            e.select(F.col("vec_id").alias("neighbor_id"), F.col("vec").alias("nv"), F.col("norm").alias("nn")),
+            "neighbor_id",
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            (_dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn"))).alias("sim"),
+        )
+    )
+    w_final = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
+    return (
+        sims.withColumn("rk", F.row_number().over(w_final))
+        .filter(F.col("rk") <= 3)
+        .select("query_id", "neighbor_id", "rk", F.round("sim", 6).alias("sim"))
+    )
+
+
+@register(
     "lsh_sign_buckets",
     survey_ref="similarity-lsh,A4",
     oracle="""
