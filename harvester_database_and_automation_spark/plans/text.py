@@ -192,6 +192,63 @@ def doc_fingerprint_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ROLL_TERMS_SQL = " + ".join(
+    f"CAST(ascii(substr(text, pos + {i}, 1)) AS BIGINT) * {31 ** (7 - i)}" for i in range(8)
+)
+
+
+@register(
+    "doc_winnow_fingerprints",
+    survey_ref="dedup-rolling-hash,A1",
+    oracle=f"""
+WITH windows AS (
+  SELECT doc_id, unnest(generate_series(1, length(text) - 7)) AS pos, text
+  FROM documents
+  WHERE length(text) >= 8
+), hashed AS (
+  SELECT doc_id, (pos - 1) // 16 AS block,
+         ({_ROLL_TERMS_SQL}) % 1000000007 AS h
+  FROM windows
+)
+SELECT doc_id, CAST(block AS INT) AS block, CAST(min(h) AS BIGINT) AS fp
+FROM hashed GROUP BY doc_id, block
+""",
+)
+def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints from a Karp-Rabin rolling hash:
+    degree-7 polynomial hash (base 31, mod 1e9+7) over every 8-char
+    window, then the minimum hash per 16-window block — the
+    MOSS/winnowing selection that makes fingerprint count proportional to
+    document length / block size, not to length.
+
+    Integer-valued throughout, so Spark and the oracle agree exactly on
+    any plan. Scale shape: the explode is map-side (no shuffle until the
+    per-(doc, block) min, which partial-aggregates), and documents hash
+    independently — embarrassingly parallel over doc partitions.
+    """
+    docs = _fanout(
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.length("text") >= 8)
+    )
+    windows = docs.select(
+        "doc_id",
+        "text",
+        F.explode(F.sequence(F.lit(1), F.length("text") - 7)).alias("pos"),
+    )
+    h = sum(
+        F.ascii(F.col("text").substr(F.col("pos") + F.lit(i), F.lit(1))).cast("bigint")
+        * F.lit(31 ** (7 - i))
+        for i in range(8)
+    ) % F.lit(1_000_000_007)
+    hashed = windows.select(
+        "doc_id",
+        ((F.col("pos") - 1) / 16).cast("int").alias("block"),
+        h.alias("h"),
+    )
+    return hashed.groupBy("doc_id", "block").agg(F.min("h").alias("fp"))
+
+
 @register(
     "ngram_jaccard_pairs",
     survey_ref="dedup-near,J1,A1",

@@ -1,0 +1,101 @@
+"""Physical-plan assertions: the scale properties SURVEY §4 promises.
+
+These lock in the *plan shape*, not just result correctness: filters reach
+the parquet scan, projections prune the read schema, small dims broadcast,
+aggregations partial-aggregate before the shuffle. A regression here means
+a query still passes its oracle but would fall over at 100 TB.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from harvester_database_and_automation_spark.plans import QUERIES
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def fmt_plan(spark, name: str) -> str:
+    df = QUERIES[name].fn(spark, SF_DIR)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def pushed_filters(plan: str) -> str:
+    return " ".join(re.findall(r"PushedFilters: \[[^\n]*", plan))
+
+
+def count_nodes(plan: str, op: str) -> int:
+    """Count physical operators by their numbered node headers (the
+    formatted explain repeats each name again in the details section)."""
+    return len(re.findall(rf"^\(\d+\) {op}\b", plan, flags=re.MULTILINE))
+
+
+def read_schemas(plan: str) -> str:
+    return " ".join(re.findall(r"ReadSchema: [^\n]*", plan))
+
+
+def test_filter_project_pushes_predicates_and_prunes(spark):
+    plan = fmt_plan(spark, "filter_project")
+    pushed = pushed_filters(plan)
+    # Range, IN-list and BETWEEN all reach the scan.
+    assert "GreaterThanOrEqual(l_shipdate" in pushed
+    assert "In(l_returnflag" in pushed
+    assert "GreaterThanOrEqual(l_quantity,10" in pushed
+    # Untouched columns never leave the parquet footer.
+    schemas = read_schemas(plan)
+    for absent in ("l_partkey", "l_suppkey", "l_tax", "l_linestatus"):
+        assert absent not in schemas, f"{absent} should be pruned from the scan"
+
+
+def test_regional_revenue_broadcasts_dims(spark):
+    plan = fmt_plan(spark, "regional_revenue")
+    assert "BroadcastHashJoin" in plan, "small dims must broadcast, not shuffle"
+    # The big sides (orders/lineitem-scale tables) must not be broadcast:
+    # every broadcast exchange in this plan carries a dim-table column.
+    assert "SortMergeJoin" not in plan or plan.count("BroadcastHashJoin") >= 2
+
+
+def test_pricing_summary_partial_aggregates(spark):
+    plan = fmt_plan(spark, "pricing_summary")
+    # Map-side partial + final aggregate around exactly one shuffle.
+    assert count_nodes(plan, "HashAggregate") == 2
+    assert count_nodes(plan, "Exchange") == 1
+    assert "LessThanOrEqual(l_shipdate" in pushed_filters(plan)
+
+
+def test_cosine_topk_broadcasts_query_side(spark):
+    plan = fmt_plan(spark, "cosine_topk_bruteforce")
+    # The tiny query set is broadcast; the reference side streams.
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    # Both scans push their vec_id split predicate.
+    pushed = pushed_filters(plan)
+    assert "LessThan(vec_id,10)" in pushed and "GreaterThanOrEqual(vec_id,10)" in pushed
+
+
+def test_embeddings_scans_prune_unused_label(spark):
+    plan = fmt_plan(spark, "embedding_near_dup_pairs")
+    assert "label" not in read_schemas(plan), "label is unused and must be pruned"
+
+
+def test_rollup_expands_not_reaggregates(spark):
+    plan = fmt_plan(spark, "customer_rollup_region_nation")
+    # Spark implements rollup as one Expand + aggregation, not N unions.
+    assert "Expand" in plan
+    assert "Union" not in plan
+
+
+@pytest.mark.parametrize("name", ["minhash_lsh_candidates", "simhash_buckets"])
+def test_dedup_signatures_partial_aggregate(spark, name):
+    plan = fmt_plan(spark, name)
+    # Signature generation must partial-aggregate (ships ≤16 values per doc
+    # per task): every aggregation appears as a partial/final pair.
+    n_agg = (
+        count_nodes(plan, "HashAggregate")
+        + count_nodes(plan, "SortAggregate")
+        + count_nodes(plan, "ObjectHashAggregate")
+    )
+    assert n_agg % 2 == 0 and n_agg >= 2
