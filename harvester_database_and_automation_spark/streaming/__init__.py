@@ -1,6 +1,7 @@
 """Structured Streaming skin over the reference's polling microservices
 (SURVEY.md §2.11)."""
 
+from harvester_database_and_automation_spark.streaming.dedup import dedup_within_watermark
 from harvester_database_and_automation_spark.streaming.ingest import incremental_file_ingest
 from harvester_database_and_automation_spark.streaming.stateful import running_dedup_counts
 from harvester_database_and_automation_spark.streaming.windows import windowed_event_counts
@@ -9,4 +10,5 @@ __all__ = [
     "incremental_file_ingest",
     "windowed_event_counts",
     "running_dedup_counts",
+    "dedup_within_watermark",
 ]

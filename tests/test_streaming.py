@@ -151,3 +151,54 @@ def test_running_dedup_counts_state_survives_batches(spark, tmp_path):
     second = run_batch("r2")
     # State for 'a' carried across the restart via the checkpoint.
     assert second["a"] == (3, 1)
+
+
+def test_dedup_within_watermark_streaming(spark, tmp_path):
+    from harvester_database_and_automation_spark.streaming import dedup_within_watermark
+
+    src = tmp_path / "dd"
+    src.mkdir()
+    out = str(tmp_path / "dd_out")
+    schema = "ts timestamp, sample_id string, payload string"
+    (src / "b1.json").write_text(
+        '{"ts": "2024-01-01T10:00:00", "sample_id": "s1", "payload": "first"}\n'
+        '{"ts": "2024-01-01T10:01:00", "sample_id": "s1", "payload": "dup"}\n'
+        '{"ts": "2024-01-01T10:02:00", "sample_id": "s2", "payload": "first"}\n'
+    )
+
+    def run_poll():
+        stream = spark.readStream.schema(schema).json(str(src))
+        (
+            dedup_within_watermark(stream, ["sample_id"], watermark="1 hour")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "dd_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+
+    run_poll()
+    rows = spark.read.schema(schema).parquet(out).collect()
+    assert {(r["sample_id"], r["payload"]) for r in rows} == {("s1", "first"), ("s2", "first")}
+
+    # A duplicate arriving in a later batch but inside the horizon is
+    # still suppressed (state persisted via the checkpoint).
+    (src / "b2.json").write_text(
+        '{"ts": "2024-01-01T10:30:00", "sample_id": "s2", "payload": "late-dup"}\n'
+        '{"ts": "2024-01-01T10:31:00", "sample_id": "s3", "payload": "first"}\n'
+    )
+    run_poll()
+    rows = spark.read.schema(schema).parquet(out).collect()
+    assert len(rows) == 3 and {r["sample_id"] for r in rows} == {"s1", "s2", "s3"}
+
+
+def test_dedup_within_watermark_batch_degrades(spark):
+    from harvester_database_and_automation_spark.streaming import dedup_within_watermark
+
+    df = spark.createDataFrame(
+        [("2024-01-01 10:00:00", "a"), ("2024-01-01 10:05:00", "a")],
+        "ts string, k string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    assert dedup_within_watermark(df, ["k"]).count() == 1
