@@ -2,6 +2,7 @@
 
 from harvester_database_and_automation_spark.operators.dedup import keep_best
 from harvester_database_and_automation_spark.operators.joins import coalesce_join
+from harvester_database_and_automation_spark.operators.layout import cluster_for_write
 from harvester_database_and_automation_spark.operators.merge import (
     apply_deletes,
     classify_changes,
@@ -29,6 +30,7 @@ __all__ = [
     "JobState",
     "keep_best",
     "coalesce_join",
+    "cluster_for_write",
     "salted_join",
     "salted_aggregate",
     "salted_count_distinct",

@@ -28,15 +28,26 @@ def current_version(table_dir: str) -> int | None:
         return int(fh.read().strip())
 
 
-def publish_versioned(df: DataFrame, table_dir: str, partition_by: list[str] | None = None) -> int:
+def publish_versioned(
+    df: DataFrame,
+    table_dir: str,
+    partition_by: list[str] | None = None,
+    max_records_per_file: int | None = None,
+) -> int:
     """Write ``df`` as the next version of ``table_dir`` and repoint the
     marker atomically (os.replace). Returns the new version number.
-    Old versions remain for time-travel/rollback until vacuumed."""
+    Old versions remain for time-travel/rollback until vacuumed.
+
+    ``max_records_per_file`` bounds output file size (the chunked-export
+    contract, pangolin_lineage_exporter.py:26 generalized); combine with
+    operators.layout.cluster_for_write for index-like clustering."""
     os.makedirs(table_dir, exist_ok=True)
     version = (current_version(table_dir) or 0) + 1
     writer = df.write.mode("errorifexists")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
+    if max_records_per_file is not None:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
     writer.parquet(os.path.join(table_dir, f"v{version}"))
     fd, tmp = tempfile.mkstemp(dir=table_dir, prefix=".marker-")
     with os.fdopen(fd, "w", encoding="utf-8") as fh:

@@ -261,3 +261,52 @@ def test_coalesce_join_prefer_right(spark):
     left = spark.createDataFrame([(1, "old")], "id int, v string")
     right = spark.createDataFrame([(1, "new")], "id int, v string")
     assert coalesce_join(left, right, ["id"], prefer="right").collect()[0]["v"] == "new"
+
+
+# ---------------------------------------------------------------------------
+# Table layout: partitioning + clustering + bounded files (index replacement)
+# ---------------------------------------------------------------------------
+def test_cluster_for_write_layout(spark, tmp_path):
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from harvester_database_and_automation_spark.operators import (
+        cluster_for_write,
+        publish_versioned,
+        read_published,
+    )
+
+    df = spark.createDataFrame(
+        [(i % 4, (i * 37) % 1000, f"p{i}") for i in range(4000)],
+        "part int, pos int, payload string",
+    ).repartition(16)
+    out = str(tmp_path / "muts")
+    v = publish_versioned(
+        cluster_for_write(df, ["part"], ["pos"]),
+        out,
+        partition_by=["part"],
+        max_records_per_file=400,
+    )
+    assert v == 1
+    # Directory partitioning exists and round-trips.
+    part_dirs = sorted(os.path.basename(p) for p in glob.glob(f"{out}/v1/part=*"))
+    assert part_dirs == ["part=0", "part=1", "part=2", "part=3"]
+    assert read_published(spark, out).count() == 4000
+    # File sizes are bounded: 1000 rows per partition / 400 -> >= 3 files each.
+    for d in glob.glob(f"{out}/v1/part=*"):
+        files = glob.glob(f"{d}/*.parquet")
+        assert len(files) >= 3
+        for f in files:
+            assert pq.ParquetFile(f).metadata.num_rows <= 400
+    # Clustering: within a partition, file pos-ranges are disjoint-ish —
+    # each file's min/max span is far tighter than the full 0..999 domain,
+    # which is what gives row-group skipping its selectivity.
+    for d in glob.glob(f"{out}/v1/part=*"):
+        spans = []
+        for f in glob.glob(f"{d}/*.parquet"):
+            meta = pq.ParquetFile(f).metadata
+            stats = meta.row_group(0).column(0).statistics
+            spans.append(stats.max - stats.min)
+        assert sum(spans) / len(spans) < 600  # unsorted would be ~999 each
