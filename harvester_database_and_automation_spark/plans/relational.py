@@ -529,6 +529,70 @@ def cheapest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Skew-mitigated plans (scale posture): salted two-phase agg and salted
+# join produce byte-identical results to their naive formulations, so the
+# plain SQL is their oracle.
+# ---------------------------------------------------------------------------
+@register(
+    "salted_supplier_totals",
+    survey_ref="A1,skew",
+    oracle="""
+SELECT l_suppkey,
+       round(sum(l_extendedprice), 2) AS total_price,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem
+GROUP BY l_suppkey
+""",
+)
+def salted_supplier_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation under the correctness gate: phase 1
+    groups by (key, salt) so a hot supplier spreads over tasks, phase 2
+    combines the ≤8 partials per key (operators/skew.py). The inputs are
+    exact 2-decimal quantities, so the true total is 2-decimal and the
+    final round collapses any reassociation ulps (same argument as
+    pricing_summary; Spark's own partial aggregation already reassociates
+    the naive plan)."""
+    from harvester_database_and_automation_spark.operators.skew import salted_aggregate
+
+    li = load_table(spark, sf_dir, "lineitem")
+    out = salted_aggregate(
+        li,
+        ["l_suppkey"],
+        partial={"s": F.sum("l_extendedprice"), "c": F.count(F.lit(1))},
+        final={"total": F.sum("s"), "n_items": F.sum("c")},
+    )
+    return out.select(
+        "l_suppkey", F.round("total", 2).alias("total_price"), F.col("n_items")
+    )
+
+
+@register(
+    "salted_brand_volume",
+    survey_ref="J1,skew",
+    oracle="""
+SELECT p_brand, CAST(count(*) AS BIGINT) AS n_lineitems
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+""",
+)
+def salted_brand_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted join under the correctness gate: the fact side is salted,
+    the part side replicated ×salts, the join keyed on (key, salt) — a
+    hot part id spreads over 8 shuffle partitions (operators/skew.py).
+    Result rows are identical to the plain join, so the naive SQL is the
+    oracle."""
+    from harvester_database_and_automation_spark.operators.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(F.col("l_partkey").alias("p_partkey"))
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    return (
+        salted_join(li, p, ["p_partkey"])
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n_lineitems"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # Global id assignment (W1).
 # ---------------------------------------------------------------------------
 @register(
