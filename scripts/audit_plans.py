@@ -1,0 +1,99 @@
+#!/usr/bin/env python
+"""Sweep every registered query's physical plan for scale red flags.
+
+Usage: python scripts/audit_plans.py [sf_dir] [query_name ...]
+
+Complements the oracle correctness gate with a plan-health gate:
+
+- CartesianProduct      — an unbroadcast cross join: O(N^2) shuffle at scale.
+- no-pushdown scan      — a filtered query whose parquet scan pushes nothing.
+- single-partition window — Window without partitionBy over a fact table
+                          (all rows through one task).
+- exchange storm        — > 6 shuffles in one query.
+
+Some flags are expected and allow-listed with a reason (e.g. the 25-row
+nation dim sorted globally for id assignment). The script exits non-zero
+on any UNEXPECTED flag, so it can run as a gate.
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from harvester_database_and_automation_spark.plans import QUERIES  # noqa: E402
+from harvester_database_and_automation_spark.session import get_spark  # noqa: E402
+
+# query -> (flag, reason) pairs that are deliberate.
+ALLOWED: dict[str, dict[str, str]] = {
+    "global_sequence_ids": {
+        "single-partition-window": "25-row nation dim; fact-scale ids use operators.ids"
+    },
+    "a11_mean_hamming": {
+        "cartesian": "5x5 sampled sequence set (deliberate all-pairs baseline)"
+    },
+    # The oracle gate runs each kernel end-to-end from raw text, so the
+    # intermediate relation (exploded mutation table / shingle index /
+    # inverted file) is recomputed per consumer — each recompute brings
+    # its own exchanges, all over compact int-array/int-key projections.
+    # In production those intermediates are materialized once in the
+    # derived layer (pipelines/derived.py), exactly as the reference
+    # materializes its long-format mutation tables (init.sql:403-410),
+    # and the per-query exchange count drops to the 2-3 of its own joins.
+    "ngram_jaccard_pairs": {"exchange-storm": "shingle index recomputed per consumer under the gate"},
+    "k3_origin_estimator": {"exchange-storm": "mutation table recomputed per consumer under the gate"},
+    "k4_priority_scorer": {"exchange-storm": "mutation table recomputed per consumer under the gate"},
+    "ivf_topk_probe": {"exchange-storm": "centroid sims reused for assign+probe; inverted file materialized at scale"},
+}
+
+
+def node_headers(plan: str) -> list[str]:
+    return re.findall(r"^\(\d+\) (\S+)", plan, flags=re.MULTILINE)
+
+
+def audit_one(spark, name: str, sf_dir: str) -> list[str]:
+    df = QUERIES[name].fn(spark, sf_dir)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    plan = df._jdf.queryExecution().explainString(mode)
+    nodes = node_headers(plan)
+    flags: list[str] = []
+
+    if "CartesianProduct" in nodes:
+        flags.append("cartesian")
+    n_exchange = sum(1 for n in nodes if n == "Exchange")
+    if n_exchange > 6:
+        flags.append(f"exchange-storm({n_exchange})")
+    # Window over unpartitioned data: formatted explain shows the window
+    # spec; a lone SinglePartition exchange feeding a Window is the tell.
+    if re.search(r"Arguments: \[[^\]]*windowspecdefinition\(", plan) and "SinglePartition" in plan:
+        flags.append("single-partition-window")
+    # A query that filters (post-scan Filter node exists) but pushes nothing.
+    has_filter = "Filter" in nodes
+    pushes = re.findall(r"PushedFilters: \[([^\n]*)", plan)
+    if has_filter and pushes and all(p.strip().startswith("]") for p in pushes):
+        flags.append("no-pushdown")
+
+    allowed = ALLOWED.get(name, {})
+    return [f for f in flags if f.split("(")[0] not in allowed]
+
+
+def main() -> int:
+    args = sys.argv[1:]
+    sf_dir = args[0] if args and "/" in args[0] else "/root/testdata/sf0.001"
+    names = [a for a in args if "/" not in a] or list(QUERIES)
+    spark = get_spark("plan-audit")
+    bad = 0
+    for name in names:
+        flags = audit_one(spark, name, sf_dir)
+        if flags:
+            bad += 1
+            print(f"[FLAG] {name}: {', '.join(flags)}")
+    print(f"\n{len(names) - bad}/{len(names)} query plans clean")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
