@@ -40,17 +40,11 @@ def recode_map(col: Column | str, mapping: dict, default: Column | str | None = 
 def coalesce_join(
     left: DataFrame, right: DataFrame, on: Sequence[str], how: str = "left"
 ) -> DataFrame:
-    """Join where overlapping non-key columns merge via coalesce(left,
-    right) — dplyr-style coalesce_join (utility.R:324-357): the left value
-    wins when present, the right fills gaps."""
-    overlap = [c for c in left.columns if c in right.columns and c not in on]
-    l, r = left.alias("l"), right.alias("r")
-    joined = l.join(r, on=list(on), how=how)
-    cols = [F.col(k) for k in on]
-    cols += [
-        F.coalesce(F.col(f"l.{c}"), F.col(f"r.{c}")).alias(c) if c in overlap else F.col(f"l.{c}")
-        for c in left.columns
-        if c not in on
-    ]
-    cols += [F.col(f"r.{c}") for c in right.columns if c not in on and c not in overlap]
-    return joined.select(*cols)
+    """Dplyr-style coalesce_join (utility.R:324-357). Canonical
+    implementation lives in operators.joins (adds a ``prefer`` side);
+    re-exported here for the recode/enrichment call sites."""
+    from harvester_database_and_automation_spark.operators.joins import (
+        coalesce_join as _cj,
+    )
+
+    return _cj(left, right, on, how=how)

@@ -110,6 +110,44 @@ def lang_term_intensity(spark: SparkSession, sf_dir: str, deps) -> DataFrame:
     )
 
 
+@LAYER.register("weekly_dashboard")
+def weekly_dashboard(spark: SparkSession, sf_dir: str, deps) -> DataFrame:
+    """The dashboard_main_view analog (init.sql:783-948): two sources
+    conformed and unioned (cases+tests there; events+orders here), value
+    binning (the age-group recode), and conditional aggregation per
+    (iso-week, kind, bucket)."""
+    from harvester_database_and_automation_spark.functions.recode import age_group
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.lit("event").alias("kind"),
+        F.col("user_id").alias("subject"),
+        F.col("ts").alias("t"),
+        F.col("value").alias("v"),
+        (F.col("event_type") == "error").alias("is_bad"),
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.lit("order").alias("kind"),
+        F.col("o_custkey").alias("subject"),
+        F.col("o_orderdate").alias("t"),
+        (F.col("o_totalprice") / 1000).alias("v"),
+        (F.col("o_orderstatus") == "F").alias("is_bad"),
+    )
+    unioned = ev.unionByName(orders)
+    return (
+        unioned.groupBy(
+            F.expr("extract(YEAROFWEEK FROM t)").cast("int").alias("yr"),
+            F.weekofyear("t").cast("int").alias("wk"),
+            "kind",
+            age_group(F.col("v"), width=20, top=100).alias("v_bucket"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("is_bad"), 1).otherwise(0)).alias("n_bad"),
+            F.countDistinct("subject").alias("n_subjects"),
+        )
+    )
+
+
 @LAYER.register("daily_event_intensity")
 def daily_event_intensity(spark: SparkSession, sf_dir: str, deps) -> DataFrame:
     """Layer 4 — zero-filled date-spine × event-type counts with rollup

@@ -1037,6 +1037,94 @@ def orders_per_isoweek(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Weekly sequencing report (the bag_sequence_report composition: dual
+# pipeline union -> preference dedup -> weekly counts ⟗ weekly tests ->
+# share; database/sql/bag_sequence_report.sql:1-122).
+# ---------------------------------------------------------------------------
+@register(
+    "weekly_sequencing_report",
+    survey_ref="U1,W2,J3,A2,date-funcs",
+    oracle="""
+WITH seqd AS (
+  SELECT user_id, ts, event_id,
+         CAST(isoyear(ts) AS INT)    AS yr,
+         CAST(weekofyear(ts) AS INT) AS wk,
+         CASE WHEN event_type = 'click' THEN 'new' ELSE 'old' END AS src
+  FROM events WHERE event_type IN ('click', 'view')
+), dedup AS (
+  SELECT yr, wk, user_id, src FROM (
+    SELECT yr, wk, user_id, src,
+           row_number() OVER (
+             PARTITION BY yr, wk, user_id
+             ORDER BY CASE WHEN src = 'new' THEN 0 ELSE 1 END, ts, event_id) AS rk
+    FROM seqd) t
+  WHERE rk = 1
+), seq_weekly AS (
+  SELECT yr, wk,
+         CAST(count(*) AS BIGINT) AS n_seq,
+         CAST(sum(CASE WHEN src = 'new' THEN 1 ELSE 0 END) AS BIGINT) AS n_new
+  FROM dedup GROUP BY yr, wk
+), tests_weekly AS (
+  SELECT CAST(isoyear(ts) AS INT) AS yr, CAST(weekofyear(ts) AS INT) AS wk,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS n_tests
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+)
+SELECT coalesce(s.yr, t.yr) AS yr, coalesce(s.wk, t.wk) AS wk,
+       coalesce(n_seq, 0)  AS n_seq,
+       coalesce(n_new, 0)  AS n_new,
+       coalesce(n_tests, 0) AS n_tests,
+       round(coalesce(n_seq, 0) * 1.0 / nullif(n_tests, 0), 6) AS seq_share
+FROM seq_weekly s FULL OUTER JOIN tests_weekly t ON s.yr = t.yr AND s.wk = t.wk
+""",
+)
+def weekly_sequencing_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bag_sequence_report composition end-to-end: two "pipelines"
+    (click=new, view=old) unioned, one row per (week, user) preferring
+    the new pipeline (W2 preference window with deterministic tie-break),
+    weekly sequenced counts full-outer joined to weekly positive-test
+    counts (J3, gisaid.sql:80-87), and a null-safe share. Every shuffle
+    is keyed on (yr, wk[, user_id]) — counts, never payloads."""
+    ev = load_table(spark, sf_dir, "events")
+    yr = F.expr("extract(YEAROFWEEK FROM ts)").cast("int").alias("yr")
+    wk = F.weekofyear("ts").cast("int").alias("wk")
+    seqd = ev.filter(F.col("event_type").isin("click", "view")).select(
+        "user_id",
+        "ts",
+        "event_id",
+        yr,
+        wk,
+        F.when(F.col("event_type") == "click", "new").otherwise("old").alias("src"),
+    )
+    w = Window.partitionBy("yr", "wk", "user_id").orderBy(
+        F.when(F.col("src") == "new", 0).otherwise(1), "ts", "event_id"
+    )
+    dedup = seqd.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") == 1)
+    seq_weekly = dedup.groupBy("yr", "wk").agg(
+        F.count(F.lit(1)).alias("n_seq"),
+        F.sum(F.when(F.col("src") == "new", 1).otherwise(0)).alias("n_new"),
+    )
+    tests_weekly = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(yr, wk, "user_id")
+        .groupBy("yr", "wk")
+        .agg(F.countDistinct("user_id").alias("n_tests"))
+    )
+    joined = seq_weekly.alias("s").join(
+        tests_weekly.alias("t"), ["yr", "wk"], "full_outer"
+    )
+    n_seq = F.coalesce("n_seq", F.lit(0))
+    n_tests = F.coalesce("n_tests", F.lit(0))
+    return joined.select(
+        "yr",
+        "wk",
+        n_seq.alias("n_seq"),
+        F.coalesce("n_new", F.lit(0)).alias("n_new"),
+        n_tests.alias("n_tests"),
+        F.round(n_seq * 1.0 / F.nullif(n_tests, F.lit(0)), 6).alias("seq_share"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Date arithmetic (§2.8).
 # ---------------------------------------------------------------------------
 @register(

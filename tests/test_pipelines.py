@@ -147,6 +147,7 @@ def test_derived_layer_rebuild_dependency_order(spark, tmp_path):
         "doc_public_meta": 1,
         "doc_term_projection": 1,
         "lang_term_intensity": 1,
+        "weekly_dashboard": 1,
         "daily_event_intensity": 1,
     }
 
@@ -170,6 +171,15 @@ def test_derived_layer_rebuild_dependency_order(spark, tmp_path):
     n_days = intensity.filter("day is not null and event_type is null").count()
     n_types = intensity.filter("day is not null and event_type is not null").select("event_type").distinct().count()
     assert intensity.count() == n_days * n_types + n_days + 1
+
+    # Dashboard: both kinds present, bad-counts bounded by totals, buckets
+    # follow the recode ('0-19', ..., '100+', 'Unknown').
+    dash = read_published(spark, f"{out}/weekly_dashboard")
+    kinds = {r["kind"] for r in dash.select("kind").distinct().collect()}
+    assert kinds == {"event", "order"}
+    assert dash.filter("n_bad > n").count() == 0
+    buckets = {r["v_bucket"] for r in dash.select("v_bucket").distinct().collect()}
+    assert buckets <= {"0-19", "20-39", "40-59", "60-79", "80-99", "100+", "Unknown"}
 
     # Second rebuild bumps every version (atomic swap per table).
     versions2 = LAYER.rebuild(spark, "/root/testdata/sf0.001", out)
