@@ -10,7 +10,7 @@ all-pairs comparison ever materializes except among verified candidates.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from harvester_database_and_automation_spark.catalog import load_table
@@ -271,6 +271,14 @@ WHERE n_common * 1.0 / (s1.sz + s2.sz - n_common) >= 0.1
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-gram shingle Jaccard near-dup pairs via inverted-index self-join —
     the candidate join only touches docs sharing a shingle, never all pairs."""
+    return _jaccard_pairs(spark, sf_dir, 0.1).select(
+        "doc_a", "doc_b", F.round(F.col("jaccard"), 6).alias("jaccard")
+    )
+
+
+def _jaccard_pairs(spark: SparkSession, sf_dir: str, threshold: float) -> DataFrame:
+    """Shingle-Jaccard pairs above ``threshold``, jaccard left UNROUNDED so
+    every consumer thresholds on the identical double the oracle computes."""
     sh = _shingles(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.alias("a")
@@ -284,8 +292,90 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         inter.join(sizes.alias("s1"), F.col("doc_a") == F.col("s1.doc_id"))
         .join(sizes.alias("s2"), F.col("doc_b") == F.col("s2.doc_id"))
-        .filter(jac >= 0.1)
-        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        .filter(jac >= threshold)
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+    )
+
+
+@register(
+    "dup_connected_components",
+    survey_ref="dedup-cc,J1,J6,A1,W2",
+    oracle=f"""
+WITH RECURSIVE
+sh AS ({_SHINGLES_SQL}),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v
+  FROM inter
+  JOIN sizes s1 ON s1.doc_id = doc_a
+  JOIN sizes s2 ON s2.doc_id = doc_b
+  WHERE n_common * 1.0 / (s1.sz + s2.sz - n_common) >= 0.5
+),
+sym AS (SELECT e.u, e.v FROM edges e UNION SELECT e.v AS u, e.u AS v FROM edges e),
+reach(src, node) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.src, s.v FROM reach r JOIN sym s ON s.u = r.node
+),
+comp AS (SELECT src AS doc_id, min(node) AS component_id FROM reach GROUP BY src),
+canon AS (
+  SELECT component_id, doc_id AS keep_doc_id FROM (
+    SELECT c.component_id, d.doc_id,
+           row_number() OVER (PARTITION BY c.component_id
+                              ORDER BY length(d.text) DESC, d.doc_id) AS rn
+    FROM comp c JOIN documents d USING (doc_id)
+  ) WHERE rn = 1
+)
+SELECT c.doc_id, c.component_id, k.keep_doc_id,
+       c.doc_id <> k.keep_doc_id AS is_duplicate
+FROM comp c JOIN canon k USING (component_id)
+""",
+)
+def dup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: Jaccard pairs (>= 0.5) → transitive closure via
+    alternating large-star/small-star contraction → canonical-doc election
+    (longest text, tie-break smallest id) per cluster.
+
+    This is the step the pair-producing plans feed at scale: O(log n)
+    rounds of int-pair joins, then one window per component — no genome/
+    text payload ever enters the contraction shuffles. The DuckDB oracle
+    computes the same closure with a recursive CTE.
+    """
+    from harvester_database_and_automation_spark.operators.components import (
+        alternating_star_components,
+    )
+
+    # Only (doc_id, length) ever shuffles — the text payload stays in the scan.
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").alias("doc_len")
+    )
+    edges = _jaccard_pairs(spark, sf_dir, 0.5).select("doc_a", "doc_b")
+    labels = alternating_star_components(edges, src="doc_a", dst="doc_b")
+    comp = (
+        docs.join(labels, docs.doc_id == labels.node, "left")
+        .select(
+            "doc_id",
+            F.coalesce("component_id", "doc_id").alias("component_id"),
+            "doc_len",
+        )
+        .localCheckpoint(eager=True)  # reused twice below (window + join-back)
+    )
+    w = Window.partitionBy("component_id").orderBy(F.col("doc_len").desc(), F.col("doc_id"))
+    canon = (
+        comp.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("component_id", F.col("doc_id").alias("keep_doc_id"))
+    )
+    return comp.join(canon, "component_id").select(
+        "doc_id",
+        "component_id",
+        "keep_doc_id",
+        (F.col("doc_id") != F.col("keep_doc_id")).alias("is_duplicate"),
     )
 
 
