@@ -170,3 +170,17 @@ def daily_event_intensity(spark: SparkSession, sf_dir: str, deps) -> DataFrame:
         .select("day", "event_type", F.coalesce("n", F.lit(0)).alias("n"))
     )
     return filled.rollup("day", "event_type").agg(F.sum("n").alias("n_events"))
+
+
+@LAYER.register("lineage_mutation_counts")
+def lineage_mutation_counts_table(spark: SparkSession, sf_dir: str, deps) -> DataFrame:
+    """Layer 5 — the spectrum_pangolin_lineage_mutation MV family
+    (sequences_gisaid_api_based.sql:435-471): mutation counts + share per
+    (lang, lineage, mutation). Materializing it here is what collapses the
+    registered query's recompute exchanges into a single build per ingest —
+    exactly why the reference keeps these as materialized views."""
+    from harvester_database_and_automation_spark.plans.kernels import (
+        lineage_mutation_counts,
+    )
+
+    return lineage_mutation_counts(spark, sf_dir)

@@ -650,3 +650,91 @@ def k10_base_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("base")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@register(
+    "lineage_mutation_counts",
+    survey_ref="K1,K2,A1,A7,J1,J2",
+    oracle=f"""
+WITH {_MUTS_CTES},
+defs AS (SELECT * FROM (VALUES {_VARIANT_VALUES_SQL}) AS v(variant, pos, base)),
+calls AS (
+  SELECT s.doc_id, d.variant,
+         sum(CASE WHEN substr(s.seq, d.pos, 1) = d.base THEN 1 ELSE 0 END) AS n_confirmed,
+         count(*) AS n_sites
+  FROM seqs s CROSS JOIN defs d
+  GROUP BY s.doc_id, d.variant
+),
+lineage AS (
+  SELECT doc_id,
+         min(struct_pack(a := -n_confirmed, b := variant))
+           FILTER (WHERE n_confirmed >= 0.8 * n_sites) AS pick
+  FROM calls GROUP BY doc_id
+),
+doc_lineage AS (
+  SELECT d.doc_id, d.lang, coalesce(struct_extract(l.pick, 'b'), 'NONE') AS lineage
+  FROM documents d LEFT JOIN lineage l ON d.doc_id = l.doc_id
+),
+group_sizes AS (SELECT lang, lineage, count(*) AS n_group FROM doc_lineage GROUP BY 1, 2),
+mut_counts AS (
+  SELECT dl.lang, dl.lineage, m.pos, m.base, count(*) AS n_seqs
+  FROM muts m JOIN doc_lineage dl ON m.doc_id = dl.doc_id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT mc.lang, mc.lineage, mc.pos, mc.base,
+       CAST(mc.n_seqs AS BIGINT) AS n_seqs,
+       round(mc.n_seqs * 1.0 / g.n_group, 6) AS share
+FROM mut_counts mc JOIN group_sizes g ON mc.lang = g.lang AND mc.lineage = g.lineage
+""",
+)
+def lineage_mutation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutation counts per (lang, lineage, mutation) with share-of-group —
+    the spectrum_pangolin_lineage_mutation[_nucleotide] MV family
+    (database/sql/spectrum/sequences_gisaid_api_based.sql:435-471), with the
+    K2 80%-rule call standing in for the pangolin lineage label: each doc's
+    lineage is its best confirmed variant (most confirmed sites, tie-break
+    variant name; 'NONE' when nothing reaches 80%).
+
+    Composition of K1 (mutation table) x K2 (variant call) + the A7
+    share-of-total join. In production the lineage and mutation tables are
+    materialized once in the derived layer (pipelines/derived.py); under
+    the oracle gate each is recomputed from raw text, which is where the
+    extra exchanges come from.
+    """
+    seqs, muts, _ = _mutations(spark, sf_dir)
+    defs = spark.createDataFrame(_VARIANT_DEFS, "variant string, pos int, base string")
+    site = F.substring(F.col("seq"), F.col("pos"), 1)
+    calls = (
+        seqs.crossJoin(F.broadcast(defs))
+        .groupBy("doc_id", "variant")
+        .agg(
+            F.sum(F.when(site == F.col("base"), 1).otherwise(0)).alias("n_confirmed"),
+            F.count(F.lit(1)).alias("n_sites"),
+        )
+    )
+    lineage = calls.groupBy("doc_id").agg(
+        F.min(
+            F.when(
+                F.col("n_confirmed") >= 0.8 * F.col("n_sites"),
+                F.struct((-F.col("n_confirmed")).alias("a"), F.col("variant").alias("b")),
+            )
+        ).alias("pick")
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    doc_lineage = docs.join(lineage, "doc_id", "left").select(
+        "doc_id", "lang", F.coalesce(F.col("pick.b"), F.lit("NONE")).alias("lineage")
+    )
+    group_sizes = doc_lineage.groupBy("lang", "lineage").agg(F.count(F.lit(1)).alias("n_group"))
+    mut_counts = (
+        muts.join(doc_lineage, "doc_id")
+        .groupBy("lang", "lineage", "pos", "base")
+        .agg(F.count(F.lit(1)).alias("n_seqs"))
+    )
+    return mut_counts.join(group_sizes, ["lang", "lineage"]).select(
+        "lang",
+        "lineage",
+        "pos",
+        "base",
+        F.col("n_seqs").cast("bigint").alias("n_seqs"),
+        F.round(F.col("n_seqs") * 1.0 / F.col("n_group"), 6).alias("share"),
+    )

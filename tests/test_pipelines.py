@@ -149,6 +149,7 @@ def test_derived_layer_rebuild_dependency_order(spark, tmp_path):
         "lang_term_intensity": 1,
         "weekly_dashboard": 1,
         "daily_event_intensity": 1,
+        "lineage_mutation_counts": 1,
     }
 
     meta = read_published(spark, f"{out}/doc_public_meta")
@@ -180,6 +181,13 @@ def test_derived_layer_rebuild_dependency_order(spark, tmp_path):
     assert dash.filter("n_bad > n").count() == 0
     buckets = {r["v_bucket"] for r in dash.select("v_bucket").distinct().collect()}
     assert buckets <= {"0-19", "20-39", "40-59", "60-79", "80-99", "100+", "Unknown"}
+
+    # Lineage-mutation MV: labels restricted to the variant set + NONE,
+    # every share a valid proportion.
+    lmc = read_published(spark, f"{out}/lineage_mutation_counts")
+    labels = {r["lineage"] for r in lmc.select("lineage").distinct().collect()}
+    assert labels <= {"ALPHA", "BETA", "NONE"}
+    assert lmc.filter("share <= 0 or share > 1").count() == 0
 
     # Second rebuild bumps every version (atomic swap per table).
     versions2 = LAYER.rebuild(spark, "/root/testdata/sf0.001", out)
