@@ -49,10 +49,85 @@ def publish_versioned(
     if max_records_per_file is not None:
         writer = writer.option("maxRecordsPerFile", max_records_per_file)
     writer.parquet(os.path.join(table_dir, f"v{version}"))
+    _swap_marker(table_dir, version)
+    return version
+
+
+def _swap_marker(table_dir: str, version: int) -> None:
     fd, tmp = tempfile.mkstemp(dir=table_dir, prefix=".marker-")
     with os.fdopen(fd, "w", encoding="utf-8") as fh:
         fh.write(str(version))
     os.replace(tmp, os.path.join(table_dir, _MARKER))
+
+
+def _leaf_partition_dirs(version_dir: str, depth: int) -> list[str]:
+    """Relative paths of the leaf partition directories (``lang=de`` or
+    ``a=1/b=2``) under a partitioned parquet version directory."""
+    leaves: list[str] = []
+
+    def walk(cur: str, rel: str, levels_left: int) -> None:
+        for entry in os.listdir(cur):
+            path = os.path.join(cur, entry)
+            if os.path.isdir(path) and "=" in entry:
+                sub = os.path.join(rel, entry) if rel else entry
+                if levels_left == 1:
+                    leaves.append(sub)
+                else:
+                    walk(path, sub, levels_left - 1)
+
+    walk(version_dir, "", depth)
+    return leaves
+
+
+def publish_incremental(
+    df_partial: DataFrame,
+    table_dir: str,
+    partition_by: list[str],
+    drop_partitions: list[str] | None = None,
+    max_records_per_file: int | None = None,
+) -> int:
+    """Partition-overwrite publish: ``df_partial`` holds ONLY the rows of
+    the partitions being replaced. The next version directory gets those
+    partitions written fresh, and every other partition HARD-LINKED from
+    the previous version — write (and storage) cost is proportional to the
+    churn, not the table, while the atomic marker swap and old-version
+    rollback of ``publish_versioned`` are preserved.
+
+    This is the custom work SURVEY.md §4 flags for 100 TB derived tables:
+    the reference refreshes its materialized views wholesale per ingest
+    (database/sql/spectrum/refreshes.sql:3-36); keyed partition overwrite
+    keeps the per-ingest cost at O(changed keys). On an object store the
+    hard link becomes a manifest entry pointing at the prior version's
+    objects; the version/marker protocol is unchanged.
+
+    ``drop_partitions`` lists relative partition paths (``lang=de``) that
+    must NOT carry over — partitions whose keys vanished from the source.
+    """
+    prev = current_version(table_dir)
+    if prev is None:
+        return publish_versioned(
+            df_partial, table_dir, partition_by=partition_by, max_records_per_file=max_records_per_file
+        )
+    version = prev + 1
+    new_dir = os.path.join(table_dir, f"v{version}")
+    writer = df_partial.write.mode("errorifexists").partitionBy(*partition_by)
+    if max_records_per_file is not None:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    writer.parquet(new_dir)
+
+    skip = set(_leaf_partition_dirs(new_dir, len(partition_by))) | set(drop_partitions or ())
+    old_dir = os.path.join(table_dir, f"v{prev}")
+    for leaf in _leaf_partition_dirs(old_dir, len(partition_by)):
+        if leaf in skip:
+            continue
+        src = os.path.join(old_dir, leaf)
+        dst = os.path.join(new_dir, leaf)
+        os.makedirs(dst, exist_ok=True)
+        for fname in os.listdir(src):
+            spath = os.path.join(src, fname)
+            if os.path.isfile(spath) and not fname.startswith(("_", ".")):
+                os.link(spath, os.path.join(dst, fname))
+    _swap_marker(table_dir, version)
     return version
 
 

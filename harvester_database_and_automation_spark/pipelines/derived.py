@@ -16,11 +16,12 @@ import os
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from harvester_database_and_automation_spark.catalog import load_table
 from harvester_database_and_automation_spark.operators.publish import (
+    publish_incremental,
     publish_versioned,
     read_published,
 )
@@ -31,20 +32,26 @@ class DerivedTable:
     name: str
     build: Callable[[SparkSession, str, dict[str, DataFrame]], DataFrame]
     depends_on: tuple[str, ...] = ()
+    partition_by: tuple[str, ...] = ()
 
 
 @dataclass
 class DerivedLayer:
     tables: dict[str, DerivedTable] = field(default_factory=dict)
 
-    def register(self, name: str, depends_on: tuple[str, ...] = ()):
+    def register(
+        self,
+        name: str,
+        depends_on: tuple[str, ...] = (),
+        partition_by: tuple[str, ...] = (),
+    ):
         def deco(fn):
             if name in self.tables:
                 raise ValueError(f"duplicate derived table {name!r}")
             for dep in depends_on:
                 if dep not in self.tables:
                     raise ValueError(f"{name!r} depends on unknown table {dep!r}")
-            self.tables[name] = DerivedTable(name, fn, depends_on)
+            self.tables[name] = DerivedTable(name, fn, depends_on, partition_by)
             return fn
 
         return deco
@@ -57,8 +64,36 @@ class DerivedLayer:
         for name, spec in self.tables.items():
             deps = {d: built[d] for d in spec.depends_on}
             df = spec.build(spark, sf_dir, deps)
-            versions[name] = publish_versioned(df, os.path.join(out_root, name))
+            versions[name] = publish_versioned(
+                df, os.path.join(out_root, name), partition_by=list(spec.partition_by) or None
+            )
             built[name] = read_published(spark, os.path.join(out_root, name))
+        return versions
+
+    def rebuild_incremental(
+        self, spark: SparkSession, sf_dir: str, out_root: str, predicates: dict[str, Column]
+    ) -> dict[str, int]:
+        """Rebuild ONLY the partitions matching each table's predicate —
+        the SURVEY.md §4 incremental-maintenance design: the build stays the
+        same declarative full-table plan, the predicate prunes it down to
+        the churned partitions (Catalyst pushes it into the scans), and
+        ``publish_incremental`` carries every other partition over to the
+        new version without rewriting it.
+
+        Tables absent from ``predicates`` are untouched; listed tables must
+        have been registered with ``partition_by`` and published before.
+        """
+        versions: dict[str, int] = {}
+        for name, spec in self.tables.items():
+            if name not in predicates:
+                continue
+            if not spec.partition_by:
+                raise ValueError(f"{name!r} has no partition_by; register one to rebuild incrementally")
+            deps = {d: read_published(spark, os.path.join(out_root, d)) for d in spec.depends_on}
+            df = spec.build(spark, sf_dir, deps).filter(predicates[name])
+            versions[name] = publish_incremental(
+                df, os.path.join(out_root, name), partition_by=list(spec.partition_by)
+            )
         return versions
 
 
@@ -85,7 +120,7 @@ def doc_public_meta(spark: SparkSession, sf_dir: str, deps) -> DataFrame:
     )
 
 
-@LAYER.register("doc_term_projection", depends_on=("doc_public_meta",))
+@LAYER.register("doc_term_projection", depends_on=("doc_public_meta",), partition_by=("lang",))
 def doc_term_projection(spark: SparkSession, sf_dir: str, deps) -> DataFrame:
     """Layer 2 — long-format term table for best docs only (the mutation
     projection analog: explode from the deduped layer, not the raw feed)."""
@@ -172,7 +207,7 @@ def daily_event_intensity(spark: SparkSession, sf_dir: str, deps) -> DataFrame:
     return filled.rollup("day", "event_type").agg(F.sum("n").alias("n_events"))
 
 
-@LAYER.register("lineage_mutation_counts")
+@LAYER.register("lineage_mutation_counts", partition_by=("lang",))
 def lineage_mutation_counts_table(spark: SparkSession, sf_dir: str, deps) -> DataFrame:
     """Layer 5 — the spectrum_pangolin_lineage_mutation MV family
     (sequences_gisaid_api_based.sql:435-471): mutation counts + share per

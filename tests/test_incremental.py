@@ -1,0 +1,110 @@
+"""Partition-overwrite incremental publish (operators/publish.py::
+publish_incremental) and the derived layer's incremental rebuild."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from harvester_database_and_automation_spark.operators.publish import (
+    publish_incremental,
+    publish_versioned,
+    read_published,
+)
+
+
+def _rows(spark, data):
+    return spark.createDataFrame(data, "k string, v int")
+
+
+def _inodes(table_dir: str, version: int, leaf: str) -> set[int]:
+    d = os.path.join(table_dir, f"v{version}", leaf)
+    return {
+        os.stat(os.path.join(d, f)).st_ino
+        for f in os.listdir(d)
+        if not f.startswith(("_", "."))
+    }
+
+
+def test_incremental_overwrites_only_named_partitions(spark, tmp_path):
+    table = str(tmp_path / "t")
+    full = _rows(spark, [("a", 1), ("a", 2), ("b", 10), ("c", 100)])
+    assert publish_versioned(full, table, partition_by=["k"]) == 1
+
+    # Replace partition a only; b and c must carry over by hard link.
+    v2 = publish_incremental(_rows(spark, [("a", 7)]), table, partition_by=["k"])
+    assert v2 == 2
+    got = {(r["k"], r["v"]) for r in read_published(spark, table).collect()}
+    assert got == {("a", 7), ("b", 10), ("c", 100)}
+    # Unchanged partitions share inodes with v1 (no rewrite, no copy).
+    assert _inodes(table, 2, "k=b") == _inodes(table, 1, "k=b")
+    assert _inodes(table, 2, "k=c") == _inodes(table, 1, "k=c")
+    assert _inodes(table, 2, "k=a") != _inodes(table, 1, "k=a")
+    # Previous version still reads intact (rollback is a marker move).
+    v1 = spark.read.parquet(os.path.join(table, "v1"))
+    assert v1.count() == 4
+
+
+def test_incremental_drop_partitions(spark, tmp_path):
+    table = str(tmp_path / "t")
+    publish_versioned(_rows(spark, [("a", 1), ("b", 2)]), table, partition_by=["k"])
+    publish_incremental(
+        _rows(spark, [("a", 5)]), table, partition_by=["k"], drop_partitions=["k=b"]
+    )
+    got = {(r["k"], r["v"]) for r in read_published(spark, table).collect()}
+    assert got == {("a", 5)}
+
+
+def test_incremental_first_publish_falls_back_to_full(spark, tmp_path):
+    table = str(tmp_path / "t")
+    v = publish_incremental(_rows(spark, [("a", 1)]), table, partition_by=["k"])
+    assert v == 1
+    assert read_published(spark, table).count() == 1
+
+
+def test_multi_level_partitioning(spark, tmp_path):
+    table = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [("a", 1, 10), ("a", 2, 20), ("b", 1, 30)], "k string, d int, v int"
+    )
+    publish_versioned(df, table, partition_by=["k", "d"])
+    part = spark.createDataFrame([("a", 1, 99)], "k string, d int, v int")
+    publish_incremental(part, table, partition_by=["k", "d"])
+    got = {(r["k"], r["d"], r["v"]) for r in read_published(spark, table).collect()}
+    assert got == {("a", 1, 99), ("a", 2, 20), ("b", 1, 30)}
+    assert _inodes(table, 2, "k=a/d=2") == _inodes(table, 1, "k=a/d=2")
+
+
+def test_derived_layer_incremental_rebuild(spark, tmp_path):
+    from harvester_database_and_automation_spark.pipelines.derived import LAYER
+
+    out = str(tmp_path / "derived")
+    LAYER.rebuild(spark, "/root/testdata/sf0.001", out)
+    before = {
+        tuple(r) for r in read_published(spark, f"{out}/lineage_mutation_counts").collect()
+    }
+    langs = [r["lang"] for r in
+             read_published(spark, f"{out}/lineage_mutation_counts")
+             .select("lang").distinct().collect()]
+    target = sorted(langs)[0]
+
+    versions = LAYER.rebuild_incremental(
+        spark,
+        "/root/testdata/sf0.001",
+        out,
+        {"lineage_mutation_counts": F.col("lang") == target},
+    )
+    assert versions == {"lineage_mutation_counts": 2}
+    # Inputs unchanged → incremental result identical to the full build.
+    after = {
+        tuple(r) for r in read_published(spark, f"{out}/lineage_mutation_counts").collect()
+    }
+    assert after == before
+
+    # A table without partition_by refuses incremental rebuild.
+    with pytest.raises(ValueError, match="partition_by"):
+        LAYER.rebuild_incremental(
+            spark, "/root/testdata/sf0.001", out, {"weekly_dashboard": F.lit(True)}
+        )
