@@ -738,3 +738,74 @@ def lineage_mutation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_seqs").cast("bigint").alias("n_seqs"),
         F.round(F.col("n_seqs") * 1.0 / F.col("n_group"), 6).alias("share"),
     )
+
+
+@register(
+    "feed_reconciliation",
+    survey_ref="§5.3,J9,P3,A2",
+    oracle=f"""
+WITH seqs AS (
+  SELECT doc_id, lang,
+         CASE WHEN length({_SEQ_SQL}) >= 8
+              THEN substr({_SEQ_SQL}, 1, 2) || 'N' || substr({_SEQ_SQL}, 4, 3)
+                   || 'N' || substr({_SEQ_SQL}, 8)
+              ELSE {_SEQ_SQL} END AS mseq
+  FROM documents
+),
+feed AS (
+  SELECT 'FEED/' || doc_id || '/2021' AS feed_id,
+         CASE WHEN doc_id % 37 = 0 THEN reverse(mseq) ELSE lower(mseq) END AS feed_seq
+  FROM seqs
+),
+joined AS (
+  SELECT s.lang,
+         CASE WHEN replace(replace(lower(f.feed_seq), 'n', ''), '-', '')
+                 = replace(replace(lower(s.mseq), 'n', ''), '-', '')
+              THEN 1 ELSE 0 END AS ok
+  FROM feed f JOIN seqs s ON split_part(f.feed_id, '/', 2) = CAST(s.doc_id AS VARCHAR)
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT)          AS n_total,
+       CAST(sum(ok) AS BIGINT)           AS n_seq_match,
+       CAST(count(*) - sum(ok) AS BIGINT) AS n_seq_mismatch
+FROM joined GROUP BY lang
+""",
+)
+def feed_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reconciliation query (the de-facto integration tests of SURVEY §5.3):
+    our sequences vs the external feed's copy, joined by parsing the id back
+    out of the feed identifier (the ETHID parse-back + sequence-equality-
+    modulo-'-'/'n' compare of database/sql/gisaid_our_sequences.sql:1-67),
+    rolled up to agreement counts per lang.
+
+    The feed side is derived deterministically (lowercased, reversed for
+    doc_id % 37 == 0 to inject disagreements), so both engines see the same
+    two 'sources'. The join is a real expression join on the parsed id —
+    the reconciliation shape — not a by-construction row identity.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    raw = F.upper(F.regexp_replace("text", "[^acgt]", ""))
+    seqs = docs.repartition(n).select("doc_id", "lang", raw.alias("seq"))
+    masked = F.when(
+        F.length("seq") >= 8,
+        F.expr("concat(substr(seq, 1, 2), 'N', substr(seq, 4, 3), 'N', substr(seq, 8))"),
+    ).otherwise(F.col("seq"))
+    ours = seqs.select("doc_id", "lang", masked.alias("mseq"))
+    feed = ours.select(
+        F.concat(F.lit("FEED/"), F.col("doc_id").cast("string"), F.lit("/2021")).alias("feed_id"),
+        F.when(F.col("doc_id") % 37 == 0, F.reverse("mseq")).otherwise(F.lower("mseq")).alias("feed_seq"),
+    )
+
+    def norm(c):
+        return F.replace(F.replace(F.lower(c), F.lit("n"), F.lit("")), F.lit("-"), F.lit(""))
+
+    joined = feed.join(
+        ours, F.expr("split_part(feed_id, '/', 2)") == F.col("doc_id").cast("string")
+    )
+    ok = F.when(norm(F.col("feed_seq")) == norm(F.col("mseq")), 1).otherwise(0)
+    return joined.select("lang", ok.alias("ok")).groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_total"),
+        F.sum("ok").cast("bigint").alias("n_seq_match"),
+        (F.count(F.lit(1)) - F.sum("ok")).cast("bigint").alias("n_seq_mismatch"),
+    )

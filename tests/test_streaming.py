@@ -202,3 +202,33 @@ def test_dedup_within_watermark_batch_degrades(spark):
         "ts string, k string",
     ).withColumn("ts", F.col("ts").cast("timestamp"))
     assert dedup_within_watermark(df, ["k"]).count() == 1
+
+
+def test_stream_static_broadcast_enrichment(spark, tmp_path):
+    """Stream-static join: each micro-batch is enriched against a static
+    broadcast dim (the recode/lookup-map importer shape, SURVEY §2.8
+    'Lookup/recode' — canton/country dims joined to arriving feed rows)."""
+    src = tmp_path / "incoming"
+    src.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    schema = T.StructType(
+        [T.StructField("id", T.IntegerType()), T.StructField("code", T.StringType())]
+    )
+    dim = spark.createDataFrame(
+        [("a", "Alpha"), ("b", "Beta")], "code string, label string"
+    )
+
+    def enrich(df):
+        return df.join(F.broadcast(dim), "code", "left")
+
+    (src / "x.csv").write_text("1,a\n2,b\n3,zz\n")
+    incremental_file_ingest(spark, str(src), schema, ckpt, out, transform=enrich)
+    got = {(r["id"], r["label"]) for r in spark.read.parquet(out).collect()}
+    assert got == {(1, "Alpha"), (2, "Beta"), (3, None)}
+
+    # The dim is re-read per poll, so dim updates apply to NEW batches only.
+    (src / "y.csv").write_text("4,a\n")
+    incremental_file_ingest(spark, str(src), schema, ckpt, out, transform=enrich)
+    got = {(r["id"], r["label"]) for r in spark.read.parquet(out).collect()}
+    assert got == {(1, "Alpha"), (2, "Beta"), (3, None), (4, "Alpha")}
