@@ -7,6 +7,7 @@ from harvester_database_and_automation_spark.sources.http import (
     fetch_to_file,
     iter_pages,
 )
+from harvester_database_and_automation_spark.sources.excel import read_xlsx
 from harvester_database_and_automation_spark.sources.jsonl import check_field_drift, read_jsonl
 from harvester_database_and_automation_spark.sources.quarantine import validate
 from harvester_database_and_automation_spark.sources.tabular import read_csv
@@ -15,6 +16,7 @@ __all__ = [
     "read_fasta",
     "write_fasta",
     "read_jsonl",
+    "read_xlsx",
     "check_field_drift",
     "validate",
     "read_csv",

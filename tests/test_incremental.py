@@ -108,3 +108,17 @@ def test_derived_layer_incremental_rebuild(spark, tmp_path):
         LAYER.rebuild_incremental(
             spark, "/root/testdata/sf0.001", out, {"weekly_dashboard": F.lit(True)}
         )
+
+
+def test_vacuum_after_incremental_keeps_linked_partitions_readable(spark, tmp_path):
+    """Old-version deletion must not corrupt the current version: carried
+    partitions are hard links, so the inode survives the rmtree."""
+    from harvester_database_and_automation_spark.operators.publish import vacuum
+
+    table = str(tmp_path / "t")
+    publish_versioned(_rows(spark, [("a", 1), ("b", 10)]), table, partition_by=["k"])
+    publish_incremental(_rows(spark, [("a", 2)]), table, partition_by=["k"])
+    dropped = vacuum(table, keep=1)
+    assert dropped == [1]
+    got = {(r["k"], r["v"]) for r in read_published(spark, table).collect()}
+    assert got == {("a", 2), ("b", 10)}
