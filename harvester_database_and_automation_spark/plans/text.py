@@ -486,3 +486,38 @@ def simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bits.groupBy("doc_id").agg(
         F.sum(F.expr("bit * shiftleft(1, b)")).cast("bigint").alias("simhash16")
     )
+
+
+@register(
+    "author_position_bridge",
+    survey_ref="A1,A2,A3,O1",
+    oracle="""
+WITH bridge AS (
+  SELECT doc_id, i AS position, words[i] AS author
+  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents) t,
+       unnest(generate_series(1, least(3, len(words)))) AS u(i)
+)
+SELECT author,
+       CAST(count(*) AS BIGINT)                                   AS n_mentions,
+       CAST(count(DISTINCT doc_id) AS BIGINT)                     AS n_docs,
+       CAST(sum(CASE WHEN position = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_first
+FROM bridge GROUP BY author
+""",
+)
+def author_position_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered bridge-table modeling: the rxiv_article__rxiv_author bridge
+    keeps an explicit ``position`` column (init.sql:1162-1190), and the
+    author-ranking queries unnest comma-lists (gisaid.sql:21-31). Here the
+    first three tokens of each doc stand in as its 'authors': posexplode
+    preserves list order as the position, then counts mentions, distinct
+    docs, and first-author appearances per author."""
+    docs = load_table(spark, sf_dir, "documents")
+    bridge = docs.select(
+        "doc_id",
+        F.posexplode(F.slice(F.split("text", " "), 1, 3)).alias("position", "author"),
+    )
+    return bridge.groupBy("author").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_mentions"),
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("position") == 0, 1).otherwise(0)).cast("bigint").alias("n_first"),
+    )
