@@ -521,3 +521,54 @@ def author_position_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
         F.sum(F.when(F.col("position") == 0, 1).otherwise(0)).cast("bigint").alias("n_first"),
     )
+
+
+@register(
+    "tfidf_top_terms",
+    survey_ref="text-analysis,A7,A8,W2",
+    oracle="""
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+tf AS (SELECT doc_id, word, count(*) AS tf FROM tok GROUP BY 1, 2),
+dfreq AS (SELECT word, count(*) AS dfq FROM tf GROUP BY 1),
+total AS (SELECT count(*) AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.word, tf.tf * ln(total.n * 1.0 / dfreq.dfq) AS score
+  FROM tf JOIN dfreq USING (word) CROSS JOIN total
+),
+ranked AS (
+  SELECT doc_id, word, score,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, word) AS rk
+  FROM scored
+)
+SELECT doc_id, word, round(score, 6) AS tfidf, CAST(rk AS INT) AS rk
+FROM ranked WHERE rk <= 3
+""",
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF terms — the training-data 'what is this
+    document about' signal. TF and document frequency are two hash
+    aggregations; the corpus size joins in as a broadcast scalar (the A8
+    denominator shape); ranking is a per-doc window. Ties rank
+    deterministically by word; rounding happens after ranking so both
+    engines order identical doubles."""
+    docs = _fanout(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    tf = tok.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    # Document frequency as a count-over-window on tf — one shuffle on
+    # word instead of groupBy + join-back (integer-valued, so the plan is
+    # free to differ structurally from the oracle's join formulation).
+    dfq = F.count(F.lit(1)).over(Window.partitionBy("word"))
+    total = load_table(spark, sf_dir, "documents").agg(F.count(F.lit(1)).alias("n"))
+    scored = (
+        tf.withColumn("dfq", dfq)
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id", "word", (F.col("tf") * F.log(F.col("n") * 1.0 / F.col("dfq"))).alias("score")
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("word"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "word", F.round("score", 6).alias("tfidf"), "rk")
+    )

@@ -50,6 +50,9 @@ ALLOWED: dict[str, dict[str, str]] = {
     "lineage_mutation_counts": {
         "exchange-storm": "lineage+mutation tables recomputed per consumer under the gate; materialized in pipelines/derived.py"
     },
+    "tfidf_top_terms": {
+        "single-partition-window": "flag is the 1-row corpus-count scalar agg; both windows are partitioned (doc_id / word)"
+    },
 }
 
 
