@@ -1455,3 +1455,58 @@ def nations_by_key_desc_string_agg(spark: SparkSession, sf_dir: str) -> DataFram
             ).alias("nations_newest_first")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Referential-integrity audit (§1.2 FK mapping; §5.3 reconciliation-as-test).
+# ---------------------------------------------------------------------------
+@register(
+    "fk_orphan_audit",
+    survey_ref="J6,U1,A1",
+    oracle="""
+SELECT 'orders->customer' AS relationship, CAST(count(*) AS BIGINT) AS n_orphans
+FROM orders o WHERE o.o_custkey IS NOT NULL
+  AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+UNION ALL
+SELECT 'lineitem->orders', CAST(count(*) AS BIGINT)
+FROM lineitem l WHERE l.l_orderkey IS NOT NULL
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+UNION ALL
+SELECT 'lineitem->part', CAST(count(*) AS BIGINT)
+FROM lineitem l WHERE l.l_partkey IS NOT NULL
+  AND NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)
+UNION ALL
+SELECT 'events->customer', CAST(count(*) AS BIGINT)
+FROM events e WHERE e.user_id IS NOT NULL
+  AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id)
+""",
+)
+def fk_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FK constraint scan over the star schema: each edge is a left-anti
+    hash join counting child rows with no parent (operators/integrity.py),
+    unioned into one audit report — Spark's procedural replacement for the
+    reference's declarative FKs with cascade (init.sql:258-259, 341-342).
+    All-zero counts certify the corpus; nonzero rows carry straight to
+    quarantine in the import DAG."""
+    from harvester_database_and_automation_spark.operators.integrity import orphans
+
+    edges = [
+        ("orders->customer", "orders", "customer", {"o_custkey": "c_custkey"}),
+        ("lineitem->orders", "lineitem", "orders", {"l_orderkey": "o_orderkey"}),
+        ("lineitem->part", "lineitem", "part", {"l_partkey": "p_partkey"}),
+        ("events->customer", "events", "customer", {"user_id": "c_custkey"}),
+    ]
+    parts = []
+    for label, child_t, parent_t, fk in edges:
+        child = load_table(spark, sf_dir, child_t)
+        parent = load_table(spark, sf_dir, parent_t)
+        parts.append(
+            orphans(child, parent, fk).agg(
+                F.lit(label).alias("relationship"),
+                F.count(F.lit(1)).cast("bigint").alias("n_orphans"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
