@@ -4,6 +4,9 @@
 from harvester_database_and_automation_spark.streaming.dedup import dedup_within_watermark
 from harvester_database_and_automation_spark.streaming.ingest import incremental_file_ingest
 from harvester_database_and_automation_spark.streaming.stateful import running_dedup_counts
+from harvester_database_and_automation_spark.streaming.upsert_sink import (
+    stream_upsert_into_published,
+)
 from harvester_database_and_automation_spark.streaming.windows import windowed_event_counts
 
 __all__ = [
@@ -11,4 +14,5 @@ __all__ = [
     "windowed_event_counts",
     "running_dedup_counts",
     "dedup_within_watermark",
+    "stream_upsert_into_published",
 ]

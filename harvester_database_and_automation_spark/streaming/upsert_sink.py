@@ -1,0 +1,63 @@
+"""Streaming upsert sink: micro-batches merged into a published table.
+
+The reference's importers are poll loops that upsert each newly arrived
+file into the warehouse (staging-table upsert at database/R/utility.R:
+574-644 driven from the poll loops of automation_base.R:15-25). The
+Structured Streaming shape for that contract is ``foreachBatch``: the file
+source provides the processed-file ledger (checkpoint), and every
+micro-batch runs the SAME batch merge_upsert used everywhere else, then
+republishes atomically — so streaming and batch ingest share one write
+path, one conflict rule (last-write-wins per key within a batch is the
+caller's dedup), and one publish protocol.
+
+Works under ``Trigger.AvailableNow`` (one poll iteration, like the
+reference's cron cadence) or a continuous trigger unchanged.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from harvester_database_and_automation_spark.operators.merge import merge_upsert
+from harvester_database_and_automation_spark.operators.publish import (
+    current_version,
+    publish_versioned,
+    read_published,
+)
+
+
+def stream_upsert_into_published(
+    spark: SparkSession,
+    src_dir: str,
+    schema: T.StructType,
+    checkpoint_dir: str,
+    table_dir: str,
+    keys: Sequence[str],
+    fmt: str = "csv",
+    reader_options: dict[str, str] | None = None,
+) -> None:
+    """One poll iteration: merge every unseen file under ``src_dir`` into
+    the published table at ``table_dir`` (insert new keys, overwrite
+    matched ones), as one atomic new version per micro-batch."""
+    reader = spark.readStream.format(fmt).schema(schema)
+    for k, v in (reader_options or {}).items():
+        reader = reader.option(k, v)
+    stream = reader.load(src_dir)
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if current_version(table_dir) is None:
+            merged = batch_df
+        else:
+            merged = merge_upsert(read_published(spark, table_dir), batch_df, keys)
+        publish_versioned(merged, table_dir)
+
+    (
+        stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

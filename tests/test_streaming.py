@@ -232,3 +232,45 @@ def test_stream_static_broadcast_enrichment(spark, tmp_path):
     incremental_file_ingest(spark, str(src), schema, ckpt, out, transform=enrich)
     got = {(r["id"], r["label"]) for r in spark.read.parquet(out).collect()}
     assert got == {(1, "Alpha"), (2, "Beta"), (3, None), (4, "Alpha")}
+
+
+def test_stream_upsert_into_published(spark, tmp_path):
+    """foreachBatch upsert sink: arriving files merge into the published
+    table through the same merge_upsert as batch ingest, one atomic
+    version per poll, with the checkpoint as the processed-file ledger."""
+    from harvester_database_and_automation_spark.operators.publish import (
+        current_version,
+        read_published,
+    )
+    from harvester_database_and_automation_spark.streaming import (
+        stream_upsert_into_published,
+    )
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    table = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+    schema = T.StructType(
+        [T.StructField("id", T.IntegerType()), T.StructField("v", T.StringType())]
+    )
+
+    (src / "a.csv").write_text("1,one\n2,two\n")
+    stream_upsert_into_published(spark, str(src), schema, ckpt, table, keys=["id"])
+    assert {(r["id"], r["v"]) for r in read_published(spark, table).collect()} == {
+        (1, "one"),
+        (2, "two"),
+    }
+
+    # Second poll: an update for key 2 and an insert for key 3; key 1 kept.
+    (src / "b.csv").write_text("2,TWO\n3,three\n")
+    stream_upsert_into_published(spark, str(src), schema, ckpt, table, keys=["id"])
+    assert {(r["id"], r["v"]) for r in read_published(spark, table).collect()} == {
+        (1, "one"),
+        (2, "TWO"),
+        (3, "three"),
+    }
+
+    # Idempotent poll with nothing new: no version churn.
+    v_before = current_version(table)
+    stream_upsert_into_published(spark, str(src), schema, ckpt, table, keys=["id"])
+    assert current_version(table) == v_before
