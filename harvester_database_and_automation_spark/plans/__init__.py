@@ -11,5 +11,6 @@ from harvester_database_and_automation_spark.plans import relational  # noqa: E4
 from harvester_database_and_automation_spark.plans import text  # noqa: E402,F401
 from harvester_database_and_automation_spark.plans import embeddings  # noqa: E402,F401
 from harvester_database_and_automation_spark.plans import kernels  # noqa: E402,F401
+from harvester_database_and_automation_spark.plans import multimodal  # noqa: E402,F401
 
 __all__ = ["QUERIES", "queries_map", "oracle_sql_map"]

@@ -352,3 +352,57 @@ def lsh_sign_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             "members"
         ),
     )
+
+
+@register(
+    "embedding_quantization_error",
+    survey_ref="similarity-storage,A1",
+    oracle="""
+WITH vecs AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+scaled AS (
+  SELECT vec_id, v,
+         list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+  FROM vecs
+),
+err AS (
+  SELECT vec_id, scale,
+         CASE WHEN scale = 0 THEN list_transform(v, x -> 0.0)
+              ELSE list_transform(v, x -> abs(x - floor(x / scale + 0.5) * scale))
+         END AS errs
+  FROM scaled
+)
+SELECT vec_id,
+       round(scale, 6)                                   AS scale,
+       round(list_max(errs), 6)                          AS max_abs_err,
+       round(list_sum(errs) / len(errs), 6)              AS mean_abs_err
+FROM err
+""",
+)
+def embedding_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 scalar quantization of each embedding (scale =
+    max|x|/127, q = round-half-up(x/scale)) with per-vector reconstruction
+    error — the storage scale path: int8 vectors shrink ANN shuffle and
+    cache traffic 4x, and this query is the quality gate for enabling it.
+    Quantize/reconstruct stays in higher-order functions (no UDF); the
+    round is the explicit floor(x+0.5) form so both engines agree on every
+    boundary (the _money2 convention)."""
+    e = _fanout(_emb(spark, sf_dir))
+    scale = F.array_max(F.transform("vec", lambda x: F.abs(x))) / 127.0
+    scaled = e.select("vec_id", "vec", scale.alias("scale"))
+    recon = F.transform(
+        "vec",
+        lambda x: F.abs(x - F.floor(x / F.col("scale") + 0.5) * F.col("scale")),
+    )
+    zero = F.transform("vec", lambda x: F.lit(0.0))
+    errs = F.when(F.col("scale") == 0, zero).otherwise(recon)
+    out = scaled.select("vec_id", "scale", errs.alias("errs"))
+    return out.select(
+        "vec_id",
+        F.round("scale", 6).alias("scale"),
+        F.round(F.array_max("errs"), 6).alias("max_abs_err"),
+        F.round(
+            F.aggregate("errs", F.lit(0.0), lambda acc, v: acc + v) / F.size("errs"), 6
+        ).alias("mean_abs_err"),
+    )
