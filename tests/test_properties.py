@@ -96,3 +96,30 @@ def test_geo_resolution_is_idempotent(value):
 @settings(max_examples=50, deadline=None)
 def test_geo_no_rules_is_identity(value):
     assert resolve_geo([], value) == value
+
+
+def test_quantization_error_bounded_by_half_step(spark):
+    """Half-up int8 quantization: every reconstruction error is at most
+    scale/2 (+ float slack), and zero vectors quantize error-free."""
+    import math
+    import random
+
+    from harvester_database_and_automation_spark.plans.registry import QUERIES
+
+    rng = random.Random(11)
+    rows = [(i, [rng.uniform(-5, 5) for _ in range(16)]) for i in range(40)]
+    rows.append((98, [0.0] * 16))
+    rows.append((99, [127.0] * 16))  # scale exactly 1.0, zero error
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    import tempfile, os
+
+    d = tempfile.mkdtemp()
+    df.write.parquet(os.path.join(d, "embeddings.parquet"))
+    out = QUERIES["embedding_quantization_error"].fn(spark, d).collect()
+    by_id = {r["vec_id"]: r for r in out}
+    assert len(by_id) == 42
+    for r in out:
+        assert r["max_abs_err"] <= r["scale"] / 2 + 1e-9
+        assert 0 <= r["mean_abs_err"] <= r["max_abs_err"] + 1e-9
+    assert by_id[98]["scale"] == 0.0 and by_id[98]["max_abs_err"] == 0.0
+    assert by_id[99]["scale"] == 1.0 and by_id[99]["max_abs_err"] == 0.0
