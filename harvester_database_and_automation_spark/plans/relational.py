@@ -1510,3 +1510,36 @@ def fk_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+# ---------------------------------------------------------------------------
+# O2 — expression sort on a regex-derived key with modulo grid layout
+# (the plate-layout sort, viollier_plate.sql:29-54, viollier_test.sql:93-95).
+# ---------------------------------------------------------------------------
+@register(
+    "supplier_plate_layout",
+    survey_ref="O2,P3",
+    oracle="""
+SELECT s_name, CAST(n AS INT) AS num,
+       CAST(n % 7 AS INT)  AS grid_col,
+       CAST(n // 7 AS INT) AS grid_row
+FROM (
+  SELECT s_name, CAST(regexp_extract(s_name, '([0-9]+)$', 1) AS BIGINT) AS n
+  FROM supplier
+) t
+ORDER BY grid_col, grid_row, s_name
+""",
+)
+def supplier_plate_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sort entities into a 7-wide grid keyed by the number parsed off the
+    end of their name — `substring(name,'[0-9]*$')::int % 7` (0-based ids) with the
+    derived row index, exactly the 96-well plate layout ordering."""
+    s = load_table(spark, sf_dir, "supplier")
+    n = F.regexp_extract("s_name", r"([0-9]+)$", 1).cast("bigint")
+    out = s.select(
+        "s_name",
+        n.cast("int").alias("num"),
+        (n % 7).cast("int").alias("grid_col"),
+        F.floor(n / 7).cast("int").alias("grid_row"),
+    )
+    return out.orderBy("grid_col", "grid_row", "s_name")
