@@ -45,3 +45,35 @@ def cluster_for_write(
         raise ValueError("need at least one partition or cluster column")
     out = df.repartition(*partition_by) if partition_by else df
     return out.sortWithinPartitions(*cols)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    path: str,
+    keys: Sequence[str],
+    n_buckets: int = 32,
+    sort_cols: Sequence[str] | None = None,
+) -> None:
+    """Hash-bucketed + sorted external parquet table.
+
+    Two tables bucketed on their join keys with the SAME bucket count
+    join with NO shuffle on either side — the co-located join strategy for
+    the hub tables the reference serves with b-tree-indexed FK joins
+    (test/plate bridges, sequence/mutation children). Pre-paying one
+    clustered write removes the dominant exchange from every subsequent
+    join and aggregation on those keys; repeated daily joins at 100 TB are
+    exactly where this wins.
+
+    Spark only honors bucket metadata through the catalog, so this writes
+    an EXTERNAL table (explicit ``path``); read it back with
+    ``spark.table(table_name)``, not ``spark.read.parquet``.
+    """
+    (
+        df.write.format("parquet")
+        .mode("overwrite")
+        .bucketBy(n_buckets, *keys)
+        .sortBy(*(sort_cols or keys))
+        .option("path", path)
+        .saveAsTable(table_name)
+    )
