@@ -1543,3 +1543,33 @@ def supplier_plate_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(n / 7).cast("int").alias("grid_row"),
     )
     return out.orderBy("grid_col", "grid_row", "s_name")
+
+
+# ---------------------------------------------------------------------------
+# A6 — GROUPING SETS with grouping_id (rollup/cube's general form).
+# ---------------------------------------------------------------------------
+@register(
+    "order_status_grouping_sets",
+    survey_ref="A6,A1",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS INT) AS gid
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), (o_orderpriority))
+""",
+)
+def order_status_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the general form behind the reference's
+    rollup reports (quality_control.sql:78-83, close_country_analysis.sql:
+    30-37): detail + each one-dimensional margin, with grouping_id
+    disambiguating real NULLs from subtotal rows. Spark SQL expresses it
+    directly; one Expand + one hash aggregate."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
+    return spark.sql("""
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS INT) AS gid
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), (o_orderpriority))
+    """)
