@@ -123,3 +123,19 @@ def test_quantization_error_bounded_by_half_step(spark):
         assert 0 <= r["mean_abs_err"] <= r["max_abs_err"] + 1e-9
     assert by_id[98]["scale"] == 0.0 and by_id[98]["max_abs_err"] == 0.0
     assert by_id[99]["scale"] == 1.0 and by_id[99]["max_abs_err"] == 0.0
+
+
+def test_approx_count_distinct_within_tolerance(spark):
+    """The A3 scale path: approx_count_distinct (HLL++) stays within its
+    configured relative error of the exact count on the real corpus —
+    the drop-in swap for countDistinct at 100 TB."""
+    from pyspark.sql import functions as F
+
+    from harvester_database_and_automation_spark.catalog import load_table
+
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+    row = li.agg(
+        F.countDistinct("l_orderkey").alias("exact"),
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx"),
+    ).first()
+    assert abs(row["approx"] - row["exact"]) <= 0.05 * row["exact"]
