@@ -67,3 +67,31 @@ def suspicious_batches(report: DataFrame, batch_col: str, threshold: float = 0.8
         .withColumn("release_rate", F.col("n_released") / F.col("n_total"))
         .filter(F.col("release_rate") < threshold)
     )
+
+
+def resequencing_decisions(
+    released: DataFrame,
+    incoming: DataFrame,
+    key: str,
+    n_col: str,
+    ratio: float = 0.9,
+) -> DataFrame:
+    """Resequencing gate (database/R/export_spsp_submission.R:427-516,
+    acceptance rule at :476): a re-sequenced sample is submitted as an
+    update only when its quality metric (consensus N-count — lower is
+    better) improves on the best already-released attempt by at least
+    ``1 - ratio`` (default ≥10%, i.e. ``new < 0.9 * best_old``); otherwise
+    it is tombstoned into notes. Samples never released submit as new.
+
+    Adds a ``decision`` column ∈ {submit_new, submit_update, tombstone};
+    one broadcast-size aggregation of the released side, no payloads
+    shuffled.
+    """
+    best = released.groupBy(key).agg(F.min(n_col).alias("_best_n"))
+    out = incoming.join(best, key, "left")
+    decision = (
+        F.when(F.col("_best_n").isNull(), "submit_new")
+        .when(F.col(n_col) < ratio * F.col("_best_n"), "submit_update")
+        .otherwise("tombstone")
+    )
+    return out.withColumn("decision", decision).drop("_best_n")

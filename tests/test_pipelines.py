@@ -202,3 +202,28 @@ def test_derived_layer_rebuild_dependency_order(spark, tmp_path):
         @layer.register("x", depends_on=("nope",))
         def x(spark, sf_dir, deps):
             return None
+
+
+def test_resequencing_decisions(spark):
+    """≥10% improvement submits an update; less tombstones; unseen keys
+    submit as new — the exact boundary is strict (<0.9x, not <=)."""
+    from harvester_database_and_automation_spark.pipelines.release import (
+        resequencing_decisions,
+    )
+
+    released = spark.createDataFrame(
+        [("A", 100), ("A", 120), ("C", 40)], "sample string, n_count int"
+    )
+    incoming = spark.createDataFrame(
+        [("A", 85), ("A", 90), ("A", 95), ("B", 50)], "sample string, n_count int"
+    )
+    out = {
+        (r["sample"], r["n_count"]): r["decision"]
+        for r in resequencing_decisions(released, incoming, "sample", "n_count").collect()
+    }
+    assert out == {
+        ("A", 85): "submit_update",  # 85 < 0.9 * 100
+        ("A", 90): "tombstone",      # strict boundary: 90 is not < 90
+        ("A", 95): "tombstone",
+        ("B", 50): "submit_new",
+    }
