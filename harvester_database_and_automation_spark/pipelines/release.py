@@ -95,3 +95,29 @@ def resequencing_decisions(
         .otherwise("tombstone")
     )
     return out.withColumn("decision", decision).drop("_best_n")
+
+
+def batch_completeness(
+    expected: DataFrame,
+    arrived: DataFrame,
+    key: str,
+    batch_col: str,
+) -> DataFrame:
+    """Batch-completeness reconciliation (database/R/utility.R:1107-1144):
+    the release pipeline only ships batches whose expected sample list (the
+    V-pipe sampleset) fully arrived. Per batch: expected/arrived/missing
+    counts plus is_complete — missing keys come from one left-anti join of
+    the expected list against arrivals."""
+    exp_counts = expected.groupBy(batch_col).agg(F.count(F.lit(1)).alias("n_expected"))
+    missing = expected.join(arrived.select(key), key, "left_anti")
+    miss_counts = missing.groupBy(batch_col).agg(F.count(F.lit(1)).alias("n_missing"))
+    return (
+        exp_counts.join(miss_counts, batch_col, "left")
+        .select(
+            batch_col,
+            "n_expected",
+            F.coalesce("n_missing", F.lit(0)).alias("n_missing"),
+        )
+        .withColumn("n_arrived", F.col("n_expected") - F.col("n_missing"))
+        .withColumn("is_complete", F.col("n_missing") == 0)
+    )

@@ -227,3 +227,18 @@ def test_resequencing_decisions(spark):
         ("A", 95): "tombstone",
         ("B", 50): "submit_new",
     }
+
+
+def test_batch_completeness(spark):
+    from harvester_database_and_automation_spark.pipelines.release import (
+        batch_completeness,
+    )
+
+    expected = spark.createDataFrame(
+        [("s1", "b1"), ("s2", "b1"), ("s3", "b2"), ("s4", "b2"), ("s5", "b2")],
+        "sample string, batch string",
+    )
+    arrived = spark.createDataFrame([("s1",), ("s2",), ("s3",)], "sample string")
+    out = {r["batch"]: r for r in batch_completeness(expected, arrived, "sample", "batch").collect()}
+    assert (out["b1"]["n_expected"], out["b1"]["n_missing"], out["b1"]["is_complete"]) == (2, 0, True)
+    assert (out["b2"]["n_arrived"], out["b2"]["n_missing"], out["b2"]["is_complete"]) == (1, 2, False)
