@@ -35,11 +35,13 @@ def _fanout(df: DataFrame) -> DataFrame:
 
     The embeddings scan is a single small parquet file → one input
     partition; without this, every all-pairs comparison below runs as ONE
-    task regardless of cluster size. On a real cluster the scan would be
-    many splits already, and this becomes a cheap no-op-ish shuffle of the
-    small probe side.
+    task regardless of cluster size. On a real cluster the scan is many
+    splits already, so the repartition is SKIPPED — vectors never enter a
+    round-robin shuffle there.
     """
     n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    if df.rdd.getNumPartitions() >= n:
+        return df
     return df.repartition(n)
 
 

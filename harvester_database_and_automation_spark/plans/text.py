@@ -26,10 +26,14 @@ _SHINGLES_SQL = """
 
 
 def _fanout(df: DataFrame) -> DataFrame:
-    """Round-robin repartition to the session's shuffle parallelism — the
-    documents scan is one small parquet split, so heavy per-row map work
-    (shingling, hashing) would otherwise run as a single task."""
+    """Round-robin repartition to the session's shuffle parallelism, but ONLY
+    when the scan is under-split (the local test corpus is one parquet file,
+    so heavy per-row map work would otherwise run as a single task). A real
+    100TB corpus already scans as thousands of splits — repartitioning there
+    would ship every payload through a pure-waste shuffle, so we skip it."""
     n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    if df.rdd.getNumPartitions() >= n:
+        return df
     return df.repartition(n)
 
 
@@ -554,13 +558,16 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _fanout(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
     tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
     tf = tok.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
-    # Document frequency as a count-over-window on tf — one shuffle on
-    # word instead of groupBy + join-back (integer-valued, so the plan is
-    # free to differ structurally from the oracle's join formulation).
-    dfq = F.count(F.lit(1)).over(Window.partitionBy("word"))
+    # Document frequency as its own groupBy: partial (map-side) aggregation
+    # collapses hot words ("the"-class tokens) before the shuffle, so no
+    # single reducer ever sees a word's full occurrence list. A
+    # count-over-Window.partitionBy("word") here would send every
+    # occurrence of a hot word to one partition — a skew that gets
+    # strictly worse with corpus size.
+    dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("dfq"))
     total = load_table(spark, sf_dir, "documents").agg(F.count(F.lit(1)).alias("n"))
     scored = (
-        tf.withColumn("dfq", dfq)
+        tf.join(dfreq, "word")
         .crossJoin(F.broadcast(total))
         .select(
             "doc_id", "word", (F.col("tf") * F.log(F.col("n") * 1.0 / F.col("dfq"))).alias("score")

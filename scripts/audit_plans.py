@@ -51,7 +51,8 @@ ALLOWED: dict[str, dict[str, str]] = {
         "exchange-storm": "lineage+mutation tables recomputed per consumer under the gate; materialized in pipelines/derived.py"
     },
     "tfidf_top_terms": {
-        "single-partition-window": "flag is the 1-row corpus-count scalar agg; both windows are partitioned (doc_id / word)"
+        "single-partition-window": "flag is the 1-row corpus-count scalar agg; the top-k window is doc_id-partitioned",
+        "exchange-storm": "document frequency as groupBy+join-back adds one exchange of compact (word, count) pairs — deliberately chosen over the skew-prone count().over(word window)",
     },
 }
 

@@ -88,6 +88,19 @@ def test_rollup_expands_not_reaggregates(spark):
     assert "Union" not in plan
 
 
+def test_tfidf_document_frequency_is_not_a_word_window(spark):
+    plan = fmt_plan(spark, "tfidf_top_terms")
+    # Document frequency must come from a partial-aggregating groupBy, not
+    # count().over(Window.partitionBy("word")) — a word-partitioned window
+    # sends every occurrence of a hot word to one reducer (skew that grows
+    # with corpus size). The only window allowed is the per-doc top-k rank.
+    window_section = " ".join(re.findall(r"windowspecdefinition\([^\n]*", plan))
+    assert not re.search(r"windowspecdefinition\(word#", window_section), (
+        "df must not be a word-partitioned window"
+    )
+    assert count_nodes(plan, "Window") <= 1
+
+
 @pytest.mark.parametrize("name", ["minhash_lsh_candidates", "simhash_buckets"])
 def test_dedup_signatures_partial_aggregate(spark, name):
     plan = fmt_plan(spark, name)
