@@ -30,14 +30,22 @@ def assign_global_ids(
     """Add ``id_col`` = start, start+1, ... in the total order given by
     ``order_cols`` — distributed (no single-partition window)."""
     sorted_df = df.repartitionByRange(*order_cols).sortWithinPartitions(*order_cols)
-    rdd = sorted_df.rdd
+    # Pin the partitioned data before the two passes: without this, a
+    # nondeterministic upstream expression could re-evaluate between the
+    # count pass and the id pass and silently duplicate ids.
+    rdd = sorted_df.rdd.persist()
     counts = rdd.mapPartitions(lambda it: [sum(1 for _ in it)]).collect()
     offsets: list[int] = [start]
     for c in counts[:-1]:
         offsets.append(offsets[-1] + c)
 
     def add_ids(idx: int, it):
-        base = offsets[idx] if idx < len(offsets) else start
+        if idx >= len(offsets):
+            raise RuntimeError(
+                f"partition {idx} appeared after the count pass saw {len(offsets)} "
+                "partitions — upstream nondeterminism; ids would be duplicated"
+            )
+        base = offsets[idx]
         for i, row in enumerate(it):
             yield (*row, base + i)
 

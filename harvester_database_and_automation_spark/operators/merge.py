@@ -74,8 +74,19 @@ def classify_changes(
     skip reprocessing: the 30KB genome string hashes once per side and
     never needs a field-wise diff.
     """
-    meta_hash = F.xxhash64(*[F.coalesce(F.col(c).cast("string"), F.lit("\0")) for c in metadata_cols])
-    pay_hash = F.xxhash64(*[F.coalesce(F.col(c).cast("string"), F.lit("\0")) for c in payload_cols])
+    def _group_hash(cols: Sequence[str]):
+        # An explicit null flag per column instead of a sentinel string: a
+        # real value equal to any sentinel would collide with NULL, and
+        # xxhash64 hashes the flag and the value as separate inputs so
+        # (NULL) and ('\0') hash differently.
+        parts: list = []
+        for c in cols:
+            parts.append(F.isnull(c).cast("int"))
+            parts.append(F.col(c).cast("string"))
+        return F.xxhash64(*parts)
+
+    meta_hash = _group_hash(metadata_cols)
+    pay_hash = _group_hash(payload_cols)
 
     cur = current.select(
         *keys, meta_hash.alias("_cur_meta"), pay_hash.alias("_cur_pay")

@@ -79,6 +79,35 @@ def _leaf_partition_dirs(version_dir: str, depth: int) -> list[str]:
     return leaves
 
 
+_ESCAPE_CHARS = set("\"#%'*/:=?\\\x7f{[]^")
+
+
+def _escape_path_value(v) -> str:
+    """Partition value → hive-style directory fragment, matching Spark's
+    path escaping closely enough for string/int/bool keys (the corpus'
+    partition columns). Null maps to the hive default-partition name."""
+    if v is None:
+        return "__HIVE_DEFAULT_PARTITION__"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    s = str(v)
+    return "".join(
+        f"%{ord(ch):02X}" if ch in _ESCAPE_CHARS or ord(ch) < 32 else ch for ch in s
+    )
+
+
+def partition_leaves(df: DataFrame, partition_by: list[str]) -> list[str]:
+    """Leaf directory names (``k=a``, ``k=a/d=2``) for the distinct
+    partition-key tuples present in ``df`` — the same hive-style layout
+    the writers produce, so the result can feed
+    ``publish_incremental(drop_partitions=...)``. Collects only distinct
+    key tuples (partition counts are small by design)."""
+    rows = df.select(*partition_by).distinct().collect()
+    return sorted(
+        "/".join(f"{c}={_escape_path_value(r[c])}" for c in partition_by) for r in rows
+    )
+
+
 def publish_incremental(
     df_partial: DataFrame,
     table_dir: str,

@@ -96,10 +96,13 @@ def salted_count_distinct(
     """count(DISTINCT value) per key without one reducer holding a hot
     key's whole distinct set: dedupe on (keys, value) first — the salt is
     the value itself, which is exactly what distinct needs — then count.
+    NULL values are excluded (count(value) skips them) but keys whose
+    values are all NULL still appear with 0, matching
+    ``count(DISTINCT value)`` over a groupBy exactly.
     Output column: ``n_distinct``."""
     return (
         df.select(*keys, value)
         .distinct()
         .groupBy(*keys)
-        .agg(F.count(F.lit(1)).alias("n_distinct"))
+        .agg(F.count(F.col(value)).alias("n_distinct"))
     )

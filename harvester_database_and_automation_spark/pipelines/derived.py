@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from harvester_database_and_automation_spark.catalog import load_table
 from harvester_database_and_automation_spark.operators.publish import (
+    partition_leaves,
     publish_incremental,
     publish_versioned,
     read_published,
@@ -91,8 +92,23 @@ class DerivedLayer:
                 raise ValueError(f"{name!r} has no partition_by; register one to rebuild incrementally")
             deps = {d: read_published(spark, os.path.join(out_root, d)) for d in spec.depends_on}
             df = spec.build(spark, sf_dir, deps).filter(predicates[name])
+            # Every previous-version partition the predicate matches is up
+            # for replacement: the ones the new build still produces get
+            # written fresh, and the ones whose keys vanished from the
+            # source must NOT be hard-linked forward — otherwise the
+            # incremental rebuild diverges from a full rebuild.
+            try:
+                prior = read_published(spark, os.path.join(out_root, name))
+                stale = partition_leaves(
+                    prior.filter(predicates[name]), list(spec.partition_by)
+                )
+            except FileNotFoundError:
+                stale = []  # first publish: nothing to carry over or drop
             versions[name] = publish_incremental(
-                df, os.path.join(out_root, name), partition_by=list(spec.partition_by)
+                df,
+                os.path.join(out_root, name),
+                partition_by=list(spec.partition_by),
+                drop_partitions=stale,
             )
         return versions
 

@@ -600,7 +600,26 @@ def k9_condition_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "k6_geo_rules",
     survey_ref="K6",
-    oracle=None,  # iterative per-row fixpoint rewriting is not SQL-expressible
+    # The fixpoint rewriting is iterative per row, but THIS rule set's
+    # closure is small and deterministic (GeoLocationMapper.java:20-131
+    # semantics; unit-tested in tests/test_geo.py), so the expected
+    # rewrites are precomputed into a golden CASE expression: de chains
+    # through Deutsch to (Europe, Germany); fr/zh map directly; src0
+    # normalizes to source-zero regardless of country; everything else is
+    # untouched (region stays 'unknown').
+    oracle="""
+SELECT CASE WHEN lang IN ('de', 'fr') THEN 'Europe'
+            WHEN lang = 'zh' THEN 'Asia'
+            ELSE 'unknown' END AS region,
+       CASE WHEN lang = 'de' THEN 'Germany'
+            WHEN lang = 'fr' THEN 'France'
+            WHEN lang = 'zh' THEN 'China'
+            ELSE lang END AS country,
+       CASE WHEN source = 'src0' THEN 'source-zero' ELSE source END AS division,
+       count(*) AS n_docs
+FROM documents
+GROUP BY 1, 2, 3
+""",
 )
 def k6_geo_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K6 — geo-location rule rewriting (gisaid/GeoLocationMapper.java:

@@ -1573,3 +1573,83 @@ def order_status_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM orders_gs
         GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), (o_orderpriority))
     """)
+
+
+# ---------------------------------------------------------------------------
+# J4 — right outer join: the pass-rate comparison joins the full test frame
+# from the right so untested/unmatched rows still appear as a NULL group
+# (database/sql/fgcz_pacbio_experiment.sql:71-78 "Compare overall pass
+# rates": consensus_sequence RIGHT JOIN pacbio_test, grouped counts).
+# ---------------------------------------------------------------------------
+@register(
+    "part_match_rates_right_join",
+    survey_ref="J4,A1",
+    oracle="""
+SELECT l_linestatus, l_returnflag, CAST(count(*) AS BIGINT) AS n_rows
+FROM (SELECT l_partkey, l_linestatus, l_returnflag
+      FROM lineitem WHERE l_quantity >= 45) l
+RIGHT JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY l_linestatus, l_returnflag
+""",
+)
+def part_match_rates_right_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right outer join keeping every part: parts with no qualifying
+    lineitem fall into the (NULL, NULL) group — exactly how the reference
+    counts sequences that never failed (fail_reason NULL = passed)."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") >= 45)
+        .select("l_partkey", "l_linestatus", "l_returnflag")
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey")
+    return (
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"), "right")
+        .groupBy("l_linestatus", "l_returnflag")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# U4 — intersect on key sets: upsert planning diffs the incoming keys
+# against the published table's keys — updates = intersect, inserts =
+# new setdiff existing, deletes = existing setdiff new
+# (database/R/utility.R:524-530).
+# ---------------------------------------------------------------------------
+@register(
+    "upsert_plan_intersect",
+    survey_ref="U4,U3,A1",
+    oracle="""
+WITH existing AS (
+  SELECT DISTINCT o_custkey FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01'
+), incoming AS (
+  SELECT DISTINCT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+)
+SELECT 'update' AS action, CAST(count(*) AS BIGINT) AS n_keys
+FROM (SELECT o_custkey FROM incoming INTERSECT SELECT o_custkey FROM existing)
+UNION ALL
+SELECT 'insert', CAST(count(*) AS BIGINT)
+FROM (SELECT o_custkey FROM incoming EXCEPT SELECT o_custkey FROM existing)
+UNION ALL
+SELECT 'delete', CAST(count(*) AS BIGINT)
+FROM (SELECT o_custkey FROM existing EXCEPT SELECT o_custkey FROM incoming)
+""",
+)
+def upsert_plan_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-intersection upsert planning: customers ordering in both eras
+    are updates, only-new are inserts, only-old are deletes. Uses
+    DataFrame.intersect / exceptAll on distinct key sets — each is a
+    shuffle on the key, no driver-side set materialization."""
+    o = load_table(spark, sf_dir, "orders")
+    existing = o.filter(F.col("o_orderdate") < _ntz("1996-01-01")).select("o_custkey").distinct()
+    incoming = o.filter(F.col("o_orderdate") >= _ntz("1996-01-01")).select("o_custkey").distinct()
+
+    def _count(df: DataFrame, action: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_keys")
+        ).select(F.lit(action).alias("action"), "n_keys")
+
+    return (
+        _count(incoming.intersect(existing), "update")
+        .unionByName(_count(incoming.exceptAll(existing), "insert"))
+        .unionByName(_count(existing.exceptAll(incoming), "delete"))
+    )

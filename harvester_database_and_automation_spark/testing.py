@@ -109,7 +109,8 @@ def check_query(spark, con: duckdb.DuckDBPyConnection, name: str, sf_dir: str) -
     spec = QUERIES[name]
     spark_pdf = spec.fn(spark, sf_dir).toPandas()
     if spec.oracle is None:
-        return CompareResult(name=name, ok=len(spark_pdf) >= 0, spark_rows=len(spark_pdf), oracle_rows=-1,
+        # Rows-only gate: an empty result is a failure, not a pass.
+        return CompareResult(name=name, ok=len(spark_pdf) > 0, spark_rows=len(spark_pdf), oracle_rows=-1,
                              problems=["no oracle: rows-only check"])
     oracle_pdf = con.execute(spec.oracle).df()
     return compare_frames(name, spark_pdf, oracle_pdf)

@@ -50,6 +50,9 @@ ALLOWED: dict[str, dict[str, str]] = {
     "lineage_mutation_counts": {
         "exchange-storm": "lineage+mutation tables recomputed per consumer under the gate; materialized in pipelines/derived.py"
     },
+    "upsert_plan_intersect": {
+        "exchange-storm": "three set-op branches (intersect/except/except) each shuffle key-only projections; U4's operator under test IS intersect, and every exchange ships a single bigint column"
+    },
     "tfidf_top_terms": {
         "single-partition-window": "flag is the 1-row corpus-count scalar agg; the top-k window is doc_id-partitioned",
         "exchange-storm": "document frequency as groupBy+join-back adds one exchange of compact (word, count) pairs — deliberately chosen over the skew-prone count().over(word window)",

@@ -110,6 +110,55 @@ def test_derived_layer_incremental_rebuild(spark, tmp_path):
         )
 
 
+def test_derived_incremental_drops_vanished_partitions(spark, tmp_path):
+    """A partition whose keys disappear from the source must not be
+    hard-linked forward: the incremental rebuild must equal a full one."""
+    from harvester_database_and_automation_spark.pipelines.derived import DerivedLayer
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "derived")
+    layer = DerivedLayer()
+
+    @layer.register("by_lang", partition_by=("lang",))
+    def by_lang(spark, sf_dir, deps):
+        return spark.read.parquet(sf_dir).groupBy("lang").agg(F.sum("v").alias("total"))
+
+    spark.createDataFrame(
+        [("de", 1), ("de", 2), ("fr", 10)], "lang string, v int"
+    ).write.parquet(src)
+    layer.rebuild(spark, src, out)
+
+    # fr vanishes from the source entirely.
+    spark.createDataFrame([("de", 5)], "lang string, v int").write.mode("overwrite").parquet(src)
+    layer.rebuild_incremental(spark, src, out, {"by_lang": F.lit(True)})
+    got = {(r["lang"], r["total"]) for r in read_published(spark, f"{out}/by_lang").collect()}
+    assert got == {("de", 5)}, "stale fr partition must be dropped, de overwritten"
+
+    # Partitions the predicate does NOT match carry over untouched, even
+    # if their keys are gone from the source.
+    spark.createDataFrame(
+        [("de", 7), ("it", 3)], "lang string, v int"
+    ).write.mode("overwrite").parquet(src)
+    layer.rebuild_incremental(spark, src, out, {"by_lang": F.col("lang") == "it"})
+    spark.createDataFrame([("de", 9)], "lang string, v int").write.mode("overwrite").parquet(src)
+    layer.rebuild_incremental(spark, src, out, {"by_lang": F.col("lang") == "de"})
+    got = {(r["lang"], r["total"]) for r in read_published(spark, f"{out}/by_lang").collect()}
+    assert got == {("de", 9), ("it", 3)}
+
+
+def test_partition_leaves_formatting(spark):
+    from harvester_database_and_automation_spark.operators.publish import partition_leaves
+
+    df = spark.createDataFrame(
+        [("de", 1), ("a b", 2), (None, 3)], "lang string, d int"
+    )
+    assert partition_leaves(df, ["lang", "d"]) == [
+        "lang=__HIVE_DEFAULT_PARTITION__/d=3",
+        "lang=a b/d=2",
+        "lang=de/d=1",
+    ]
+
+
 def test_vacuum_after_incremental_keeps_linked_partitions_readable(spark, tmp_path):
     """Old-version deletion must not corrupt the current version: carried
     partitions are hard links, so the inode survives the rmtree."""

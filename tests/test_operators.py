@@ -81,7 +81,16 @@ def test_classify_changes_null_vs_empty(spark):
     cur = spark.createDataFrame([(1, None, "A")], SCHEMA)
     inc = spark.createDataFrame([(1, "", "A")], SCHEMA)
     rows = classify_changes(cur, inc, ["id"], ["meta"], ["seq"]).collect()
-    # null and '' must NOT hash equal (the \0 sentinel keeps them apart).
+    # null and '' must NOT hash equal (an explicit null flag keeps them apart).
+    assert rows[0]["change_type"] == "metadata_changed"
+
+
+def test_classify_changes_null_vs_sentinel_value(spark):
+    # A real value equal to a would-be sentinel ('\0') must not collide
+    # with NULL — the hash carries a separate null flag, not a sentinel.
+    cur = spark.createDataFrame([(1, None, "A")], SCHEMA)
+    inc = spark.createDataFrame([(1, "\0", "A")], SCHEMA)
+    rows = classify_changes(cur, inc, ["id"], ["meta"], ["seq"]).collect()
     assert rows[0]["change_type"] == "metadata_changed"
 
 
@@ -223,6 +232,18 @@ def test_salted_count_distinct_matches(spark, skewed_facts):
     from harvester_database_and_automation_spark.operators import salted_count_distinct
 
     df = skewed_facts.withColumn("v", (F.col("x") % 50).cast("int"))
+    got = salted_count_distinct(df, ["k"], "v")
+    plain = df.groupBy("k").agg(F.countDistinct("v").alias("n_distinct"))
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_salted_count_distinct_ignores_nulls(spark, skewed_facts):
+    from harvester_database_and_automation_spark.operators import salted_count_distinct
+
+    # count(DISTINCT v) ignores NULLs; the salted formulation must too.
+    df = skewed_facts.withColumn(
+        "v", F.when(F.col("x") % 3 == 0, (F.col("x") % 50).cast("int"))
+    )
     got = salted_count_distinct(df, ["k"], "v")
     plain = df.groupBy("k").agg(F.countDistinct("v").alias("n_distinct"))
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, plain.collect()))
