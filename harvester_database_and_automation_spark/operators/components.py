@@ -102,3 +102,62 @@ def alternating_star_components(
         .select("node", F.col("node").alias("component_id"))
     )
     return members.union(roots)
+
+
+def incremental_components(
+    component_map: DataFrame,
+    new_edges: DataFrame,
+    src: str = "u",
+    dst: str = "v",
+    max_rounds: int = 30,
+) -> DataFrame:
+    """Fold NEW candidate pairs into an existing ``(node, component_id)``
+    map without re-contracting the historical edge list — the 100 TB
+    maintenance path ARCHITECTURE.md promises: per-ingest cost is
+    proportional to the NEW pairs (plus the size of the label map joins),
+    not to every pair ever seen.
+
+    Correctness: components are transitive closures, so a new edge only
+    matters through the components of its endpoints. Each new edge is
+    root-translated (endpoint → its current component id, or itself if
+    unseen), the tiny root-graph is contracted with the same alternating-
+    star kernel, and the resulting root relabels broadcast back over the
+    map. Component ids remain the component-minimum node id because old
+    ids are exactly the old minima and unseen nodes contribute their own
+    ids — the min over merged roots is the global min.
+
+    ``component_map`` must be complete (every clustered node has a row;
+    roots map to themselves), as produced by
+    ``alternating_star_components`` or a previous call of this function.
+    Returns the updated complete map (old nodes + nodes introduced by
+    ``new_edges``).
+    """
+    pairs = new_edges.select(F.col(src).alias("_a"), F.col(dst).alias("_b"))
+    root_a = component_map.select(
+        F.col("node").alias("_a"), F.col("component_id").alias("_ra")
+    )
+    root_b = component_map.select(
+        F.col("node").alias("_b"), F.col("component_id").alias("_rb")
+    )
+    root_edges = (
+        pairs.join(root_a, "_a", "left")
+        .join(root_b, "_b", "left")
+        .select(
+            F.coalesce("_ra", "_a").alias("u"),
+            F.coalesce("_rb", "_b").alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    relabel = alternating_star_components(root_edges, max_rounds=max_rounds).select(
+        F.col("node").alias("component_id"), F.col("component_id").alias("_new_root")
+    )
+    updated = (
+        component_map.join(relabel, "component_id", "left")
+        .select("node", F.coalesce("_new_root", "component_id").alias("component_id"))
+    )
+    introduced = (
+        relabel.select(F.col("component_id").alias("node"), F.col("_new_root").alias("component_id"))
+        .join(component_map.select("node"), "node", "left_anti")
+    )
+    return updated.union(introduced)

@@ -9,12 +9,104 @@ comparison against a sampled inference — the same contract, two code paths.
 
 from __future__ import annotations
 
+import lzma
+import os
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
 CORRUPT_COL = "_corrupt_record"
+
+# Spool chunk size: big enough that parquet-scale scan tasks stay cheap,
+# small enough that a 100 GB feed becomes hundreds of parallel splits.
+DEFAULT_CHUNK_BYTES = 128 * 1024 * 1024
+
+
+def spool_xz_jsonl(
+    xz_path: str,
+    spool_dir: str,
+    chunk_bytes: int = DEFAULT_CHUNK_BYTES,
+) -> list[str]:
+    """Stream-decompress an ``.xz`` JSON-lines feed into line-aligned spool
+    files Spark can scan in parallel.
+
+    Spark ships no xz codec, and the reference's biggest feed arrives as
+    ``provision.json.xz`` streamed through a decompressor without ever
+    materializing the full payload (gisaid/GisaidApiImporter.java:200-217).
+    The xz stream is inherently serial, so the parity move is: ONE
+    streaming pass (constant memory — ``lzma.open`` is a true incremental
+    decoder) that rotates output files every ``chunk_bytes``, cutting only
+    at line boundaries. The downstream ``read_jsonl`` scan then
+    parallelizes per spool file — decompression is the only serial stage,
+    exactly as in the reference. Returns the spool file paths.
+    """
+    os.makedirs(spool_dir, exist_ok=True)
+    paths: list[str] = []
+    out = None
+    written = 0
+
+    def rotate():
+        nonlocal out, written
+        if out is not None:
+            out.close()
+        path = os.path.join(spool_dir, f"part-{len(paths):05d}.jsonl")
+        paths.append(path)
+        out = open(path, "wb")
+        written = 0
+
+    def write_lines(data: bytes) -> None:
+        """Write complete lines, rotating at ``chunk_bytes`` on line
+        boundaries (a single over-budget line stays whole in one file)."""
+        nonlocal written
+        pos = 0
+        while pos < len(data):
+            if written >= chunk_bytes:
+                rotate()
+            piece = data[pos : pos + max(chunk_bytes - written, 1)]
+            cut = piece.rfind(b"\n")
+            if cut == -1:
+                end = data.find(b"\n", pos) + 1  # oversized line: keep whole
+                if end == 0:
+                    end = len(data)
+                if written:
+                    rotate()
+            else:
+                end = pos + cut + 1
+            out.write(data[pos:end])
+            written += end - pos
+            pos = end
+
+    rotate()
+    tail = b""
+    with lzma.open(xz_path, "rb") as fh:
+        while True:
+            block = fh.read(1 << 20)
+            if not block:
+                break
+            block = tail + block
+            cut = block.rfind(b"\n")
+            if cut == -1:
+                tail = block
+                continue
+            complete, tail = block[: cut + 1], block[cut + 1 :]
+            write_lines(complete)
+    if tail:  # final line without trailing newline
+        write_lines(tail + b"\n")
+    out.close()
+    return paths
+
+
+def read_jsonl_xz(
+    spark: SparkSession,
+    xz_path: str,
+    schema: T.StructType,
+    spool_dir: str,
+    chunk_bytes: int = DEFAULT_CHUNK_BYTES,
+) -> tuple[DataFrame, DataFrame]:
+    """``read_jsonl`` over an ``.xz`` feed via the streaming spool."""
+    spool_xz_jsonl(xz_path, spool_dir, chunk_bytes=chunk_bytes)
+    return read_jsonl(spark, spool_dir, schema)
 
 
 def read_jsonl(
@@ -23,9 +115,10 @@ def read_jsonl(
     """Read JSON-lines with an explicit schema into (good, corrupt).
 
     Unparseable lines land in the corrupt DataFrame with the raw line
-    preserved — the quarantine contract of SURVEY.md §2.2 P6. Compressed
-    inputs (.gz/.xz where the codec is available) are handled by Spark's
-    codec inference from the file extension.
+    preserved — the quarantine contract of SURVEY.md §2.2 P6. Gzip inputs
+    are handled by Spark's codec inference from the file extension; xz
+    feeds go through ``read_jsonl_xz`` (streaming spool) since Spark
+    ships no xz codec.
     """
     full = T.StructType(schema.fields + [T.StructField(CORRUPT_COL, T.StringType())])
     df = (

@@ -9,6 +9,7 @@ import pytest
 
 from harvester_database_and_automation_spark.operators.components import (
     alternating_star_components,
+    incremental_components,
 )
 
 
@@ -71,3 +72,52 @@ def test_random_graph_matches_union_find(spark, seed):
     edges = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(120)]
     edges = [(u, v) for u, v in edges if u != v]
     assert _labels(spark, edges) == _union_find(edges)
+
+
+def _incremental_labels(
+    spark, old_edges: list[tuple[int, int]], new_edges: list[tuple[int, int]]
+) -> dict[int, int]:
+    base = alternating_star_components(
+        spark.createDataFrame(old_edges, "u bigint, v bigint")
+    )
+    out = incremental_components(
+        base, spark.createDataFrame(new_edges, "u bigint, v bigint")
+    )
+    return {r["node"]: r["component_id"] for r in out.collect()}
+
+
+def test_incremental_merges_existing_components(spark):
+    old = [(1, 2), (10, 11), (20, 21)]
+    # One bridge between two old clusters, one brand-new pair, one edge
+    # from a new node into an old cluster.
+    new = [(2, 10), (30, 31), (21, 40)]
+    assert _incremental_labels(spark, old, new) == _union_find(old + new)
+
+
+def test_incremental_noop_edge_inside_component(spark):
+    old = [(1, 2), (2, 3)]
+    new = [(1, 3)]  # both endpoints already share a component
+    assert _incremental_labels(spark, old, new) == _union_find(old)
+
+
+def test_incremental_empty_new_edges(spark):
+    old = [(5, 6)]
+    new: list[tuple[int, int]] = []
+    base = alternating_star_components(spark.createDataFrame(old, "u bigint, v bigint"))
+    out = incremental_components(
+        base, spark.createDataFrame(new, "u bigint, v bigint")
+    )
+    assert {r["node"]: r["component_id"] for r in out.collect()} == {5: 5, 6: 5}
+
+
+@pytest.mark.parametrize("seed", [13, 99])
+def test_incremental_equals_full_recontraction(spark, seed):
+    """The promised maintenance property: folding a second batch of edges
+    into the published map equals re-contracting everything from scratch."""
+    rng = random.Random(seed)
+    nodes = list(range(150))
+    all_edges = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(140)]
+    all_edges = [(u, v) for u, v in all_edges if u != v]
+    cut = len(all_edges) * 2 // 3
+    old, new = all_edges[:cut], all_edges[cut:]
+    assert _incremental_labels(spark, old, new) == _labels(spark, all_edges)

@@ -84,6 +84,41 @@ def test_read_jsonl_quarantines_corrupt(spark, tmp_path):
     assert "not json" in corrupt.collect()[0][0]
 
 
+def test_read_jsonl_xz_spools_line_aligned_chunks(spark, tmp_path):
+    """provision.json.xz parity: stream-decompress to multiple line-aligned
+    spool files, then the normal schema'd read with quarantine + drift."""
+    import lzma
+
+    from harvester_database_and_automation_spark.sources.jsonl import (
+        check_field_drift,
+        read_jsonl_xz,
+        spool_xz_jsonl,
+    )
+
+    lines = [f'{{"id": {i}, "name": "doc{i}"}}' for i in range(200)]
+    lines[50] = "broken json line"
+    xz = tmp_path / "provision.json.xz"
+    xz.write_bytes(lzma.compress(("\n".join(lines)).encode()))  # no trailing \n
+
+    spool = tmp_path / "spool"
+    paths = spool_xz_jsonl(str(xz), str(spool), chunk_bytes=2000)
+    assert len(paths) > 1, "small chunk size must rotate into several files"
+    for p in paths:
+        raw = open(p, "rb").read()
+        assert raw.endswith(b"\n") and b"{" in raw  # line-aligned cuts
+
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("name", T.StringType())]
+    )
+    good, corrupt = read_jsonl_xz(spark, str(xz), schema, str(tmp_path / "spool2"), chunk_bytes=2000)
+    assert good.count() == 199
+    assert corrupt.count() == 1
+    assert {r["id"] for r in good.collect()} == set(range(200)) - {50}
+
+    rep = check_field_drift(spark, str(tmp_path / "spool2"), required={"id", "name"})
+    assert rep.ok
+
+
 def test_check_field_drift(spark, tmp_path):
     p = tmp_path / "feed.jsonl"
     p.write_text('{"covv_virus_name": "a", "covv_location": "b", "surprise": 1}\n')
