@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from harvester_database_and_automation_spark.catalog import load_table
 from harvester_database_and_automation_spark.plans.registry import register
+from harvester_database_and_automation_spark.plans.shared import shared_df
 
 # Pseudo-genome: the document's ACGT letters, uppercased (deterministic,
 # same expression both engines).
@@ -76,18 +77,25 @@ def _mutations(spark: SparkSession, sf_dir: str):
     seqs = docs.repartition(n).select(
         "doc_id", F.upper(F.regexp_replace("text", "[^acgt]", "")).alias("seq")
     )
-    ref = seqs.filter(F.col("doc_id") == 0).select(F.col("seq").alias("refseq"))
-    site = F.substring(F.col("seq"), F.col("pos"), 1)
-    ref_site = F.substring(F.col("refseq"), F.col("pos"), 1)
-    muts = (
-        seqs.crossJoin(F.broadcast(ref))
-        .select("doc_id", "seq", "refseq", F.explode(F.sequence(F.lit(1), F.lit(_SEQ_WINDOW))).alias("pos"))
-        .filter(F.col("pos") <= F.least(F.length("seq"), F.length("refseq")))
-        .filter(site != ref_site)
-        .filter(site.isin("A", "C", "G", "T") & ref_site.isin("A", "C", "G", "T"))
-        .filter(~F.col("pos").isin(*_MASKED_SITES))
-        .select("doc_id", "pos", site.alias("base"))
-    )
+
+    def build_muts() -> DataFrame:
+        ref = seqs.filter(F.col("doc_id") == 0).select(F.col("seq").alias("refseq"))
+        site = F.substring(F.col("seq"), F.col("pos"), 1)
+        ref_site = F.substring(F.col("refseq"), F.col("pos"), 1)
+        return (
+            seqs.crossJoin(F.broadcast(ref))
+            .select("doc_id", "seq", "refseq", F.explode(F.sequence(F.lit(1), F.lit(_SEQ_WINDOW))).alias("pos"))
+            .filter(F.col("pos") <= F.least(F.length("seq"), F.length("refseq")))
+            .filter(site != ref_site)
+            .filter(site.isin("A", "C", "G", "T") & ref_site.isin("A", "C", "G", "T"))
+            .filter(~F.col("pos").isin(*_MASKED_SITES))
+            .select("doc_id", "pos", site.alias("base"))
+        )
+
+    # The mutation triple table is the shared hub of the kernel family (the
+    # reference materializes it as consensus_sequence_mutation_nucleotide) —
+    # persist it once per session; K1/K3/K4/lineage all reuse the partitions.
+    muts = shared_df(spark, ("muts", sf_dir), build_muts)
     sizes = (
         seqs.join(muts, "doc_id", "left")
         .groupBy("doc_id")
@@ -108,9 +116,13 @@ def _pair_distances(spark: SparkSession, sf_dir: str, q_cond, r_cols):
     shuffle join, no recomputation of the mutation subtree per use, and
     genome strings never enter a shuffle (SURVEY.md §7 risk register).
     """
-    _, muts, _ = _mutations(spark, sf_dir)
-    enc = (F.col("pos") * 256 + F.ascii("base")).cast("int")
-    msets = muts.groupBy("doc_id").agg(F.array_sort(F.collect_list(enc)).alias("mset"))
+    def build_msets() -> DataFrame:
+        _, muts, _ = _mutations(spark, sf_dir)
+        enc = (F.col("pos") * 256 + F.ascii("base")).cast("int")
+        return muts.groupBy("doc_id").agg(F.array_sort(F.collect_list(enc)).alias("mset"))
+
+    # K3 and K4 both pivot on the per-doc mutation set; persist it once.
+    msets = shared_df(spark, ("msets", sf_dir), build_msets)
     docs = load_table(spark, sf_dir, "documents")
     base = docs.join(msets, "doc_id", "left").withColumn(
         "mset", F.coalesce(F.col("mset"), F.array().cast("array<int>"))

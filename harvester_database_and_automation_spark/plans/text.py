@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from harvester_database_and_automation_spark.catalog import load_table
 from harvester_database_and_automation_spark.plans.registry import register
+from harvester_database_and_automation_spark.plans.shared import shared_df
 
 # Shared CTE: distinct 3-word shingles per document (dedup unit of the
 # MinHash/Jaccard family). DuckDB arrays are 1-based.
@@ -38,20 +39,28 @@ def _fanout(df: DataFrame) -> DataFrame:
 
 
 def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct 3-word shingles per doc, via higher-order functions (no UDF)."""
-    docs = _fanout(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
-    return (
-        docs.select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    "transform(sequence(0, size(split(text, ' ')) - 3),"
-                    " i -> concat_ws(' ', slice(split(text, ' '), i + 1, 3)))"
-                )
-            ).alias("shingle"),
+    """Distinct 3-word shingles per doc, via higher-order functions (no UDF).
+
+    Shared hub of the dedup family (Jaccard pairs, connected components,
+    MinHash/LSH all start here) — persisted once per session so the
+    explode+distinct shuffle runs once, not once per consumer."""
+
+    def build() -> DataFrame:
+        docs = _fanout(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+        return (
+            docs.select(
+                "doc_id",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(0, size(split(text, ' ')) - 3),"
+                        " i -> concat_ws(' ', slice(split(text, ' '), i + 1, 3)))"
+                    )
+                ).alias("shingle"),
+            )
+            .distinct()
         )
-        .distinct()
-    )
+
+    return shared_df(spark, ("shingles", sf_dir), build)
 
 
 @register(
@@ -282,23 +291,31 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _jaccard_pairs(spark: SparkSession, sf_dir: str, threshold: float) -> DataFrame:
     """Shingle-Jaccard pairs above ``threshold``, jaccard left UNROUNDED so
-    every consumer thresholds on the identical double the oracle computes."""
-    sh = _shingles(spark, sf_dir)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    jac = F.col("n_common") * 1.0 / (F.col("s1.sz") + F.col("s2.sz") - F.col("n_common"))
-    return (
-        inter.join(sizes.alias("s1"), F.col("doc_a") == F.col("s1.doc_id"))
-        .join(sizes.alias("s2"), F.col("doc_b") == F.col("s2.doc_id"))
-        .filter(jac >= threshold)
-        .select("doc_a", "doc_b", jac.alias("jaccard"))
-    )
+    every consumer thresholds on the identical double the oracle computes.
+
+    The scored (unthresholded) pair table is persisted per session: the
+    inverted-index self-join is the expensive step and both the pair report
+    (>= 0.1) and the dup-clustering edge list (>= 0.5) slice the same frame."""
+
+    def build() -> DataFrame:
+        sh = _shingles(spark, sf_dir)
+        sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+        a = sh.alias("a")
+        b = sh.alias("b")
+        inter = (
+            a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+            .agg(F.count(F.lit(1)).alias("n_common"))
+        )
+        jac = F.col("n_common") * 1.0 / (F.col("s1.sz") + F.col("s2.sz") - F.col("n_common"))
+        return (
+            inter.join(sizes.alias("s1"), F.col("doc_a") == F.col("s1.doc_id"))
+            .join(sizes.alias("s2"), F.col("doc_b") == F.col("s2.doc_id"))
+            .select("doc_a", "doc_b", jac.alias("jaccard"))
+        )
+
+    scored = shared_df(spark, ("jaccard_scored", sf_dir), build)
+    return scored.filter(F.col("jaccard") >= threshold)
 
 
 @register(
