@@ -440,6 +440,32 @@ def a11_mean_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _variant_calls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(doc, variant) defining-site classification — the shared core of
+    K2 and the lineage-spectrum MV (which labels each doc with its best
+    call). Persisted per session like the reference's variant call tables."""
+
+    def build() -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents")
+        n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        seqs = docs.select("doc_id", "text").repartition(n).select(
+            "doc_id", F.upper(F.regexp_replace("text", "[^acgt]", "")).alias("seq")
+        )
+        defs = spark.createDataFrame(_VARIANT_DEFS, "variant string, pos int, base string")
+        site = F.substring(F.col("seq"), F.col("pos"), 1)
+        return (
+            seqs.crossJoin(F.broadcast(defs))
+            .groupBy("doc_id", "variant")
+            .agg(
+                F.sum(F.when(site == F.col("base"), 1).otherwise(0)).cast("bigint").alias("n_confirmed"),
+                F.sum(F.when(site == "", 1).otherwise(0)).cast("bigint").alias("n_unknown"),
+                F.count(F.lit(1)).alias("n_sites"),
+            )
+        )
+
+    return shared_df(spark, ("variant_calls", sf_dir), build)
+
+
 @register(
     "k2_variant_caller",
     survey_ref="K2,J7,A2",
@@ -468,22 +494,7 @@ def k2_variant_caller(spark: SparkSession, sf_dir: str) -> DataFrame:
     the definition (database/sql/consensus_sequence.sql:21-72; GISAID
     version gisaid.sql:170-254). crossJoin(sequences, defs) + conditional
     agg, with the small definition table broadcast."""
-    docs = load_table(spark, sf_dir, "documents")
-    n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    seqs = docs.select("doc_id", "text").repartition(n).select(
-        "doc_id", F.upper(F.regexp_replace("text", "[^acgt]", "")).alias("seq")
-    )
-    defs = spark.createDataFrame(_VARIANT_DEFS, "variant string, pos int, base string")
-    site = F.substring(F.col("seq"), F.col("pos"), 1)
-    calls = (
-        seqs.crossJoin(F.broadcast(defs))
-        .groupBy("doc_id", "variant")
-        .agg(
-            F.sum(F.when(site == F.col("base"), 1).otherwise(0)).cast("bigint").alias("n_confirmed"),
-            F.sum(F.when(site == "", 1).otherwise(0)).cast("bigint").alias("n_unknown"),
-            F.count(F.lit(1)).alias("n_sites"),
-        )
-    )
+    calls = _variant_calls(spark, sf_dir)
     return calls.groupBy("variant").agg(
         F.sum(F.when(F.col("n_confirmed") >= 0.8 * F.col("n_sites"), 1).otherwise(0))
         .cast("bigint")
@@ -732,17 +743,8 @@ def lineage_mutation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle gate each is recomputed from raw text, which is where the
     extra exchanges come from.
     """
-    seqs, muts, _ = _mutations(spark, sf_dir)
-    defs = spark.createDataFrame(_VARIANT_DEFS, "variant string, pos int, base string")
-    site = F.substring(F.col("seq"), F.col("pos"), 1)
-    calls = (
-        seqs.crossJoin(F.broadcast(defs))
-        .groupBy("doc_id", "variant")
-        .agg(
-            F.sum(F.when(site == F.col("base"), 1).otherwise(0)).alias("n_confirmed"),
-            F.count(F.lit(1)).alias("n_sites"),
-        )
-    )
+    _, muts, _ = _mutations(spark, sf_dir)
+    calls = _variant_calls(spark, sf_dir)
     lineage = calls.groupBy("doc_id").agg(
         F.min(
             F.when(

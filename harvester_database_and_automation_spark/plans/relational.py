@@ -1653,3 +1653,97 @@ def upsert_plan_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(_count(incoming.exceptAll(existing), "insert"))
         .unionByName(_count(existing.exceptAll(incoming), "delete"))
     )
+
+
+# ---------------------------------------------------------------------------
+# As-of (point-in-time) join — operators/asof.py registered over events.
+# ---------------------------------------------------------------------------
+@register(
+    "purchase_last_click_asof",
+    survey_ref="asof-join,W2,U1",
+    oracle="""
+WITH u AS (
+  SELECT user_id, ts, 0 AS side, event_id AS rid, NULL::BIGINT AS purchase_id,
+         NULL::DOUBLE AS purchase_value
+  FROM events WHERE event_type = 'click'
+  UNION ALL
+  SELECT user_id, ts, 1, NULL, event_id, value
+  FROM events WHERE event_type = 'purchase'
+),
+w AS (
+  SELECT user_id, ts, side, purchase_id, purchase_value,
+         last_value(rid IGNORE NULLS) OVER win AS asof_click_id,
+         last_value(CASE WHEN side = 0 THEN ts END IGNORE NULLS) OVER win AS asof_click_ts
+  FROM u
+  WINDOW win AS (PARTITION BY user_id ORDER BY ts, side, rid
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT purchase_id, user_id, ts AS purchase_ts, purchase_value,
+       asof_click_id, asof_click_ts
+FROM w WHERE side = 1
+""",
+)
+def purchase_last_click_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the user's most recent click at
+    or before it (attribution's last-touch lookup; NULL when the purchase
+    precedes every click). Runs on operators/asof.py's union+window
+    formulation — one shuffle by user, no per-key pair explosion — with the
+    oracle replaying the identical window so NULL/tie semantics match."""
+    from harvester_database_and_automation_spark.operators.asof import asof_join
+
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    res = asof_join(
+        purchases, clicks, on="user_id", left_time="purchase_ts", right_time="ts",
+        seq_col="click_id",
+    )
+    return res.select(
+        "purchase_id", "user_id", "purchase_ts", "purchase_value",
+        F.col("asof_click_id"), F.col("asof_ts").alias("asof_click_ts"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Range (distance) join — operators/rangejoin.py registered over events.
+# ---------------------------------------------------------------------------
+@register(
+    "event_concurrency_window",
+    survey_ref="range-join,A1",
+    oracle="""
+WITH e AS (
+  SELECT event_id, datediff('second', TIMESTAMP '2024-01-01', ts) AS s
+  FROM events
+)
+SELECT a.event_id,
+       CAST(count(*) FILTER (b.event_id <> a.event_id) AS BIGINT) AS n_concurrent
+FROM e a JOIN e b ON abs(a.s - b.s) <= 60
+GROUP BY a.event_id
+""",
+)
+def event_concurrency_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range self-join: how many other events occurred within ±60s of each
+    event (burst detection / concurrency audit). No equi-key exists, so the
+    naive plan is a nested loop over all event pairs; the bucketed range
+    join (operators/rangejoin.py) makes it an equi-join on 60s buckets with
+    cost ∝ events per 2-minute window. Seconds are measured from a fixed
+    NTZ origin so the arithmetic is timezone-free in both engines."""
+    from harvester_database_and_automation_spark.operators.rangejoin import bucketed_range_join
+
+    e = load_table(spark, sf_dir, "events")
+    s = F.expr("timestampdiff(SECOND, TIMESTAMP_NTZ'2024-01-01 00:00:00', ts)")
+    left = e.select("event_id", s.alias("s"))
+    right = e.select(F.col("event_id").alias("rid"), s.alias("rs"))
+    pairs = bucketed_range_join(left, right, "s", "rs", 60)
+    return pairs.groupBy("event_id").agg(
+        F.sum(F.when(F.col("rid") != F.col("event_id"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_concurrent")
+    )

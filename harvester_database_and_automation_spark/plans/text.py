@@ -596,3 +596,104 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 3)
         .select("doc_id", "word", F.round("score", 6).alias("tfidf"), "rk")
     )
+
+
+@register(
+    "benchmark_decontamination",
+    survey_ref="pipeline-decontam,J2,A1",
+    oracle=f"""
+WITH sh AS ({_SHINGLES_SQL}),
+eval_grams AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 41 = 0),
+corpus AS (
+  SELECT s.doc_id, count(*) AS n_shingles,
+         CAST(sum(CASE WHEN e.shingle IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap
+  FROM sh s LEFT JOIN eval_grams e ON s.shingle = e.shingle
+  WHERE s.doc_id % 41 <> 0
+  GROUP BY s.doc_id
+)
+SELECT doc_id, CAST(n_shingles AS BIGINT) AS n_shingles, n_overlap,
+       round(n_overlap * 1.0 / n_shingles, 6) AS overlap_frac,
+       n_overlap * 1.0 / n_shingles >= 0.2 AS contaminated
+FROM corpus
+""",
+)
+def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data decontamination: per corpus document, the fraction of
+    its 3-gram shingles that also appear anywhere in the held-out benchmark
+    set (docs with doc_id % 41 == 0 standing in for an eval suite); docs
+    over the 20% overlap threshold are flagged for removal.
+
+    Scale shape: benchmark suites are tiny relative to a training corpus,
+    so the distinct eval-gram set is broadcast and the overlap count is a
+    map-side broadcast left join + groupBy — the corpus is scanned exactly
+    once and no shingle list ever shuffles by shingle key.
+    """
+    sh = _shingles(spark, sf_dir)
+    is_eval = F.col("doc_id") % 41 == 0
+    eval_grams = sh.filter(is_eval).select("shingle").distinct().withColumn("hit", F.lit(1))
+    corpus = (
+        sh.filter(~is_eval)
+        .join(F.broadcast(eval_grams), "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("bigint").alias("n_overlap"),
+        )
+    )
+    frac = F.col("n_overlap") * 1.0 / F.col("n_shingles")
+    return corpus.select(
+        "doc_id",
+        F.col("n_shingles").cast("bigint").alias("n_shingles"),
+        "n_overlap",
+        F.round(frac, 6).alias("overlap_frac"),
+        (frac >= 0.2).alias("contaminated"),
+    )
+
+
+@register(
+    "corpus_mix_sample",
+    survey_ref="pipeline-mixing,J8,W2",
+    oracle="""
+WITH targets AS (
+  SELECT * FROM (VALUES ('en', 40), ('zh', 20), ('es', 20), ('de', 15), ('fr', 10), ('pt', 5))
+       AS t(lang, quota)
+),
+hashed AS (
+  SELECT d.doc_id, d.lang, t.quota,
+         (d.doc_id * 2654435761) % 1000003 AS h
+  FROM documents d JOIN targets t ON d.lang = t.lang
+),
+ranked AS (
+  SELECT doc_id, lang, quota,
+         row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS sample_rank
+  FROM hashed
+)
+SELECT doc_id, lang, CAST(sample_rank AS INT) AS sample_rank
+FROM ranked WHERE sample_rank <= quota
+""",
+)
+def corpus_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mixing: draw a deterministic per-language quota sample so the
+    training mix hits target proportions (quotas here are a literal dim;
+    in production they come from the mixing config). The multiplicative
+    hash gives a shuffled-but-reproducible order within each stratum —
+    the J8 stratified-sample shape pointed at pipeline mixing.
+
+    Scale shape: quota dim is broadcast; the only shuffle is the per-lang
+    window, and a skewed stratum ('en'-class) can switch to the boolean
+    top-k pattern (W3) since quota ≪ stratum size.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    targets = spark.createDataFrame(
+        [("en", 40), ("zh", 20), ("es", 20), ("de", 15), ("fr", 10), ("pt", 5)],
+        "lang string, quota int",
+    )
+    hashed = docs.join(F.broadcast(targets), "lang").select(
+        "doc_id", "lang", "quota", ((F.col("doc_id") * 2654435761) % 1000003).alias("h")
+    )
+    w = Window.partitionBy("lang").orderBy("h", "doc_id")
+    return (
+        hashed.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= F.col("quota"))
+        .select("doc_id", "lang", F.col("sample_rank").cast("int").alias("sample_rank"))
+    )

@@ -331,3 +331,99 @@ def test_cluster_for_write_layout(spark, tmp_path):
             stats = meta.row_group(0).column(0).statistics
             spans.append(stats.max - stats.min)
         assert sum(spans) / len(spans) < 600  # unsorted would be ~999 each
+
+
+# ---------------------------------------------------------------------------
+# operators/asof.py — point-in-time join semantics
+# ---------------------------------------------------------------------------
+def test_asof_join_basic_and_edges(spark):
+    from harvester_database_and_automation_spark.operators.asof import asof_join
+
+    quotes = spark.createDataFrame(
+        [
+            (1, 10, 100.0, 11),
+            (1, 20, 101.0, 12),
+            (1, 20, 102.0, 13),  # same-instant duplicate: max seq wins
+            (2, 50, 200.0, 14),
+        ],
+        "sym int, qts int, px double, qid int",
+    )
+    trades = spark.createDataFrame(
+        [
+            (1, 5, 900),    # before any quote -> NULL match
+            (1, 20, 901),   # equal ts inclusive; picks qid=13
+            (1, 25, 902),   # between quotes -> qid=13
+            (2, 60, 903),
+            (3, 10, 904),   # key with no right rows at all
+        ],
+        "sym int, tts int, tid int",
+    )
+    out = asof_join(trades, quotes, on="sym", left_time="tts", right_time="qts", seq_col="qid")
+    rows = {r["tid"]: r for r in out.collect()}
+    assert len(rows) == 5
+    assert rows[900]["asof_qid"] is None and rows[900]["asof_px"] is None
+    assert rows[901]["asof_qid"] == 13 and rows[901]["asof_px"] == 102.0
+    assert rows[902]["asof_qid"] == 13
+    assert rows[903]["asof_qid"] == 14 and rows[903]["asof_px"] == 200.0
+    assert rows[904]["asof_qid"] is None
+    # left payload preserved
+    assert rows[901]["tts"] == 20 and rows[901]["sym"] == 1
+
+
+def test_asof_join_single_shuffle_plan(spark):
+    """The as-of plan must be union + ONE window shuffle — no join node at
+    all (a SortMergeJoin/range join here would mean the O(L*R) encoding)."""
+    from harvester_database_and_automation_spark.operators.asof import asof_join
+
+    left = spark.range(10).selectExpr("id % 3 AS k", "id AS lt", "id AS lid")
+    right = spark.range(10).selectExpr("id % 3 AS k", "id AS rt", "id AS rid")
+    out = asof_join(left, right, on="k", left_time="lt", right_time="rt", seq_col="rid")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert plan.count("Exchange") <= 2  # two scans union into one hashpartition(k)
+
+
+# ---------------------------------------------------------------------------
+# operators/rangejoin.py — bucketed distance join
+# ---------------------------------------------------------------------------
+def test_bucketed_range_join_matches_naive(spark):
+    from harvester_database_and_automation_spark.operators.rangejoin import bucketed_range_join
+
+    import itertools
+    lpts = [(i, float(v)) for i, v in enumerate([0, 5, 59, 60, 61, 120, 500, -30])]
+    rpts = [(100 + i, float(v)) for i, v in enumerate([1, 58, 62, 119, 180, 499, -90, -29])]
+    left = spark.createDataFrame(lpts, "lid int, lx double")
+    right = spark.createDataFrame(rpts, "rid int, rx double")
+    out = bucketed_range_join(left, right, "lx", "rx", 60.0)
+    got = {(r["lid"], r["rid"]) for r in out.collect()}
+    want = {
+        (li, ri)
+        for (li, lv), (ri, rv) in itertools.product(lpts, rpts)
+        if abs(lv - rv) <= 60.0
+    }
+    assert got == want
+    # exactly-once: no duplicate pairs from the bucket replication
+    assert out.count() == len(want)
+
+
+def test_bucketed_range_join_no_nested_loop_plan(spark):
+    from harvester_database_and_automation_spark.operators.rangejoin import bucketed_range_join
+
+    left = spark.range(1000).selectExpr("id AS lid", "CAST(id * 7 % 997 AS DOUBLE) AS lx")
+    right = spark.range(1000).selectExpr("id AS rid", "CAST(id * 13 % 997 AS DOUBLE) AS rx")
+    out = bucketed_range_join(left, right, "lx", "rx", 5.0)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_bucketed_range_join_rejects_overlap_and_bad_distance(spark):
+    from harvester_database_and_automation_spark.operators.rangejoin import bucketed_range_join
+
+    df = spark.range(3).selectExpr("id", "CAST(id AS DOUBLE) AS x")
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        bucketed_range_join(df, df, "x", "x", 1.0)
+    with _pytest.raises(ValueError):
+        bucketed_range_join(
+            df, df.selectExpr("id AS rid", "x AS rx"), "x", "rx", 0.0
+        )
