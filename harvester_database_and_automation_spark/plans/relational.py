@@ -1747,3 +1747,46 @@ def event_concurrency_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_concurrent")
     )
+
+
+# ---------------------------------------------------------------------------
+# Hypertable cascade rollup — operators/rollup_cascade.py over events.
+# ---------------------------------------------------------------------------
+@register(
+    "event_rollup_cascade",
+    survey_ref="hypertable-rollup,A1",
+    oracle="""
+SELECT date_trunc('day', ts) AS bucket, event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_sum_cents,
+       min(value) AS value_min,
+       max(value) AS value_max
+FROM events
+GROUP BY 1, 2
+""",
+)
+def event_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate cascade: the DAY rollup computed by folding
+    minute -> hour -> day (operators/rollup_cascade.py), while the oracle
+    aggregates raw events directly — matching hashes prove the cascade is
+    exact. Coarser levels only ever scan the level below, so a day refresh
+    reads minute rows, not the fact table. The measure is pre-scaled to
+    integer cents: bigint partial sums re-aggregate exactly in any order,
+    where cascading double sums would drift in the last ulp."""
+    from harvester_database_and_automation_spark.operators.rollup_cascade import cascade_rollup
+
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "value_cents", F.floor(F.col("value") * 100 + 0.5).cast("bigint")
+    )
+    levels = cascade_rollup(e, "ts", ["event_type"], "value_cents", ["minute", "hour", "day"])
+    day = levels["day"]
+    # the cascade tracks (sum,min,max) of cents; min/max re-derive the
+    # original doubles exactly (2-decimal source values)
+    return day.select(
+        "bucket",
+        "event_type",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.col("value_sum").cast("bigint").alias("value_sum_cents"),
+        (F.col("value_min") / 100.0).alias("value_min"),
+        (F.col("value_max") / 100.0).alias("value_max"),
+    )

@@ -697,3 +697,29 @@ def corpus_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("sample_rank") <= F.col("quota"))
         .select("doc_id", "lang", F.col("sample_rank").cast("int").alias("sample_rank"))
     )
+
+
+@register(
+    "word_heavy_hitters",
+    survey_ref="sketch-heavyhitters,A1,A8",
+    oracle="""
+WITH words AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+tot AS (SELECT count(*) AS n FROM words)
+SELECT word, count(*) AS n_occurrences
+FROM words, tot
+GROUP BY word, tot.n
+HAVING count(*) * 200 >= tot.n
+""",
+)
+def word_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phi=1/200 heavy-hitter tokens via the distributed Misra-Gries
+    candidate pass (operators/sketches.py): per-partition 400-counter
+    summaries bound the candidate set, then only candidates are counted
+    exactly — the shuffle never carries the full distinct vocabulary. The
+    oracle is the plain HAVING formulation; matching hashes certify the
+    sketch pass loses no true heavy hitter."""
+    from harvester_database_and_automation_spark.operators.sketches import heavy_hitters_exact
+
+    docs = _fanout(load_table(spark, sf_dir, "documents").select("text"))
+    words = docs.select(F.explode(F.split("text", " ")).alias("word"))
+    return heavy_hitters_exact(words, "word", 200)

@@ -34,3 +34,29 @@ def windowed_event_counts(
             "total_value",
         )
     )
+
+
+def session_windowed_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Gap-based session windows per key (``F.session_window``): a session
+    closes after ``gap`` of inactivity, and the watermark lets the engine
+    finalize and evict closed sessions — the streaming twin of the batch
+    ``event_sessionization`` query (lag + cumulative-sum). Works on both a
+    streaming and a batch DataFrame."""
+    df = events.withWatermark(ts_col, watermark) if events.isStreaming else events
+    return (
+        df.groupBy(F.session_window(F.col(ts_col), gap).alias("win"), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            key_col,
+            "n_events",
+            "total_value",
+        )
+    )

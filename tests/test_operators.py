@@ -427,3 +427,71 @@ def test_bucketed_range_join_rejects_overlap_and_bad_distance(spark):
         bucketed_range_join(
             df, df.selectExpr("id AS rid", "x AS rx"), "x", "rx", 0.0
         )
+
+
+# ---------------------------------------------------------------------------
+# operators/sketches.py — exact heavy hitters via Misra-Gries candidates
+# ---------------------------------------------------------------------------
+def test_heavy_hitters_exact_equals_naive(spark):
+    from harvester_database_and_automation_spark.operators.sketches import heavy_hitters_exact
+
+    # Zipf-ish skew: item i appears ~1000/i times, scattered over many
+    # partitions so per-partition MG summaries must merge correctly.
+    rows = [(f"item{i}",) for i in range(1, 80) for _ in range(1000 // i)]
+    df = spark.createDataFrame(rows, "w string").repartition(16)
+    k = 20
+    got = {r["w"]: r["n_occurrences"] for r in heavy_hitters_exact(df, "w", k).collect()}
+    counts = {r["w"]: r["c"] for r in df.groupBy("w").agg(__import__("pyspark").sql.functions.count("*").alias("c")).collect()}
+    n = sum(counts.values())
+    want = {w: c for w, c in counts.items() if c * k >= n}
+    assert got == want
+    assert len(want) > 0  # the test actually exercises hitters
+
+
+def test_heavy_hitters_ignores_nulls_and_validates_k(spark):
+    from harvester_database_and_automation_spark.operators.sketches import heavy_hitters_exact
+
+    df = spark.createDataFrame([("a",), ("a",), (None,), ("b",)], "w string")
+    out = {r["w"]: r["n_occurrences"] for r in heavy_hitters_exact(df, "w", 2).collect()}
+    assert out == {"a": 2}  # 2*2 >= 3 ; b: 1*2 < 3 ; null ignored
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        heavy_hitters_exact(df, "w", 1)
+
+
+# ---------------------------------------------------------------------------
+# operators/rollup_cascade.py — cascade equals direct aggregation
+# ---------------------------------------------------------------------------
+def test_cascade_rollup_levels_exact(spark):
+    from harvester_database_and_automation_spark.operators.rollup_cascade import cascade_rollup
+    from pyspark.sql import functions as F
+
+    e = spark.createDataFrame(
+        [(i, f"2024-03-0{1 + i % 3} {i % 24:02d}:{(i * 7) % 60:02d}:00", i % 2, (i * 13) % 97)
+         for i in range(500)],
+        "id long, ts_s string, grp int, v long",
+    ).select("grp", "v", F.col("ts_s").cast("timestamp_ntz").alias("ts"))
+
+    levels = cascade_rollup(e, "ts", ["grp"], "v", ["minute", "hour", "day"])
+    for unit in ("hour", "day"):
+        direct = e.groupBy(
+            F.date_trunc(unit, "ts").cast("timestamp_ntz").alias("bucket"), "grp"
+        ).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("v").alias("value_sum"),
+            F.min("v").alias("value_min"),
+            F.max("v").alias("value_max"),
+        )
+        assert levels[unit].exceptAll(direct).count() == 0
+        assert direct.exceptAll(levels[unit]).count() == 0
+
+
+def test_cascade_rollup_rejects_bad_levels(spark):
+    from harvester_database_and_automation_spark.operators.rollup_cascade import cascade_rollup
+    import pytest as _pytest
+
+    df = spark.range(1).selectExpr("CAST('2024-01-01' AS TIMESTAMP_NTZ) AS ts", "id AS v")
+    with _pytest.raises(ValueError):
+        cascade_rollup(df, "ts", [], "v", ["day", "hour"])  # not ascending
+    with _pytest.raises(ValueError):
+        cascade_rollup(df, "ts", [], "v", [])

@@ -274,3 +274,69 @@ def test_stream_upsert_into_published(spark, tmp_path):
     v_before = current_version(table)
     stream_upsert_into_published(spark, str(src), schema, ckpt, table, keys=["id"])
     assert current_version(table) == v_before
+
+
+def test_session_windowed_counts_batch_and_stream(spark, tmp_path):
+    """Session windows close after the gap; a late-but-within-gap event
+    extends the session. Checked in batch mode, then the same operator is
+    run as a real stream over a file source with AvailableNow."""
+    from harvester_database_and_automation_spark.streaming.windows import (
+        session_windowed_counts,
+    )
+
+    rows = [
+        (1, "2024-01-01 10:00:00", 1.0),
+        (1, "2024-01-01 10:20:00", 2.0),  # within 30m gap -> same session
+        (1, "2024-01-01 11:30:00", 4.0),  # > 30m after previous -> new session
+        (2, "2024-01-01 10:05:00", 8.0),
+    ]
+    batch = spark.createDataFrame(rows, "user_id long, ts_s string, value double").select(
+        "user_id", F.col("ts_s").cast("timestamp").alias("ts"), "value"
+    )
+    got = {
+        (r["user_id"], str(r["session_start"]), r["n_events"], r["total_value"])
+        for r in session_windowed_counts(batch).collect()
+    }
+    assert got == {
+        (1, "2024-01-01 10:00:00", 2, 3.0),
+        (1, "2024-01-01 11:30:00", 1, 4.0),
+        (2, "2024-01-01 10:05:00", 1, 8.0),
+    }
+
+    src = tmp_path / "src"
+    src.mkdir()
+    out = str(tmp_path / "out")
+    batch.write.parquet(str(src / "b1"))
+
+    def run_poll():
+        stream = spark.readStream.schema(batch.schema).parquet(str(src / "*"))
+        (
+            session_windowed_counts(stream, watermark="1 hour")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .outputMode("append")  # emits only watermark-closed sessions
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+
+    run_poll()
+    out_schema = (
+        "session_start timestamp, session_end timestamp, user_id long,"
+        " n_events bigint, total_value double"
+    )
+    # First poll: watermark hasn't advanced past any session end yet.
+    assert spark.read.schema(out_schema).parquet(out).count() == 0
+
+    # A much later event pushes the watermark beyond the earlier sessions.
+    spark.createDataFrame(
+        [(9, "2024-01-02 09:00:00", 0.5)], "user_id long, ts_s string, value double"
+    ).select("user_id", F.col("ts_s").cast("timestamp").alias("ts"), "value").write.parquet(
+        str(src / "b2")
+    )
+    run_poll()
+    streamed = spark.read.schema(out_schema).parquet(out)
+    # the stream finalized exactly the three sessions the batch run produced
+    assert streamed.count() == 3
+    assert {r["user_id"] for r in streamed.collect()} == {1, 2}
