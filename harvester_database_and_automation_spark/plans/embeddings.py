@@ -408,3 +408,102 @@ def embedding_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.aggregate("errs", F.lit(0.0), lambda acc, v: acc + v) / F.size("errs"), 6
         ).alias("mean_abs_err"),
     )
+
+
+@register(
+    "ivf_recall_at_3",
+    survey_ref="similarity-ivf,J7,A1",
+    oracle=f"""
+WITH vecs AS (SELECT vec_id, embedding::DOUBLE[] AS vv FROM embeddings),
+cents AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id < 8),
+vc AS (
+  SELECT vecs.vec_id, cents.cid,
+         {_COS_SQL.format(a='vecs.vv', b='cents.cv')} AS sim
+  FROM vecs CROSS JOIN cents
+), assign AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rk
+    FROM vc
+  ) t WHERE rk = 1
+), queries AS (
+  SELECT vec_id AS query_id, vv AS qv FROM vecs WHERE vec_id % 13 = 0
+), probe AS (
+  SELECT query_id, cid AS cell FROM (
+    SELECT q.query_id, vc.cid,
+           row_number() OVER (PARTITION BY q.query_id ORDER BY vc.sim DESC, vc.cid) AS rk
+    FROM queries q JOIN vc ON vc.vec_id = q.query_id
+  ) t WHERE rk <= 2
+), cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id
+  FROM probe p JOIN assign a ON a.cell = p.cell
+  WHERE a.vec_id <> p.query_id
+), ivf AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT c.query_id, c.neighbor_id,
+           row_number() OVER (PARTITION BY c.query_id
+                              ORDER BY {_COS_SQL.format(a='q.qv', b='n.vv')} DESC,
+                                       c.neighbor_id) AS rk
+    FROM cand c
+    JOIN queries q ON q.query_id = c.query_id
+    JOIN vecs n ON n.vec_id = c.neighbor_id
+  ) t WHERE rk <= 3
+), bf AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.query_id, v.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY {_COS_SQL.format(a='q.qv', b='v.vv')} DESC,
+                                       v.vec_id) AS rk
+    FROM queries q JOIN vecs v ON v.vec_id <> q.query_id
+  ) t WHERE rk <= 3
+), hits AS (
+  SELECT b.query_id, CAST(count(i.neighbor_id) AS BIGINT) AS n_hits
+  FROM bf b LEFT JOIN ivf i
+    ON i.query_id = b.query_id AND i.neighbor_id = b.neighbor_id
+  GROUP BY b.query_id
+)
+SELECT n_hits, count(*) AS n_queries FROM hits GROUP BY n_hits
+""",
+)
+def ivf_recall_at_3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@3 of the IVF probe against exact brute force, as a
+    distribution (n_hits in 0..3 -> how many queries) — the measurement
+    that justifies shipping the bucketed ANN path at scale. The IVF side
+    IS the registered ivf_topk_probe plan; the ground-truth side is the
+    labeled all-pairs baseline over the query sample (broadcast query
+    block, never N x N). The final comparison joins int ids only, so no
+    float crosses the recall arithmetic."""
+    ivf = ivf_topk_probe(spark, sf_dir).select("query_id", "neighbor_id")
+    e = _emb_with_norm(spark, sf_dir)
+    q = e.filter(F.col("vec_id") % 13 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("qv"), F.col("norm").alias("qn")
+    )
+    r = _fanout(
+        e.select(F.col("vec_id").alias("neighbor_id"), F.col("vec").alias("rv"), F.col("norm").alias("rn"))
+    )
+    sims = (
+        F.broadcast(q)
+        .crossJoin(r)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (_dot(F.col("qv"), F.col("rv")) / (F.col("qn") * F.col("rn"))).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
+    bf = sims.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 3)
+    hits = (
+        bf.select("query_id", "neighbor_id")
+        .join(ivf.withColumnRenamed("neighbor_id", "ivf_neighbor_id"), "query_id")
+        .filter(F.col("neighbor_id") == F.col("ivf_neighbor_id"))
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    all_q = bf.select("query_id").distinct()
+    return (
+        all_q.join(hits, "query_id", "left")
+        .select(F.coalesce(F.col("n_hits"), F.lit(0)).cast("bigint").alias("n_hits"))
+        .groupBy("n_hits")
+        .agg(F.count(F.lit(1)).alias("n_queries"))
+    )

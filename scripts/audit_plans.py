@@ -47,6 +47,9 @@ ALLOWED: dict[str, dict[str, str]] = {
     "k3_origin_estimator": {"exchange-storm": "mutation table recomputed per consumer under the gate"},
     "k4_priority_scorer": {"exchange-storm": "mutation table recomputed per consumer under the gate"},
     "ivf_topk_probe": {"exchange-storm": "centroid sims reused for assign+probe; inverted file materialized at scale"},
+    "ivf_recall_at_3": {
+        "exchange-storm": "recall certification runs BOTH the IVF plan and the brute-force ground truth and joins them — exchanges are the sum of the two audited plans, never shipped to production"
+    },
     "lineage_mutation_counts": {
         "exchange-storm": "lineage+mutation tables recomputed per consumer under the gate; materialized in pipelines/derived.py"
     },

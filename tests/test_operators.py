@@ -495,3 +495,27 @@ def test_cascade_rollup_rejects_bad_levels(spark):
         cascade_rollup(df, "ts", [], "v", ["day", "hour"])  # not ascending
     with _pytest.raises(ValueError):
         cascade_rollup(df, "ts", [], "v", [])
+
+
+# ---------------------------------------------------------------------------
+# plans/shared.py — session-scoped subplan cache
+# ---------------------------------------------------------------------------
+def test_shared_df_builds_once_and_clears(spark):
+    from harvester_database_and_automation_spark.plans.shared import clear_shared, shared_df
+
+    calls = {"n": 0}
+
+    def build():
+        calls["n"] += 1
+        return spark.range(5)
+
+    a = shared_df(spark, ("t", "x"), build)
+    b = shared_df(spark, ("t", "x"), build)
+    c = shared_df(spark, ("t", "y"), build)
+    assert calls["n"] == 2  # same key reuses, new key rebuilds
+    assert a is b and a is not c
+    assert a.storageLevel.useMemory  # persisted
+    clear_shared(spark)
+    d = shared_df(spark, ("t", "x"), build)
+    assert calls["n"] == 3 and d is not a
+    clear_shared(spark)
