@@ -115,13 +115,48 @@ def sample_frames(df: DataFrame, every_n: int = 10) -> DataFrame:
     )
 
 
-def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
-    """STUB — image resizing needs a codec library not present here.
+def resize_images(df: DataFrame, width: int, height: int, fake: bool = False) -> DataFrame:
+    """Resize image rows to ``width`` x ``height``: same schema out,
+    ``content`` replaced by the resized bytes, meta.width/height updated,
+    non-image rows passed through untouched.
 
-    The signature and return schema document the contract: same columns,
-    ``content`` replaced by the resized bytes, meta.width/height updated.
+    Real resampling requires PIL/opencv, which are not present in this
+    environment — ``fake=False`` raises NotImplementedError. ``fake=True``
+    runs a deterministic stand-in (stride-sampling the source bytes to
+    width*height) through the SAME Arrow-batched mapInPandas stage, nested
+    meta struct and all, so the plumbing is fully exercised.
     """
-    raise NotImplementedError(
-        "image resize requires PIL/opencv, which are not available in this "
-        "environment; the mapInPandas plumbing mirrors decode_media(fake=True)"
-    )
+    if not fake:
+        raise NotImplementedError(
+            "image resize requires PIL/opencv, which are not available in "
+            "this environment; pass fake=True for the deterministic stand-in"
+        )
+    n_out = width * height
+
+    def _stride_sample(b: bytes) -> bytes:
+        if not b:
+            return b""
+        step = max(len(b) // n_out, 1)
+        return bytes(b[(i * step) % len(b)] for i in range(n_out))
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            is_img = pdf["kind"] == "image"
+            content = [
+                _stride_sample(b) if img else b
+                for img, b in zip(is_img, pdf["content"])
+            ]
+            meta = [
+                {**m, "width": width, "height": height} if img else m
+                for img, m in zip(is_img, pdf["meta"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "content": content,
+                    "meta": meta,
+                }
+            )
+
+    return df.mapInPandas(_resize, schema=MEDIA_SCHEMA)

@@ -74,3 +74,24 @@ def test_extract_features_batch_shape(spark):
 def test_sample_frames_plan(media):
     got = {(r["media_id"], r["frame_idx"]) for r in sample_frames(media, every_n=10).collect()}
     assert got == {(3, 0), (3, 10), (3, 20), (4, 0)}
+
+
+def test_resize_requires_explicit_fake(media):
+    with pytest.raises(NotImplementedError):
+        resize_images(media, 4, 4)
+
+
+def test_fake_resize_updates_images_only(media):
+    out = resize_images(media, 4, 4, fake=True)
+    assert out.schema == MEDIA_SCHEMA  # full schema preserved, meta struct included
+    rows = {r["media_id"]: r for r in out.collect()}
+    img = rows[1]
+    assert len(img["content"]) == 16  # stride-sampled to width*height bytes
+    assert img["meta"]["width"] == 4 and img["meta"]["height"] == 4
+    assert img["meta"]["format"] == "png"  # untouched meta fields carried
+    # non-image rows pass through bit-identical
+    assert rows[2]["content"] == b"\xff" * 8 and rows[2]["meta"]["sample_rate"] == 16000
+    assert rows[3]["meta"]["width"] == 640
+    # deterministic: second run produces identical bytes
+    again = {r["media_id"]: r["content"] for r in resize_images(media, 4, 4, fake=True).collect()}
+    assert again[1] == img["content"]
