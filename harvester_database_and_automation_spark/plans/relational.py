@@ -1790,3 +1790,58 @@ def event_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("value_min") / 100.0).alias("value_min"),
         (F.col("value_max") / 100.0).alias("value_max"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD2 historization — operators/scd.py replayed as a deterministic query.
+# ---------------------------------------------------------------------------
+@register(
+    "customer_segment_scd2",
+    survey_ref="scd2,M1,M2,U1",
+    oracle="""
+WITH snap1 AS (
+  SELECT c_custkey, c_mktsegment AS segment FROM customer WHERE c_custkey % 5 <> 0
+),
+snap2 AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 7 = 0 THEN 'MOVED' ELSE c_mktsegment END AS segment
+  FROM customer
+),
+changed AS (
+  SELECT s1.c_custkey
+  FROM snap1 s1 JOIN snap2 s2 USING (c_custkey)
+  WHERE s1.segment <> s2.segment
+)
+SELECT c_custkey, segment,
+       TIMESTAMP '2024-01-01' AS valid_from,
+       TIMESTAMP '2024-02-01' AS valid_to,
+       false AS is_current
+FROM snap1 WHERE c_custkey IN (SELECT c_custkey FROM changed)
+UNION ALL
+SELECT c_custkey, segment, TIMESTAMP '2024-01-01', NULL, true
+FROM snap1 WHERE c_custkey NOT IN (SELECT c_custkey FROM changed)
+UNION ALL
+SELECT c_custkey, segment, TIMESTAMP '2024-02-01', NULL, true
+FROM snap2
+WHERE c_custkey % 5 = 0 OR c_custkey IN (SELECT c_custkey FROM changed)
+""",
+)
+def customer_segment_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 historization replayed over two deterministic customer-segment
+    snapshots (era 2 moves every 7th customer's segment and first observes
+    every 5th customer): operators/scd.py closes changed versions at the
+    batch timestamp, appends open ones, and leaves untouched keys alone.
+    The oracle derives the identical history relationally — matching
+    hashes certify open/close/insert semantics end to end."""
+    from harvester_database_and_automation_spark.operators.scd import scd2_init, scd2_merge
+
+    cust = load_table(spark, sf_dir, "customer")
+    snap1 = cust.filter(F.col("c_custkey") % 5 != 0).select(
+        "c_custkey", F.col("c_mktsegment").alias("segment")
+    )
+    snap2 = cust.select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 7 == 0, "MOVED").otherwise(F.col("c_mktsegment")).alias("segment"),
+    )
+    h = scd2_init(snap1, "2024-01-01 00:00:00")
+    return scd2_merge(h, snap2, ["c_custkey"], "2024-02-01 00:00:00")

@@ -519,3 +519,67 @@ def test_shared_df_builds_once_and_clears(spark):
     d = shared_df(spark, ("t", "x"), build)
     assert calls["n"] == 3 and d is not a
     clear_shared(spark)
+
+
+# ---------------------------------------------------------------------------
+# operators/scd.py — SCD2 historization
+# ---------------------------------------------------------------------------
+def test_scd2_merge_lifecycle(spark):
+    from harvester_database_and_automation_spark.operators.scd import (
+        scd2_as_of,
+        scd2_init,
+        scd2_merge,
+    )
+
+    snap = spark.createDataFrame(
+        [(1, "lab_a", "good"), (2, "lab_b", "poor")], "sample_id long, lab string, q string"
+    )
+    h0 = scd2_init(snap, "2024-01-01 00:00:00")
+    assert h0.filter("is_current").count() == 2
+
+    updates = spark.createDataFrame(
+        [
+            (1, "lab_a", "good"),   # unchanged
+            (2, "lab_b", "good"),   # changed attribute
+            (3, "lab_c", None),     # new key, with a NULL attribute
+        ],
+        "sample_id long, lab string, q string",
+    )
+    h1 = scd2_merge(h0, updates, ["sample_id"], "2024-02-01 00:00:00")
+    rows = {(r["sample_id"], r["is_current"]): r for r in h1.collect()}
+    assert len(rows) == 4
+    # unchanged key 1: still the original open version
+    assert str(rows[(1, True)]["valid_from"]) == "2024-01-01 00:00:00"
+    # changed key 2: old version closed at batch ts, new one open
+    assert str(rows[(2, False)]["valid_to"]) == "2024-02-01 00:00:00"
+    assert rows[(2, True)]["q"] == "good" and rows[(2, True)]["valid_to"] is None
+    # new key 3 opened with its NULL attribute
+    assert rows[(3, True)]["q"] is None
+
+    # NULL -> value transition must register as a change (fingerprint
+    # distinguishes NULL from any real value)
+    h2 = scd2_merge(
+        h1,
+        spark.createDataFrame([(3, "lab_c", "ok")], "sample_id long, lab string, q string"),
+        ["sample_id"],
+        "2024-03-01 00:00:00",
+    )
+    k3 = [r for r in h2.collect() if r["sample_id"] == 3]
+    assert len(k3) == 2 and {r["is_current"] for r in k3} == {True, False}
+
+    # point-in-time reads
+    as_of_jan = {r["sample_id"]: r["q"] for r in scd2_as_of(h2, "2024-01-15 00:00:00").collect()}
+    assert as_of_jan == {1: "good", 2: "poor"}
+    as_of_now = {r["sample_id"]: r["q"] for r in scd2_as_of(h2, "2024-03-15 00:00:00").collect()}
+    assert as_of_now == {1: "good", 2: "good", 3: "ok"}
+
+
+def test_scd2_merge_rejects_schema_drift(spark):
+    from harvester_database_and_automation_spark.operators.scd import scd2_init, scd2_merge
+    import pytest as _pytest
+
+    snap = spark.createDataFrame([(1, "x")], "k long, v string")
+    h = scd2_init(snap, "2024-01-01 00:00:00")
+    bad = spark.createDataFrame([(1, "x", 5)], "k long, v string, extra int")
+    with _pytest.raises(ValueError):
+        scd2_merge(h, bad, ["k"], "2024-02-01 00:00:00")
