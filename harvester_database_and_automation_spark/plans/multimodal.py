@@ -1,10 +1,13 @@
-"""Multimodal pipeline exercised as a registered (rows-only) query.
+"""Multimodal pipeline exercised as registered queries.
 
 The decode/feature stages run through Arrow-batched ``mapInPandas``
-(sources/multimodal.py) — genuinely non-SQL-expressible, so this entry has
-no DuckDB oracle and the driver records the weaker rows-present check.
-The media table is synthesized deterministically from the documents corpus
-(bytes = utf-8 text), so every run sees identical inputs.
+(sources/multimodal.py). ``media_decode_stats`` (which folds in the
+sha256-seeded pseudo-embedding norms) has no DuckDB oracle and records the
+weaker rows-present check; ``media_decode_parity`` puts the decode stage
+itself under the full value-hash gate — DuckDB recomputes byte length /
+exact byte sum / sha256 from the same payloads. The media table is
+synthesized deterministically from the documents corpus (bytes = utf-8
+text), so every run sees identical inputs.
 """
 
 from __future__ import annotations
@@ -65,4 +68,55 @@ def media_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("n_bytes"), 4).alias("avg_bytes"),
             F.round(F.avg(norm), 6).alias("avg_feature_norm"),
         )
+    )
+
+
+@register(
+    "media_decode_parity",
+    survey_ref="multimodal,A1,A3",
+    oracle="""
+WITH media AS (
+  SELECT doc_id AS media_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image'
+              WHEN doc_id % 3 = 1 THEN 'audio'
+              ELSE 'video' END AS kind,
+         text
+  FROM documents
+),
+decoded AS (
+  SELECT media_id, kind,
+         octet_length(text::BLOB) AS n_bytes,
+         coalesce((SELECT sum(ascii(c)) FROM unnest(string_split(text, '')) AS t(c)), 0)
+           AS byte_sum,
+         sha256(text) AS content_sha256
+  FROM media
+)
+SELECT kind,
+       count(*) AS n_items,
+       CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+       CAST(sum(byte_sum) AS BIGINT) AS byte_code_sum,
+       round(sum(byte_sum) * 1.0 / sum(n_bytes), 6) AS mean_byte,
+       CAST(count(DISTINCT content_sha256) AS BIGINT) AS n_distinct_payloads
+FROM decoded
+GROUP BY kind
+""",
+)
+def media_decode_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-checked twin of media_decode_stats: the Arrow-batched fake
+    decode stage (byte length / exact byte sum / sha256 per item) rolled up
+    per kind, against a DuckDB oracle that recomputes the identical
+    statistics from the same ASCII payloads (sha256 on both sides hashes
+    the same utf-8 bytes). This puts the mapInPandas decode path itself
+    under the hash gate — only the codec call remains faked, as declared in
+    sources/multimodal.py. Aggregates stay on exact integers; the single
+    double division happens once per group on both sides."""
+    from harvester_database_and_automation_spark.sources.multimodal import decode_media
+
+    decoded = decode_media(_media_table(spark, sf_dir), fake=True)
+    return decoded.groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum("n_bytes").cast("bigint").alias("total_bytes"),
+        F.sum("byte_sum").cast("bigint").alias("byte_code_sum"),
+        F.round(F.sum("byte_sum") * 1.0 / F.sum("n_bytes"), 6).alias("mean_byte"),
+        F.countDistinct("content_sha256").cast("bigint").alias("n_distinct_payloads"),
     )

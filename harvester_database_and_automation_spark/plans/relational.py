@@ -1845,3 +1845,49 @@ def customer_segment_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     h = scd2_init(snap1, "2024-01-01 00:00:00")
     return scd2_merge(h, snap2, ["c_custkey"], "2024-02-01 00:00:00")
+
+
+# ---------------------------------------------------------------------------
+# Distribution windows: ntile / percent_rank / cume_dist (W-family breadth).
+# ---------------------------------------------------------------------------
+@register(
+    "segment_spend_quartiles",
+    survey_ref="W2,A1",
+    oracle="""
+WITH spend AS (
+  SELECT c.c_custkey, c.c_mktsegment,
+         CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS spend_cents
+  FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2
+)
+SELECT c_custkey, c_mktsegment, spend_cents,
+       CAST(ntile(4) OVER w AS INT)        AS quartile,
+       round(percent_rank() OVER w, 6)     AS pct_rank,
+       round(cume_dist() OVER w, 6)        AS cume
+FROM spend
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY spend_cents DESC, c_custkey)
+""",
+)
+def segment_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions per market segment: spend quartile
+    (ntile), percentile rank, cumulative distribution. Spend is summed as
+    exact integer cents so both engines rank identical values — a 1-ulp
+    double-sum divergence would silently permute every downstream rank.
+    Partitioned by segment: no global sort, the W2 shuffle shape."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint")
+    spend = (
+        c.join(o, o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(F.sum(cents).cast("bigint").alias("spend_cents"))
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(F.col("spend_cents").desc(), F.col("c_custkey"))
+    return spend.select(
+        "c_custkey",
+        "c_mktsegment",
+        "spend_cents",
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )

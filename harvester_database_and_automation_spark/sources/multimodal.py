@@ -44,7 +44,8 @@ MEDIA_SCHEMA = T.StructType(
 )
 
 DECODED_SCHEMA = (
-    "media_id long, kind string, n_bytes long, mean_byte double, content_sha256 string"
+    "media_id long, kind string, n_bytes long, byte_sum long, mean_byte double,"
+    " content_sha256 string"
 )
 
 FEATURE_DIM = 16
@@ -69,11 +70,14 @@ def decode_media(df: DataFrame, fake: bool = False) -> DataFrame:
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             content = pdf["content"]
+            # byte_sum is the exact integer; mean_byte the derived double —
+            # exact ints let downstream aggregates stay drift-free
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
                     "n_bytes": content.map(len),
+                    "byte_sum": content.map(sum),
                     "mean_byte": content.map(
                         lambda b: (sum(b) / len(b)) if len(b) else 0.0
                     ),
