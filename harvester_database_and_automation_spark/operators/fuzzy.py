@@ -1,0 +1,64 @@
+"""Fuzzy (edit-distance) join without all-pairs comparison.
+
+The reference resolves noisy name variants by exact alias tables
+(pangolineage/PangolinLineageAliasImporter.java:47-64) and hand-curated
+recode maps; a fuzzy join generalizes that to unanticipated typos. The
+naive plan — ``levenshtein(a, b) <= d`` as a join condition — is a
+nested loop over |L|·|R| string comparisons.
+
+The scalable exact formulation for d=1 is the deletion-neighborhood
+(SymSpell) join: every string's candidate key set is itself plus each
+single-character deletion (|s|+1 keys). Two strings within edit distance
+1 ALWAYS share a key:
+
+- equal           -> share the string itself
+- t = delete(s,i) -> t is in s's neighborhood
+- t = insert(s)   -> s is in t's neighborhood
+- t = subst(s,i)  -> delete(s,i) == delete(t,i)
+
+so an equi-join on the exploded neighborhoods finds every true pair
+(post-filtered by exact ``F.levenshtein``, JVM-side) and the cost tracks
+key collisions, never |L|·|R|. Larger d generalizes via d-fold deletion
+neighborhoods (size O(|s|^d)) — not needed by any reference workload, so
+only d=1 ships.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _deletion_neighborhood(col: str) -> F.Column:
+    s = F.col(col)
+    deletions = F.transform(
+        F.sequence(F.lit(1), F.length(s)),
+        lambda i: F.concat(
+            s.substr(F.lit(1), i - 1),
+            s.substr(i + 1, F.length(s)),
+        ),
+    )
+    return F.array_distinct(F.concat(F.array(s), deletions))
+
+
+def fuzzy_join_dist1(
+    left: DataFrame,
+    right: DataFrame,
+    left_col: str,
+    right_col: str,
+) -> DataFrame:
+    """Inner-join rows with ``levenshtein(left_col, right_col) <= 1``.
+    Column names must be disjoint. Output: all left + right columns plus
+    ``dist``. Each qualifying pair appears exactly once."""
+    overlap = set(left.columns) & set(right.columns)
+    if overlap:
+        raise ValueError(f"rename overlapping columns first: {sorted(overlap)}")
+    l = left.withColumn("_fz_key", F.explode(_deletion_neighborhood(left_col)))
+    r = right.withColumn("_fz_key", F.explode(_deletion_neighborhood(right_col)))
+    return (
+        l.join(r, "_fz_key")
+        .drop("_fz_key")
+        .distinct()  # a pair can collide on several keys; emit once
+        .withColumn("dist", F.levenshtein(left_col, right_col).cast("int"))
+        .filter(F.col("dist") <= 1)
+    )

@@ -1891,3 +1891,46 @@ def segment_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cume"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy alias resolution — operators/fuzzy.py registered over supplier.
+# ---------------------------------------------------------------------------
+@register(
+    "supplier_alias_resolution",
+    survey_ref="fuzzy-join,K7,J1",
+    oracle="""
+WITH aliases AS (
+  SELECT s_suppkey AS alias_id,
+         concat(substr(s_name, 1, s_suppkey % length(s_name)),
+                substr(s_name, s_suppkey % length(s_name) + 2)) AS alias_name
+  FROM supplier
+)
+SELECT a.alias_id, a.alias_name, s.s_suppkey, s.s_name,
+       CAST(levenshtein(a.alias_name, s.s_name) AS INT) AS dist
+FROM aliases a JOIN supplier s ON levenshtein(a.alias_name, s.s_name) <= 1
+""",
+)
+def supplier_alias_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy alias resolution: every supplier name with one deterministic
+    character deleted resolves back to the catalog within edit distance 1
+    (digit-heavy names legitimately match several suppliers). Runs on the
+    deletion-neighborhood equi-join (operators/fuzzy.py) — cost tracks key
+    collisions; the oracle states the same predicate as a naive
+    levenshtein join, so matching hashes prove the neighborhood candidate
+    set is complete."""
+    from harvester_database_and_automation_spark.operators.fuzzy import fuzzy_join_dist1
+
+    sup = load_table(spark, sf_dir, "supplier")
+    p = F.col("s_suppkey") % F.length("s_name")
+    aliases = sup.select(
+        F.col("s_suppkey").alias("alias_id"),
+        F.concat(
+            F.col("s_name").substr(F.lit(1), p),
+            F.col("s_name").substr(p + 2, F.length("s_name")),
+        ).alias("alias_name"),
+    )
+    catalog = sup.select("s_suppkey", "s_name")
+    return fuzzy_join_dist1(aliases, catalog, "alias_name", "s_name").select(
+        "alias_id", "alias_name", "s_suppkey", "s_name", "dist"
+    )

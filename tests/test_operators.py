@@ -583,3 +583,45 @@ def test_scd2_merge_rejects_schema_drift(spark):
     bad = spark.createDataFrame([(1, "x", 5)], "k long, v string, extra int")
     with _pytest.raises(ValueError):
         scd2_merge(h, bad, ["k"], "2024-02-01 00:00:00")
+
+
+# ---------------------------------------------------------------------------
+# operators/fuzzy.py — deletion-neighborhood edit-distance join
+# ---------------------------------------------------------------------------
+def test_fuzzy_join_dist1_matches_naive(spark):
+    from harvester_database_and_automation_spark.operators.fuzzy import fuzzy_join_dist1
+
+    names = ["alpha", "alpa", "aalpha", "alphx", "beta", "betaa", "", "a", "b", "ab"]
+    left = spark.createDataFrame([(i, n) for i, n in enumerate(names)], "lid int, lname string")
+    right = spark.createDataFrame([(100 + i, n) for i, n in enumerate(names)], "rid int, rname string")
+    out = fuzzy_join_dist1(left, right, "lname", "rname")
+    got = {(r["lid"], r["rid"], r["dist"]) for r in out.collect()}
+
+    def lev1(a, b):  # naive check for dist <= 1
+        if a == b:
+            return 0
+        la, lb = len(a), len(b)
+        if abs(la - lb) > 1:
+            return None
+        if la == lb:
+            return 1 if sum(x != y for x, y in zip(a, b)) == 1 else None
+        s, t = (a, b) if la < lb else (b, a)
+        return 1 if any(t[:i] + t[i + 1:] == s for i in range(len(t))) else None
+
+    want = {
+        (i, 100 + j, d)
+        for i, a in enumerate(names)
+        for j, b in enumerate(names)
+        if (d := lev1(a, b)) is not None
+    }
+    assert got == want
+    assert out.count() == len(want)  # exactly-once per pair
+
+
+def test_fuzzy_join_no_nested_loop(spark):
+    from harvester_database_and_automation_spark.operators.fuzzy import fuzzy_join_dist1
+
+    left = spark.range(100).selectExpr("id AS lid", "concat('name', id) AS lname")
+    right = spark.range(100).selectExpr("id AS rid", "concat('name', id) AS rname")
+    plan = fuzzy_join_dist1(left, right, "lname", "rname")._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoop" not in plan and "CartesianProduct" not in plan

@@ -139,3 +139,21 @@ def test_approx_count_distinct_within_tolerance(spark):
         F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx"),
     ).first()
     assert abs(row["approx"] - row["exact"]) <= 0.05 * row["exact"]
+
+
+def test_approx_percentile_within_tolerance(spark):
+    """The A9 scale path: percentile_approx (KLL-style) lands within the
+    configured accuracy of the exact percentile on the real corpus — the
+    drop-in swap for exact percentile sorts at 100 TB."""
+    from pyspark.sql import functions as F
+
+    from harvester_database_and_automation_spark.catalog import load_table
+
+    o = load_table(spark, "/root/testdata/sf0.001", "orders")
+    row = o.agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("exact"),
+        F.percentile_approx("o_totalprice", 0.5, accuracy=10000).alias("approx"),
+    ).first()
+    # accuracy=10000 bounds rank error at n/10000; translate to a loose
+    # value tolerance via the observed spread
+    assert abs(row["approx"] - row["exact"]) <= 0.01 * row["exact"]
