@@ -18,6 +18,7 @@ from __future__ import annotations
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def cluster_for_write(
@@ -76,4 +77,47 @@ def write_bucketed(
         .sortBy(*(sort_cols or keys))
         .option("path", path)
         .saveAsTable(table_name)
+    )
+
+
+def zorder_value(cols: Sequence[str], bits: int = 16) -> F.Column:
+    """Morton (Z-order) value interleaving the low ``bits`` of each column's
+    non-negative integer rank. Sorting a write by this single value clusters
+    rows along EVERY interleaved dimension at once, so parquet row-group
+    min/max statistics prune scans filtered on any of them — multi-column
+    b-tree index replacement, the layout trick behind Delta's OPTIMIZE
+    ZORDER BY.
+
+    Callers map each raw column to a bounded non-negative int rank first
+    (e.g. days since epoch, bucketed price). Two or three dims are the
+    sweet spot; beyond that each dim's clustering dilutes geometrically.
+    """
+    z = F.lit(0).cast("long")
+    n = len(cols)
+    for b in range(bits):
+        for i, c in enumerate(cols):
+            bit = F.shiftright(F.col(c).cast("long"), b).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, b * n + i))
+    return z
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    zorder_cols: Sequence[str],
+    bits: int = 16,
+    target_files: int = 32,
+) -> None:
+    """Write parquet clustered by the Z-order of ``zorder_cols`` (already
+    non-negative ints): a range repartition on the z-value spreads files
+    evenly, sortWithinPartitions gives each row group a tight min/max box
+    in every dimension."""
+    z = zorder_value(zorder_cols, bits=bits)
+    (
+        df.withColumn("_z", z)
+        .repartitionByRange(target_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(path)
     )

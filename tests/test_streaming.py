@@ -340,3 +340,55 @@ def test_session_windowed_counts_batch_and_stream(spark, tmp_path):
     # the stream finalized exactly the three sessions the batch run produced
     assert streamed.count() == 3
     assert {r["user_id"] for r in streamed.collect()} == {1, 2}
+
+
+def test_interval_join_stream_stream(spark, tmp_path):
+    """Stream-stream inner join with watermarks on both sides and a time
+    bound: purchases pair with the clicks at most 1h before them."""
+    from harvester_database_and_automation_spark.streaming.joins import interval_join
+
+    clicks_rows = [
+        (7, "2024-01-01 10:00:00", 100),
+        (7, "2024-01-01 12:00:00", 101),
+        (8, "2024-01-01 10:30:00", 102),
+    ]
+    purch_rows = [
+        (7, "2024-01-01 10:40:00", 900),  # pairs with click 100 (40m before)
+        (7, "2024-01-01 12:05:00", 901),  # pairs with click 101 only (100 is 2h+ old)
+        (8, "2024-01-01 13:00:00", 902),  # click 102 is 2.5h before -> no pair
+    ]
+    clicks = spark.createDataFrame(clicks_rows, "user_id long, cts_s string, click_id long").select(
+        "user_id", F.col("cts_s").cast("timestamp").alias("click_ts"), "click_id"
+    )
+    purch = spark.createDataFrame(purch_rows, "user_id long, pts_s string, purchase_id long").select(
+        "user_id", F.col("pts_s").cast("timestamp").alias("purchase_ts"), "purchase_id"
+    )
+
+    # batch replay of the same plan defines the expectation
+    batch = interval_join(purch, clicks, "user_id", "purchase_ts", "click_ts")
+    expect = {(r["purchase_id"], r["click_id"]) for r in batch.collect()}
+    assert expect == {(900, 100), (901, 101)}
+
+    cdir, pdir, out = tmp_path / "clicks", tmp_path / "purch", str(tmp_path / "out")
+    clicks.write.parquet(str(cdir))
+    purch.write.parquet(str(pdir))
+    cs = spark.readStream.schema(clicks.schema).parquet(str(cdir))
+    ps = spark.readStream.schema(purch.schema).parquet(str(pdir))
+    q = (
+        interval_join(ps, cs, "user_id", "purchase_ts", "click_ts")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["purchase_id"], r["click_id"])
+        for r in spark.read.schema(
+            "user_id long, purchase_ts timestamp, purchase_id long,"
+            " click_ts timestamp, click_id long"
+        ).parquet(out).collect()
+    }
+    assert got == expect
