@@ -1934,3 +1934,62 @@ def supplier_alias_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fuzzy_join_dist1(aliases, catalog, "alias_name", "s_name").select(
         "alias_id", "alias_name", "s_suppkey", "s_name", "dist"
     )
+
+
+# ---------------------------------------------------------------------------
+# Method-comparison correlation study (SURVEY §5.5, investigate_qc_by_ct) —
+# Pearson r from exact integer sums, one double expression at the end.
+# ---------------------------------------------------------------------------
+@register(
+    "order_price_date_correlation",
+    survey_ref="A1,math,§5.5",
+    oracle="""
+WITH d AS (
+  SELECT o_orderpriority,
+         CAST(datediff('day', TIMESTAMP '1990-01-01', o_orderdate) AS BIGINT) AS x,
+         CAST(floor(o_totalprice) AS BIGINT) AS y
+  FROM orders
+),
+s AS (
+  SELECT o_orderpriority, count(*) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sx2, CAST(sum(y * y) AS BIGINT) AS sy2
+  FROM d GROUP BY 1
+)
+SELECT o_orderpriority, n,
+       round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (sqrt(CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * sqrt(CAST(n AS DOUBLE) * CAST(sy2 AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+         AS price_date_corr
+FROM s
+""",
+)
+def order_price_date_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation of order value vs order date per priority — the
+    method-comparison/QC-correlation study shape (SURVEY §5.5,
+    investigate_qc_by_ct_value.R). Built-in corr() sums doubles in
+    engine-specific order (ulp drift across engines); instead the five
+    moments accumulate as EXACT integers (map-side partial agg) and one
+    final double expression computes r identically on both sides — also
+    the formulation that distributes: no second pass, no centering scan."""
+    o = load_table(spark, sf_dir, "orders")
+    x = F.expr("timestampdiff(DAY, TIMESTAMP_NTZ'1990-01-01 00:00:00', o_orderdate)").cast("bigint")
+    y = F.floor(F.col("o_totalprice")).cast("bigint")
+    s = (
+        o.select("o_orderpriority", x.alias("x"), y.alias("y"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").cast("bigint").alias("sx"),
+            F.sum("y").cast("bigint").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sx2"),
+            F.sum(F.col("y") * F.col("y")).cast("bigint").alias("sy2"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy, sx2, sy2 = (F.col(c).cast("double") for c in ("sxy", "sx2", "sy2"))
+    r = (nd * sxy - sx * sy) / (F.sqrt(nd * sx2 - sx * sx) * F.sqrt(nd * sy2 - sy * sy))
+    return s.select("o_orderpriority", "n", F.round(r, 6).alias("price_date_corr"))
