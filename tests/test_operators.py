@@ -625,3 +625,55 @@ def test_fuzzy_join_no_nested_loop(spark):
     right = spark.range(100).selectExpr("id AS rid", "concat('name', id) AS rname")
     plan = fuzzy_join_dist1(left, right, "lname", "rname")._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_cascade_rollup_incremental_publish(spark, tmp_path):
+    """The composition rollup_cascade promises: a late-arriving batch
+    refreshes ONLY the day partitions it touches; untouched days hard-link
+    forward, and the result equals a full rebuild."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from harvester_database_and_automation_spark.operators.publish import (
+        publish_incremental,
+        read_published,
+    )
+    from harvester_database_and_automation_spark.operators.rollup_cascade import cascade_rollup
+
+    def events(rows):
+        return spark.createDataFrame(rows, "ts_s string, grp string, v long").select(
+            F.col("ts_s").cast("timestamp_ntz").alias("ts"), "grp", "v"
+        )
+
+    base = events(
+        [(f"2024-03-0{d} {h:02d}:15:00", "a", d * 10 + h) for d in (1, 2, 3) for h in (0, 6)]
+    )
+    table = str(tmp_path / "day_rollup")
+
+    def day_level(df):
+        day = cascade_rollup(df, "ts", ["grp"], "v", ["minute", "hour", "day"])["day"]
+        return day.withColumn("day", F.date_format("bucket", "yyyy-MM-dd"))
+
+    publish_incremental(day_level(base), table, partition_by=["day"])
+
+    # Late batch touches only 2024-03-02 -> recompute that day from source
+    # and publish just its partition.
+    late = events([("2024-03-02 23:45:00", "a", 999)])
+    all_events = base.unionByName(late)
+    dirty = [r["day"] for r in day_level(late).select("day").distinct().collect()]
+    assert dirty == ["2024-03-02"]
+    refreshed = day_level(all_events.filter(F.to_date("ts").isin(dirty)))
+    v = publish_incremental(refreshed, table, partition_by=["day"])
+
+    got = read_published(spark, table)
+    full = day_level(all_events)
+    assert got.exceptAll(full.select(*got.columns)).count() == 0
+    assert full.select(*got.columns).exceptAll(got).count() == 0
+    # untouched day partitions are hard links to v1 files (nlink > 1)
+    v2 = os.path.join(table, f"v{v}", "day=2024-03-01")
+    linked = [f for f in os.listdir(v2) if f.endswith(".parquet")]
+    assert linked and all(os.stat(os.path.join(v2, f)).st_nlink > 1 for f in linked)
+    v2_dirty = os.path.join(table, f"v{v}", "day=2024-03-02")
+    fresh = [f for f in os.listdir(v2_dirty) if f.endswith(".parquet")]
+    assert fresh and all(os.stat(os.path.join(v2_dirty, f)).st_nlink == 1 for f in fresh)
