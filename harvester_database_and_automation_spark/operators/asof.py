@@ -32,15 +32,20 @@ def asof_join(
     right_time: str,
     seq_col: str | None = None,
     prefix: str = "asof_",
+    direction: str = "backward",
 ) -> DataFrame:
     """Return every ``left`` row plus the latest-at-or-before ``right``
-    payload. Right payload = all right columns except ``on`` (each emitted
-    as ``prefix + name``; NULL when no right row precedes the left row).
+    payload (``direction="backward"``), or the earliest-at-or-after one
+    (``direction="forward"`` — the same plan traversing time reversed).
+    Right payload = all right columns except ``on`` (each emitted as
+    ``prefix + name``; NULL when no right row qualifies).
 
     ``seq_col``: right column ordering same-instant right rows (the max
     wins); pass it whenever (on, right_time) is not unique and you need
     deterministic output.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward or forward, got {direction!r}")
     payload_cols = [c for c in right.columns if c != on]
     left_types = {f.name: f.dataType for f in left.schema.fields}
 
@@ -61,9 +66,10 @@ def asof_join(
         F.lit(None).cast(r.schema["_asof_payload"].dataType).alias("_asof_payload"),
         *[F.col(c).alias(f"_l_{c}") for c in left.columns],
     )
+    t_order = F.col("_asof_t").asc() if direction == "backward" else F.col("_asof_t").desc()
     w = (
         Window.partitionBy(on)
-        .orderBy(F.col("_asof_t").asc(), F.col("_asof_side").asc(), F.col("_asof_seq").asc_nulls_last())
+        .orderBy(t_order, F.col("_asof_side").asc(), F.col("_asof_seq").asc_nulls_last())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     matched = (

@@ -677,3 +677,29 @@ def test_cascade_rollup_incremental_publish(spark, tmp_path):
     v2_dirty = os.path.join(table, f"v{v}", "day=2024-03-02")
     fresh = [f for f in os.listdir(v2_dirty) if f.endswith(".parquet")]
     assert fresh and all(os.stat(os.path.join(v2_dirty, f)).st_nlink == 1 for f in fresh)
+
+
+def test_asof_join_forward_direction(spark):
+    from harvester_database_and_automation_spark.operators.asof import asof_join
+
+    quotes = spark.createDataFrame(
+        [(1, 10, 100.0, 11), (1, 30, 101.0, 12)], "sym int, qts int, px double, qid int"
+    )
+    trades = spark.createDataFrame(
+        [
+            (1, 5, 900),    # next quote at 10 -> qid 11
+            (1, 10, 901),   # equal ts inclusive -> qid 11
+            (1, 20, 902),   # next is 30 -> qid 12
+            (1, 40, 903),   # nothing after -> NULL
+        ],
+        "sym int, tts int, tid int",
+    )
+    out = asof_join(
+        trades, quotes, on="sym", left_time="tts", right_time="qts",
+        seq_col="qid", direction="forward",
+    )
+    rows = {r["tid"]: r["asof_qid"] for r in out.collect()}
+    assert rows == {900: 11, 901: 11, 902: 12, 903: None}
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        asof_join(trades, quotes, on="sym", left_time="tts", right_time="qts", direction="nearest")
