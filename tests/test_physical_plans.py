@@ -112,3 +112,43 @@ def test_dedup_signatures_partial_aggregate(spark, name):
         + count_nodes(plan, "ObjectHashAggregate")
     )
     assert n_agg % 2 == 0 and n_agg >= 2
+
+
+def test_asof_query_plan_is_join_free(spark):
+    """The registered as-of query must run as union + ONE keyed window —
+    a Join node here means the O(L*R) range-join encoding crept back."""
+    plan = fmt_plan(spark, "purchase_last_click_asof")
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert count_nodes(plan, node) == 0, node
+    assert count_nodes(plan, "Window") == 1
+
+
+def test_range_join_query_plan_is_equi_join(spark):
+    """The bucketed range join must plan as a hash/sort-merge equi-join on
+    the bucket id, never a nested loop over all event pairs."""
+    plan = fmt_plan(spark, "event_concurrency_window")
+    assert count_nodes(plan, "BroadcastNestedLoopJoin") == 0
+    assert count_nodes(plan, "CartesianProduct") == 0
+    # any equi-join strategy qualifies (AQE broadcasts at tiny SF)
+    n_equi = (
+        count_nodes(plan, "SortMergeJoin")
+        + count_nodes(plan, "ShuffledHashJoin")
+        + count_nodes(plan, "BroadcastHashJoin")
+    )
+    assert n_equi >= 1
+
+
+def test_heavy_hitters_candidate_join_is_broadcast(spark):
+    """The exact pass must semi-join the corpus against the (tiny)
+    candidate set as a broadcast — shuffling the corpus by word would
+    reintroduce the full-vocabulary shuffle the sketch exists to avoid."""
+    plan = fmt_plan(spark, "word_heavy_hitters")
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_rollup_cascade_has_no_extra_fact_scans(spark):
+    """Cascade levels must re-aggregate the level below: exactly one scan
+    of the events fact per plan (the oracle-facing day query)."""
+    plan = fmt_plan(spark, "event_rollup_cascade")
+    assert plan.count("events.parquet") <= 1
+    assert count_nodes(plan, "HashAggregate") >= 4  # partial+final per level
