@@ -1993,3 +1993,52 @@ def order_price_date_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     sxy, sx2, sy2 = (F.col(c).cast("double") for c in ("sxy", "sx2", "sy2"))
     r = (nd * sxy - sx * sy) / (F.sqrt(nd * sx2 - sx * sx) * F.sqrt(nd * sy2 - sy * sy))
     return s.select("o_orderpriority", "n", F.round(r, 6).alias("price_date_corr"))
+
+
+# ---------------------------------------------------------------------------
+# Funnel analysis: ordered event-sequence conversion.
+# ---------------------------------------------------------------------------
+@register(
+    "click_purchase_funnel",
+    survey_ref="funnel,A1,J2,O4",
+    oracle="""
+WITH c AS (
+  SELECT user_id, min(ts) AS first_click
+  FROM events WHERE event_type = 'click' GROUP BY user_id
+),
+p AS (
+  SELECT c.user_id, min(e.ts) AS first_purchase
+  FROM c JOIN events e
+    ON e.user_id = c.user_id AND e.event_type = 'purchase' AND e.ts >= c.first_click
+  GROUP BY c.user_id
+)
+SELECT c.user_id, c.first_click, p.first_purchase,
+       p.first_purchase IS NOT NULL AS converted
+FROM c LEFT JOIN p USING (user_id)
+""",
+)
+def click_purchase_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-step funnel: each user's first click, then their first purchase
+    at or after it — the ordered-sequence conversion shape every product
+    analytics stack needs. Two keyed aggregations and a left join; both
+    steps are min-aggregates so the plan is all partial-agg shuffles, and
+    the output is timestamps + a flag (no float drift surface)."""
+    e = load_table(spark, sf_dir, "events")
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_click"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") >= F.col("first_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase"))
+    )
+    return c.join(p, "user_id", "left").select(
+        "user_id",
+        "first_click",
+        "first_purchase",
+        F.col("first_purchase").isNotNull().alias("converted"),
+    )
