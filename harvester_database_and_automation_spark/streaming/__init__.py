@@ -3,14 +3,20 @@
 
 from harvester_database_and_automation_spark.streaming.dedup import dedup_within_watermark
 from harvester_database_and_automation_spark.streaming.ingest import incremental_file_ingest
+from harvester_database_and_automation_spark.streaming.joins import interval_join
 from harvester_database_and_automation_spark.streaming.stateful import running_dedup_counts
 from harvester_database_and_automation_spark.streaming.upsert_sink import (
     stream_upsert_into_published,
 )
-from harvester_database_and_automation_spark.streaming.windows import windowed_event_counts
+from harvester_database_and_automation_spark.streaming.windows import (
+    session_windowed_counts,
+    windowed_event_counts,
+)
 
 __all__ = [
     "incremental_file_ingest",
+    "interval_join",
+    "session_windowed_counts",
     "windowed_event_counts",
     "running_dedup_counts",
     "dedup_within_watermark",

@@ -703,3 +703,24 @@ def test_asof_join_forward_direction(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         asof_join(trades, quotes, on="sym", left_time="tts", right_time="qts", direction="nearest")
+
+
+def test_scd2_merge_composite_keys(spark):
+    from harvester_database_and_automation_spark.operators.scd import scd2_init, scd2_merge
+
+    snap = spark.createDataFrame(
+        [(1, "A", "x"), (1, "B", "y")], "k1 long, k2 string, v string"
+    )
+    h = scd2_init(snap, "2024-01-01 00:00:00")
+    upd = spark.createDataFrame(
+        [(1, "A", "x2"), (2, "A", "z")], "k1 long, k2 string, v string"
+    )
+    h1 = scd2_merge(h, upd, ["k1", "k2"], "2024-02-01 00:00:00")
+    rows = {(r["k1"], r["k2"], r["is_current"]): r["v"] for r in h1.collect()}
+    # (1,A) changed -> closed old + open new; (1,B) untouched; (2,A) new
+    assert rows == {
+        (1, "A", False): "x",
+        (1, "A", True): "x2",
+        (1, "B", True): "y",
+        (2, "A", True): "z",
+    }
