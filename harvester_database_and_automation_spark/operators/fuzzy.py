@@ -29,16 +29,77 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _deletion_neighborhood(col: str) -> F.Column:
-    s = F.col(col)
-    deletions = F.transform(
+def _del1(s: F.Column) -> F.Column:
+    return F.transform(
         F.sequence(F.lit(1), F.length(s)),
         lambda i: F.concat(
             s.substr(F.lit(1), i - 1),
             s.substr(i + 1, F.length(s)),
         ),
     )
-    return F.array_distinct(F.concat(F.array(s), deletions))
+
+
+def _del2(s: F.Column) -> F.Column:
+    # delete positions i < j in one pass: three-substring concat. The inner
+    # CASE guards j > i (a bare sequence(i+1, L) would flip descending when
+    # i = L and explode the wrong variants).
+    L = F.length(s)
+    pairs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), L),
+            lambda i: F.transform(
+                F.sequence(F.lit(1), L),
+                lambda j: F.when(
+                    j > i,
+                    F.concat(
+                        s.substr(F.lit(1), i - 1),
+                        s.substr(i + 1, j - i - 1),
+                        s.substr(j + 1, L),
+                    ),
+                ),
+            ),
+        )
+    )
+    return F.filter(pairs, lambda v: v.isNotNull())
+
+
+def _deletion_neighborhood(col: str, max_dist: int) -> F.Column:
+    s = F.col(col)
+    parts = F.concat(F.array(s), _del1(s))
+    if max_dist >= 2:
+        parts = F.concat(parts, _del2(s))
+    return F.array_distinct(parts)
+
+
+def fuzzy_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_col: str,
+    right_col: str,
+    max_dist: int = 1,
+) -> DataFrame:
+    """Inner-join rows with ``levenshtein(left_col, right_col) <=
+    max_dist`` (1 or 2). Column names must be disjoint. Output: all left +
+    right columns plus ``dist``. Each qualifying pair appears exactly once.
+
+    d=2 uses two-fold deletion neighborhoods (O(|s|²) keys per row — still
+    collision-driven, never |L|·|R|); the exact post-filter keeps the
+    result identical to the naive predicate either way.
+    """
+    if max_dist not in (1, 2):
+        raise ValueError("max_dist must be 1 or 2")
+    overlap = set(left.columns) & set(right.columns)
+    if overlap:
+        raise ValueError(f"rename overlapping columns first: {sorted(overlap)}")
+    l = left.withColumn("_fz_key", F.explode(_deletion_neighborhood(left_col, max_dist)))
+    r = right.withColumn("_fz_key", F.explode(_deletion_neighborhood(right_col, max_dist)))
+    return (
+        l.join(r, "_fz_key")
+        .drop("_fz_key")
+        .distinct()  # a pair can collide on several keys; emit once
+        .withColumn("dist", F.levenshtein(left_col, right_col).cast("int"))
+        .filter(F.col("dist") <= max_dist)
+    )
 
 
 def fuzzy_join_dist1(
@@ -47,18 +108,5 @@ def fuzzy_join_dist1(
     left_col: str,
     right_col: str,
 ) -> DataFrame:
-    """Inner-join rows with ``levenshtein(left_col, right_col) <= 1``.
-    Column names must be disjoint. Output: all left + right columns plus
-    ``dist``. Each qualifying pair appears exactly once."""
-    overlap = set(left.columns) & set(right.columns)
-    if overlap:
-        raise ValueError(f"rename overlapping columns first: {sorted(overlap)}")
-    l = left.withColumn("_fz_key", F.explode(_deletion_neighborhood(left_col)))
-    r = right.withColumn("_fz_key", F.explode(_deletion_neighborhood(right_col)))
-    return (
-        l.join(r, "_fz_key")
-        .drop("_fz_key")
-        .distinct()  # a pair can collide on several keys; emit once
-        .withColumn("dist", F.levenshtein(left_col, right_col).cast("int"))
-        .filter(F.col("dist") <= 1)
-    )
+    """``fuzzy_join`` at the d=1 the reference's alias workloads need."""
+    return fuzzy_join(left, right, left_col, right_col, max_dist=1)

@@ -724,3 +724,33 @@ def test_scd2_merge_composite_keys(spark):
         (1, "B", True): "y",
         (2, "A", True): "z",
     }
+
+
+def test_fuzzy_join_dist2_matches_naive(spark):
+    from harvester_database_and_automation_spark.operators.fuzzy import fuzzy_join
+
+    def lev(a, b):  # full DP for the ground truth
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+        return dp[len(b)]
+
+    names = ["spark", "spa", "sprk", "shark", "sharks", "park", "spork", "spoork",
+             "stark", "s", "", "sprak", "xy"]
+    left = spark.createDataFrame([(i, n) for i, n in enumerate(names)], "lid int, lname string")
+    right = spark.createDataFrame([(100 + i, n) for i, n in enumerate(names)], "rid int, rname string")
+    out = fuzzy_join(left, right, "lname", "rname", max_dist=2)
+    got = {(r["lid"], r["rid"], r["dist"]) for r in out.collect()}
+    want = {
+        (i, 100 + j, lev(a, b))
+        for i, a in enumerate(names)
+        for j, b in enumerate(names)
+        if lev(a, b) <= 2
+    }
+    assert got == want
+    assert out.count() == len(want)
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        fuzzy_join(left, right, "lname", "rname", max_dist=3)
