@@ -1,6 +1,13 @@
-"""Write-path operators (SURVEY.md §2.10 M1-M6)."""
+"""Write-path + custom-join/rollup/sketch operators (SURVEY.md §2.10
+M1-M6 and the beyond-reference families in ARCHITECTURE.md)."""
 
+from harvester_database_and_automation_spark.operators.asof import asof_join
 from harvester_database_and_automation_spark.operators.dedup import keep_best
+from harvester_database_and_automation_spark.operators.fuzzy import fuzzy_join
+from harvester_database_and_automation_spark.operators.rangejoin import bucketed_range_join
+from harvester_database_and_automation_spark.operators.rollup_cascade import cascade_rollup
+from harvester_database_and_automation_spark.operators.scd import scd2_as_of, scd2_init, scd2_merge
+from harvester_database_and_automation_spark.operators.sketches import heavy_hitters_exact
 from harvester_database_and_automation_spark.operators.joins import coalesce_join
 from harvester_database_and_automation_spark.operators.layout import cluster_for_write
 from harvester_database_and_automation_spark.operators.merge import (
@@ -21,6 +28,14 @@ from harvester_database_and_automation_spark.operators.publish import (
 from harvester_database_and_automation_spark.operators.state import JobState
 
 __all__ = [
+    "asof_join",
+    "bucketed_range_join",
+    "cascade_rollup",
+    "fuzzy_join",
+    "heavy_hitters_exact",
+    "scd2_init",
+    "scd2_merge",
+    "scd2_as_of",
     "merge_upsert",
     "classify_changes",
     "apply_deletes",
