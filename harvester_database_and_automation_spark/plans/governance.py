@@ -1,0 +1,154 @@
+"""Data-governance queries: PII redaction and retention erasure.
+
+The reference erases columns wholesale once a retention window lapses
+(`database/sql/2022-03-31 Delete some BAG data.sql:1-80` nulls
+division/location/age columns in place). A 100 TB training corpus needs
+both that column-level erasure and the finer substring-level redaction
+(emails/IPs/phones inside document text). Both are pure projections —
+no shuffle anywhere except the final small aggregate, so the plans are
+embarrassingly parallel at any scale.
+
+The corpus tables carry no real PII, so the scrub query first derives a
+deterministic contact note per customer (same expression in Spark and the
+DuckDB oracle) and then runs the shared redaction chain from
+``functions/pii.py`` over it — the operator under test is the scrubber,
+not the note builder.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from harvester_database_and_automation_spark.catalog import load_table
+from harvester_database_and_automation_spark.functions.pii import pii_counts, scrub_pii
+from harvester_database_and_automation_spark.plans.registry import register
+
+
+@register(
+    "pii_scrub_stats",
+    survey_ref="text-analysis,P4,M3",
+    oracle="""
+WITH notes AS (
+  SELECT c_mktsegment,
+         'contact ' || c_name
+           || CASE WHEN c_custkey % 3 <> 0
+                   THEN ' <user' || CAST(c_custkey AS VARCHAR) || '@example.com>'
+                   ELSE '' END
+           || CASE WHEN c_custkey % 2 = 0
+                   THEN ' tel 555-' || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+                   ELSE '' END
+           || ' ip 10.' || CAST(c_nationkey AS VARCHAR)
+           || '.' || CAST(c_custkey % 256 AS VARCHAR) || '.7' AS note
+  FROM customer
+),
+scrubbed AS (
+  SELECT c_mktsegment,
+         note,
+         len(regexp_extract_all(note, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_email,
+         len(regexp_extract_all(note, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS n_ip,
+         len(regexp_extract_all(note, '\\b\\d{3}-\\d{4}\\b')) AS n_phone,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(note,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+             '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '[IP]', 'g'),
+           '\\b\\d{3}-\\d{4}\\b', '[PHONE]', 'g') AS redacted
+  FROM notes
+)
+SELECT c_mktsegment,
+       CAST(count(*) AS BIGINT)                          AS n_notes,
+       CAST(sum(n_email) AS BIGINT)                      AS emails_found,
+       CAST(sum(n_ip) AS BIGINT)                         AS ips_found,
+       CAST(sum(n_phone) AS BIGINT)                      AS phones_found,
+       CAST(sum(length(note) - length(redacted)) AS BIGINT) AS chars_redacted
+FROM scrubbed
+GROUP BY c_mktsegment
+""",
+)
+def pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level PII redaction audit.
+
+    Build a deterministic contact note per customer (emails on 2/3 of
+    keys, phones on even keys, an IP always), run the shared
+    email→IP→phone `regexp_replace` chain, and report per-segment match
+    counts plus total characters redacted. Scan → map → one partial-agg
+    shuffle on 5 segment keys: the 100 TB plan is a full-speed codegen
+    pipeline over the input splits."""
+    cust = load_table(spark, sf_dir, "customer")
+    key = F.col("c_custkey")
+    note = F.concat(
+        F.lit("contact "),
+        F.col("c_name"),
+        F.when(key % 3 != 0,
+               F.concat(F.lit(" <user"), key.cast("string"), F.lit("@example.com>"))
+               ).otherwise(""),
+        F.when(key % 2 == 0,
+               F.concat(F.lit(" tel 555-"), F.lpad((key % 10000).cast("string"), 4, "0"))
+               ).otherwise(""),
+        F.lit(" ip 10."),
+        F.col("c_nationkey").cast("string"),
+        F.lit("."),
+        (key % 256).cast("string"),
+        F.lit(".7"),
+    )
+    noted = cust.select("c_mktsegment", note.alias("note"))
+    counts = pii_counts(F.col("note"))
+    scrubbed = noted.select(
+        "c_mktsegment",
+        "note",
+        counts["emails"].alias("n_email"),
+        counts["ips"].alias("n_ip"),
+        counts["phones"].alias("n_phone"),
+        scrub_pii(F.col("note")).alias("redacted"),
+    )
+    return scrubbed.groupBy("c_mktsegment").agg(
+        F.count("*").cast("bigint").alias("n_notes"),
+        F.sum("n_email").cast("bigint").alias("emails_found"),
+        F.sum("n_ip").cast("bigint").alias("ips_found"),
+        F.sum("n_phone").cast("bigint").alias("phones_found"),
+        F.sum(F.length("note") - F.length("redacted")).cast("bigint").alias("chars_redacted"),
+    )
+
+
+@register(
+    "retention_erasure_audit",
+    survey_ref="M3,P2,A2",
+    oracle="""
+SELECT event_type,
+       CAST(count(*) AS BIGINT)                                   AS n_rows,
+       CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-15' THEN 1 ELSE 0 END) AS BIGINT)
+                                                                  AS n_props_erased,
+       round(sum(CASE WHEN ts < TIMESTAMP '2024-01-15' THEN 0.0 ELSE value END), 4)
+                                                                  AS value_retained,
+       CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-15'
+                     THEN length(props) ELSE 0 END) AS BIGINT)    AS bytes_freed
+FROM events
+GROUP BY event_type
+""",
+)
+def retention_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level retention erasure, audited.
+
+    Mirrors the reference's retention pass (null the sensitive columns of
+    every row older than the cutoff, keep the row): classify rows against
+    the 2024-01-15 cutoff, null `props` and zero `value` on the expired
+    side, and report per-type how many rows were scrubbed and how many
+    bytes the erased payload frees. The erasure itself is a projection —
+    the parquet rewrite at scale is a partition-overwrite of only the
+    partitions holding expired rows."""
+    events = load_table(spark, sf_dir, "events")
+    expired = F.col("ts") < F.lit("2024-01-15").cast("timestamp")
+    erased = events.select(
+        "event_type",
+        expired.alias("expired"),
+        F.when(expired, F.lit(None).cast("string")).otherwise(F.col("props")).alias("props_out"),
+        F.when(expired, F.lit(0.0)).otherwise(F.col("value")).alias("value_out"),
+        F.length("props").alias("props_len"),
+    )
+    return erased.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum(F.col("expired").cast("int")).cast("bigint").alias("n_props_erased"),
+        F.round(F.sum("value_out"), 4).alias("value_retained"),
+        F.sum(F.when(F.col("expired"), F.col("props_len")).otherwise(0)).cast("bigint").alias("bytes_freed"),
+    )
