@@ -507,3 +507,104 @@ def ivf_recall_at_3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_hits")
         .agg(F.count(F.lit(1)).alias("n_queries"))
     )
+
+
+@register(
+    "kmeans_lloyd_clusters",
+    survey_ref="embedding-cluster,iterative,A1,J7",
+    oracle="""
+WITH emb AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+c0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS c FROM emb ORDER BY vec_id LIMIT 8
+),
+d1 AS (
+  SELECT e.vec_id, c0.cid, list_distance(e.v, c0.c) AS dist FROM emb e CROSS JOIN c0
+),
+a1 AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d1
+  ) WHERE rn = 1
+),
+m1 AS (
+  SELECT cid, i, avg(val) AS mv FROM (
+    SELECT a1.cid, unnest(e.v) AS val, unnest(generate_series(1, len(e.v))) AS i
+    FROM a1 JOIN emb e USING (vec_id)
+  ) GROUP BY cid, i
+),
+c1 AS (SELECT cid, list(mv ORDER BY i) AS c FROM m1 GROUP BY cid),
+d2 AS (
+  SELECT e.vec_id, c1.cid, list_distance(e.v, c1.c) AS dist FROM emb e CROSS JOIN c1
+),
+a2 AS (
+  SELECT vec_id, cid, dist FROM (
+    SELECT vec_id, cid, dist, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d2
+  ) WHERE rn = 1
+)
+SELECT CAST(cid AS INT)           AS cluster_id,
+       CAST(count(*) AS BIGINT)   AS n_members,
+       round(sum(dist * dist), 2) AS sse
+FROM a2
+GROUP BY cid
+""",
+)
+def kmeans_lloyd_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two deterministic Lloyd iterations of k-means (k=8) over the
+    embedding corpus — the clustering pass a corpus-curation pipeline runs
+    before per-cluster sampling or IVF index building.
+
+    Spark-first shape (the same loop MLlib's KMeans runs): centroids live
+    on the driver (k x dim doubles), each assignment is a broadcast-literal
+    codegen map over the vectors (argmin over an array of (distance,
+    centroid) structs — lexicographic array_min matches the oracle's
+    ORDER BY dist, cid tie-break), and the centroid update is one
+    posexplode + (cluster, dim)-keyed partial aggregate. Nothing but k x dim
+    numbers ever reaches the driver, so the plan is identical at 100 TB:
+    2 map passes + 2 tiny aggregates.
+
+    Initial centroids are the 8 lowest vec_ids; the oracle unrolls the
+    same two iterations as CTEs."""
+    k = 8
+    emb = _fanout(_emb(spark, sf_dir).select("vec_id", "vec"))
+    centroids = [list(r["vec"]) for r in emb.orderBy("vec_id").limit(k).select("vec").collect()]
+
+    def assign(cents: list[list[float]]) -> DataFrame:
+        entries = []
+        for i, c in enumerate(cents):
+            lit = F.array(*[F.lit(float(x)) for x in c])
+            d2 = F.aggregate(
+                F.zip_with(F.col("vec"), lit, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            entries.append(F.struct(d2.alias("d"), F.lit(i).alias("c")))
+        best = F.array_min(F.array(*entries))
+        return emb.select("vec_id", "vec", best["c"].alias("cluster_id"), best["d"].alias("d2"))
+
+    # Iteration 1: assign to the seed centroids, recompute means.
+    assigned = assign(centroids)
+    means = (
+        assigned.select("cluster_id", F.posexplode("vec").alias("i", "val"))
+        .groupBy("cluster_id", "i")
+        .agg(F.avg("val").alias("mv"))
+        .collect()
+    )
+    updated: dict[int, dict[int, float]] = {}
+    for r in means:
+        updated.setdefault(r["cluster_id"], {})[r["i"]] = r["mv"]
+    # Every seed cluster keeps at least its seed vector at this scale; a
+    # production loop would re-seed empty clusters here.
+    centroids = [
+        [updated[cid][i] for i in sorted(updated[cid])] for cid in sorted(updated)
+    ]
+
+    # Iteration 2: final assignment against the updated centroids.
+    return (
+        assign(centroids)
+        .groupBy(F.col("cluster_id").cast("int").alias("cluster_id"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_members"),
+            F.round(F.sum("d2"), 2).alias("sse"),
+        )
+    )

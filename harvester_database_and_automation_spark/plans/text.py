@@ -723,3 +723,112 @@ def word_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _fanout(load_table(spark, sf_dir, "documents").select("text"))
     words = docs.select(F.explode(F.split("text", " ")).alias("word"))
     return heavy_hitters_exact(words, "word", 200)
+
+
+@register(
+    "doc_repetition_stats",
+    survey_ref="text-analysis,A1,P4",
+    oracle="""
+WITH bigrams AS (
+  SELECT doc_id, words[i] || ' ' || words[i+1] AS bigram
+  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents) t,
+       unnest(generate_series(1, len(words) - 1)) AS u(i)
+),
+per AS (SELECT doc_id, bigram, count(*) AS n FROM bigrams GROUP BY doc_id, bigram)
+SELECT doc_id,
+       CAST(sum(n) AS BIGINT)                       AS n_bigrams,
+       CAST(count(*) AS BIGINT)                     AS n_distinct_bigrams,
+       CAST(max(n) AS BIGINT)                       AS top_bigram_n,
+       round(max(n) * 1.0 / sum(n), 6)              AS top_bigram_frac,
+       round(1.0 - count(*) * 1.0 / sum(n), 6)      AS dup_bigram_frac,
+       CASE WHEN max(n) * 1.0 / sum(n) > 0.04 THEN 'repetitive' ELSE 'ok' END
+                                                    AS repetition_class
+FROM per
+GROUP BY doc_id
+""",
+)
+def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition quality rules (the Gopher-style "fraction
+    of characters in the most common n-gram" filters a pretraining corpus
+    runs before training): per document, the total/distinct bigram counts,
+    the most frequent bigram's share, the duplicate-bigram fraction, and a
+    keep/drop class on the 4% top-bigram threshold.
+
+    Two partial-aggregating groupBys on doc-local keys — (doc_id, bigram)
+    cardinality grows with the corpus, not with any hot key, so the plan
+    has no skew at 100 TB; bigram generation itself is a pure HOF map."""
+    docs = _fanout(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    bigrams = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(split(text, ' ')) - 2),"
+                " i -> concat_ws(' ', slice(split(text, ' '), i + 1, 2)))"
+            )
+        ).alias("bigram"),
+    )
+    per = bigrams.groupBy("doc_id", "bigram").count()
+    agg = per.groupBy("doc_id").agg(
+        F.sum("count").cast("bigint").alias("n_bigrams"),
+        F.count("*").cast("bigint").alias("n_distinct_bigrams"),
+        F.max("count").cast("bigint").alias("top_bigram_n"),
+    )
+    top_frac = F.col("top_bigram_n") * 1.0 / F.col("n_bigrams")
+    return agg.select(
+        "doc_id",
+        "n_bigrams",
+        "n_distinct_bigrams",
+        "top_bigram_n",
+        F.round(top_frac, 6).alias("top_bigram_frac"),
+        F.round(1.0 - F.col("n_distinct_bigrams") * 1.0 / F.col("n_bigrams"), 6).alias(
+            "dup_bigram_frac"
+        ),
+        F.when(top_frac > 0.04, "repetitive").otherwise("ok").alias("repetition_class"),
+    )
+
+
+@register(
+    "train_shard_manifest",
+    survey_ref="S7,A1,train-export",
+    oracle="""
+WITH hashed AS (
+  SELECT doc_id,
+         (doc_id * 2654435761) % 4294967296 AS h,
+         len(string_split(text, ' '))       AS n_tokens
+  FROM documents
+)
+SELECT CAST(h % 16 AS INT)            AS shard,
+       CAST(count(*) AS BIGINT)       AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT)  AS total_tokens,
+       CAST(min(h) AS BIGINT)         AS min_hash,
+       CAST(max(h) AS BIGINT)         AS max_hash,
+       CAST(arg_min(doc_id, h) AS BIGINT) AS first_doc
+FROM hashed
+GROUP BY h % 16
+""",
+)
+def train_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic shard assignment for training-data export: Knuth
+    multiplicative hash of the doc id (injective for ids < 2^32, so the
+    within-shard hash order is a stable pseudo-random shuffle), docs
+    bucketed into 16 shards, with per-shard token budgets and the hash
+    range the shard covers. The same manifest drives
+    ``DataFrameWriter.partitionBy("shard")`` at export time — one pass,
+    one 16-key aggregate, no data-dependent skew because the hash
+    equidistributes ids."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    hashed = docs.select(
+        "doc_id",
+        ((F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)).alias("h"),
+        F.size(F.split("text", " ")).alias("n_tokens"),
+    )
+    return (
+        hashed.groupBy((F.col("h") % 16).cast("int").alias("shard"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.min("h").cast("bigint").alias("min_hash"),
+            F.max("h").cast("bigint").alias("max_hash"),
+            F.min_by("doc_id", "h").cast("bigint").alias("first_doc"),
+        )
+    )
