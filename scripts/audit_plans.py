@@ -79,10 +79,17 @@ def audit_one(spark, name: str, sf_dir: str) -> list[str]:
     n_exchange = sum(1 for n in nodes if n == "Exchange")
     if n_exchange > 6:
         flags.append(f"exchange-storm({n_exchange})")
-    # Window over unpartitioned data: formatted explain shows the window
-    # spec; a lone SinglePartition exchange feeding a Window is the tell.
-    if re.search(r"Arguments: \[[^\]]*windowspecdefinition\(", plan) and "SinglePartition" in plan:
-        flags.append("single-partition-window")
+    # Window over unpartitioned data: a windowspecdefinition whose FIRST
+    # argument is already an ordering term (ASC/DESC) has no partition
+    # columns, so every row funnels through one task. Checking the spec
+    # itself (not "SinglePartition anywhere in the plan") avoids false
+    # positives from Spark's injected runtime bloom-filter aggregations,
+    # which legitimately use a SinglePartition exchange for a 1-row buffer.
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)", plan):
+        first = spec.split(",")[0].strip()
+        if first.endswith(("ASC NULLS FIRST", "ASC NULLS LAST", "DESC NULLS FIRST", "DESC NULLS LAST")):
+            flags.append("single-partition-window")
+            break
     # A query that filters (post-scan Filter node exists) but pushes nothing.
     has_filter = "Filter" in nodes
     pushes = re.findall(r"PushedFilters: \[([^\n]*)", plan)
