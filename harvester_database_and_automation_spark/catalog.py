@@ -127,23 +127,31 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     if name == "events":
-        # events.parquet stores TIMESTAMP(NANOS) which Spark's vectorized
-        # reader rejects; read nanos as long and rebuild the timestamp
-        # (integer microsecond truncation — generator emits whole micros).
+        # Generator versions differ: some corpora store ts as
+        # TIMESTAMP(NANOS) (which Spark's vectorized reader rejects — read
+        # nanos as long and rebuild), newer ones as TIMESTAMP(MICROS)
+        # (native read). Branch on the physical type.
         from pyspark.sql import functions as F
+        from pyspark.sql import types as T_
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        # Rebuild as TIMESTAMP_NTZ straight from epoch micros — no LTZ hop,
-        # so the result is identical under any session timezone. Decimal
-        # division keeps microsecond precision exact.
-        return df.withColumn(
-            "ts",
-            F.expr(
-                "cast('1970-01-01 00:00:00' as timestamp_ntz)"
-                " + make_dt_interval(0, 0, 0, cast(ts div 1000 as decimal(20,0)) / 1000000)"
-            ),
-        )
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T_.LongType):
+            # Rebuild as TIMESTAMP_NTZ straight from epoch micros — no LTZ
+            # hop, so the result is identical under any session timezone.
+            # Decimal division keeps microsecond precision exact.
+            return df.withColumn(
+                "ts",
+                F.expr(
+                    "cast('1970-01-01 00:00:00' as timestamp_ntz)"
+                    " + make_dt_interval(0, 0, 0, cast(ts div 1000 as decimal(20,0)) / 1000000)"
+                ),
+            )
+        if isinstance(ts_type, T_.TimestampType):
+            # MICROS read as LTZ under some configs — pin to NTZ wall-clock.
+            return df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
