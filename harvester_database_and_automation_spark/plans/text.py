@@ -10,6 +10,8 @@ all-pairs comparison ever materializes except among verified candidates.
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -400,18 +402,36 @@ def dup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Universal-hash permutation family for MinHash: v_h = (a_h*m + b_h) mod P
+# over a single 32-bit base hash m per shingle (first 8 md5 hex chars).
+# One md5 per shingle instead of 16 — the md5 was ~the whole map-side cost.
+# a_h < 2^24 and m < 2^32 keep a_h*m + b_h < 2^57: no 64-bit overflow in
+# either engine. Constants are fixed (not runtime-random) so the Spark side
+# and the DuckDB oracle share them via this module.
+_MINHASH_P = 4294967311  # prime > 2^32
+_MINHASH_PERMS = [(h * 613651 + 100003, h * 368041 + 15485863) for h in range(16)]
+_MINHASH_PERMS_SQL = ", ".join(
+    f"({h}, {a}::BIGINT, {b}::BIGINT)" for h, (a, b) in enumerate(_MINHASH_PERMS)
+)
+
+
 @register(
     "minhash_lsh_candidates",
     survey_ref="dedup-minhash,J1,A4",
     oracle=f"""
 WITH sh AS ({_SHINGLES_SQL}),
+based AS (
+  SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS m FROM sh
+),
+perms(h, a, b) AS (VALUES {_MINHASH_PERMS_SQL}),
 hashes AS (
-  SELECT doc_id, h, min(md5(h || '|' || shingle)) AS minhash
-  FROM sh, unnest(generate_series(0, 15)) AS u(h)
+  SELECT doc_id, h, min((a * m + b) % {_MINHASH_P}) AS minhash
+  FROM based, perms
   GROUP BY doc_id, h
 ),
 bands AS (
-  SELECT doc_id, h // 4 AS band, md5(string_agg(minhash, ',' ORDER BY h)) AS band_sig
+  SELECT doc_id, h // 4 AS band,
+         md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY h)) AS band_sig
   FROM hashes
   GROUP BY doc_id, h // 4
 )
@@ -421,21 +441,24 @@ FROM bands a JOIN bands b
 """,
 )
 def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash (16 perms as md5-keyed min-ordering) + LSH banding (4 bands x
-    4 rows): candidate pairs are docs agreeing on any band signature.
+    """MinHash (16 universal-hash permutations over one md5-derived base
+    hash) + LSH banding (4 bands x 4 rows): candidate pairs are docs
+    agreeing on any band signature.
 
     This is the 100TB-scale dedup path: signature generation is a map-side
     explode+agg, candidate generation an equi-join on (band, signature) —
     cost is proportional to collisions, not to |docs|^2.
     """
-    sh = _shingles(spark, sf_dir)
+    sh = _shingles(spark, sf_dir).withColumn(
+        "m", F.expr("cast(conv(substr(md5(shingle), 1, 8), 16, 10) as bigint)")
+    )
     # All 16 minhashes as min-aggregates of ONE groupBy: partial (map-side)
     # aggregation means each task ships at most 16 hashes per doc instead
     # of 16x its shingle set — the shape that survives a 100TB corpus.
     sigs = sh.groupBy("doc_id").agg(
         *[
-            F.min(F.md5(F.concat_ws("|", F.lit(str(h)), F.col("shingle")))).alias(f"m{h}")
-            for h in range(16)
+            F.min((F.lit(a) * F.col("m") + F.lit(b)) % F.lit(_MINHASH_P)).alias(f"m{h}")
+            for h, (a, b) in enumerate(_MINHASH_PERMS)
         ]
     )
     band_structs = [
@@ -488,24 +511,34 @@ GROUP BY doc_id
 def simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash per document from token md5 bits — majority vote per
     bit position over the token set, assembled into an integer bucket key.
-    Expressed as explode+agg so it scales as two hash aggregations."""
+
+    SimHash is a pure per-document function, so the whole computation is
+    map-side — ZERO shuffles at any scale. Per distinct token (distinct
+    within a doc is doc-local: ``array_distinct``), one md5 whose first
+    four hex chars decode to the 16-bit mask (bit b = nibble (b div 4),
+    bit (b % 4) inside it → byte-reversed hex = little-endian nibbles,
+    hence ``conv(reverse(...), 16, 10)``). A single ``aggregate`` fold
+    with an array accumulator counts set bits per position; the majority
+    rule is ``2*cnt >= n`` (vote sum = 2*cnt - n >= 0)."""
     docs = _fanout(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
-    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("word")).distinct()
-    bitpos = F.broadcast(spark.range(16).select(F.col("id").cast("int").alias("b")))
-    # Bit b of the token hash: hex nibble (b div 4) of md5, bit (b % 4)
-    # inside it. instr-based nibble decode keeps the expression portable
-    # to the SQL oracle (no engine-specific hex casts).
-    vote = F.expr(
-        "CASE WHEN ((instr('0123456789abcdef', substr(md5(word), 1 + b div 4, 1)) - 1)"
-        " >> (b % 4)) & 1 = 1 THEN 1 ELSE -1 END"
-    )
-    bits = (
-        tok.crossJoin(bitpos)
-        .groupBy("doc_id", "b")
-        .agg(F.when(F.sum(vote) >= 0, 1).otherwise(0).alias("bit"))
-    )
-    return bits.groupBy("doc_id").agg(
-        F.sum(F.expr("bit * shiftleft(1, b)")).cast("bigint").alias("simhash16")
+    return docs.select(
+        "doc_id",
+        F.expr(
+            """
+            cast(aggregate(
+              zip_with(
+                aggregate(
+                  transform(array_distinct(split(text, ' ')),
+                            w -> cast(conv(reverse(substr(md5(w), 1, 4)), 16, 10) as int)),
+                  array_repeat(0, 16),
+                  (acc, m) -> zip_with(acc, sequence(0, 15),
+                                       (a, b) -> a + ((m >> b) & 1))),
+                sequence(0, 15),
+                (cnt, b) -> if(2 * cnt >= size(array_distinct(split(text, ' '))),
+                               shiftleft(1, b), 0)),
+              0, (x, y) -> x + y) as bigint)
+            """
+        ).alias("simhash16"),
     )
 
 
@@ -572,19 +605,30 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     denominator shape); ranking is a per-doc window. Ties rank
     deterministically by word; rounding happens after ranking so both
     engines order identical doubles."""
-    docs = _fanout(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
-    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # One shuffle, reused twice: partition by doc_id up front, then BOTH
+    # the (doc_id, word) groupBy and the per-doc ranking window are
+    # satisfied by that partitioning (doc_id is a subset of the groupBy
+    # keys; the window partitions by exactly doc_id) — no re-shuffle of
+    # the tf table anywhere downstream.
+    tok = docs.repartition("doc_id").select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    )
     tf = tok.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
     # Document frequency as its own groupBy: partial (map-side) aggregation
     # collapses hot words ("the"-class tokens) before the shuffle, so no
     # single reducer ever sees a word's full occurrence list. A
     # count-over-Window.partitionBy("word") here would send every
     # occurrence of a hot word to one partition — a skew that gets
-    # strictly worse with corpus size.
+    # strictly worse with corpus size. The result is vocab-sized (natural
+    # text: millions of rows, a few hundred MB), so it broadcasts — the
+    # tf side never re-shuffles by word. If a corpus's vocab outgrew the
+    # broadcast budget, drop the hint and this degrades to a sort-merge
+    # join, never to a wrong answer.
     dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("dfq"))
     total = load_table(spark, sf_dir, "documents").agg(F.count(F.lit(1)).alias("n"))
     scored = (
-        tf.join(dfreq, "word")
+        tf.join(F.broadcast(dfreq), "word")
         .crossJoin(F.broadcast(total))
         .select(
             "doc_id", "word", (F.col("tf") * F.log(F.col("n") * 1.0 / F.col("dfq"))).alias("score")

@@ -101,9 +101,8 @@ def test_tfidf_document_frequency_is_not_a_word_window(spark):
     assert count_nodes(plan, "Window") <= 1
 
 
-@pytest.mark.parametrize("name", ["minhash_lsh_candidates", "simhash_buckets"])
-def test_dedup_signatures_partial_aggregate(spark, name):
-    plan = fmt_plan(spark, name)
+def test_minhash_signatures_partial_aggregate(spark):
+    plan = fmt_plan(spark, "minhash_lsh_candidates")
     # Signature generation must partial-aggregate (ships ≤16 values per doc
     # per task): every aggregation appears as a partial/final pair.
     n_agg = (
@@ -112,6 +111,18 @@ def test_dedup_signatures_partial_aggregate(spark, name):
         + count_nodes(plan, "ObjectHashAggregate")
     )
     assert n_agg % 2 == 0 and n_agg >= 2
+
+
+def test_simhash_is_shuffle_free(spark):
+    """SimHash is a pure per-document function: the plan must contain no
+    shuffle at all (the only allowed exchange is the input fanout
+    repartition) — a groupBy sneaking back in would ship per-token rows."""
+    plan = fmt_plan(spark, "simhash_buckets")
+    exchanges = count_nodes(plan, "Exchange")
+    reparts = plan.count("REPARTITION_BY_NUM") + plan.count("ROUND_ROBIN")
+    assert exchanges <= 1
+    if exchanges == 1:
+        assert reparts >= 1, "the single allowed exchange is the input fanout"
 
 
 def test_asof_query_plan_is_join_free(spark):
