@@ -51,3 +51,41 @@ def assign_global_ids(
 
     schema = T.StructType(sorted_df.schema.fields + [T.StructField(id_col, T.LongType(), False)])
     return sorted_df.sparkSession.createDataFrame(rdd.mapPartitionsWithIndex(add_ids), schema)
+
+
+def add_running_total(
+    df: DataFrame,
+    order_cols: list[Column | str],
+    value_col: str,
+    out_col: str = "running_before",
+) -> DataFrame:
+    """Add ``out_col`` = exclusive prefix sum of ``value_col`` in the total
+    order given by ``order_cols`` — the weighted generalization of
+    :func:`assign_global_ids`, same two-pass shape (per-partition totals,
+    then offset + local running sum). Equivalent to
+    ``sum(value) OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING AND 1
+    PRECEDING)`` but distributed: no single-partition window at any scale.
+
+    The prefix sum is order-exact regardless of where the range partitioner
+    places its boundaries, so results are deterministic for any
+    deterministic total order (include a unique tie-break column)."""
+    sorted_df = df.repartitionByRange(*order_cols).sortWithinPartitions(*order_cols)
+    rdd = sorted_df.rdd.persist()
+    sums = rdd.mapPartitions(lambda it: [sum(r[value_col] for r in it)]).collect()
+    offsets: list[int] = [0]
+    for s in sums[:-1]:
+        offsets.append(offsets[-1] + s)
+
+    def add_running(idx: int, it):
+        if idx >= len(offsets):
+            raise RuntimeError(
+                f"partition {idx} appeared after the sum pass saw {len(offsets)} "
+                "partitions — upstream nondeterminism; offsets would be wrong"
+            )
+        run = offsets[idx]
+        for row in it:
+            yield (*row, run)
+            run += row[value_col]
+
+    schema = T.StructType(sorted_df.schema.fields + [T.StructField(out_col, T.LongType(), False)])
+    return sorted_df.sparkSession.createDataFrame(rdd.mapPartitionsWithIndex(add_running), schema)

@@ -1,0 +1,176 @@
+"""Corpus-curation queries — the planning stages of a training-data
+pipeline that sit between cleaning/dedup and shard writing: packing
+documents into fixed-size context windows, unigram language-model quality
+scoring, and temperature-weighted domain mixing.
+
+These generalize the reference's release-planning patterns (work-queue
+slices, per-batch manifests — database/R/export_spsp_submission.R's
+chunked submission planning) to the shapes an LLM data pipeline needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from harvester_database_and_automation_spark.catalog import load_table
+from harvester_database_and_automation_spark.operators.ids import add_running_total
+from harvester_database_and_automation_spark.plans.registry import register
+
+# Context-window budget for sequence packing (tokens per training sample).
+_PACK_BUDGET = 2048
+
+
+@register(
+    "sequence_pack_manifest",
+    survey_ref="pipeline-packing,W1,A1",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS n_tok FROM documents
+),
+cum AS (
+  SELECT doc_id, n_tok,
+         CAST(COALESCE(sum(n_tok) OVER (ORDER BY doc_id
+                                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS BIGINT) AS start
+  FROM toks
+),
+spans AS (
+  SELECT doc_id, n_tok, start,
+         start // {_PACK_BUDGET} AS first_bin,
+         (start + n_tok - 1) // {_PACK_BUDGET} AS last_bin
+  FROM cum
+),
+x AS (
+  SELECT doc_id, n_tok, start, first_bin, last_bin, u.b AS bin_id
+  FROM spans, unnest(generate_series(first_bin, last_bin)) AS u(b)
+)
+SELECT bin_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN last_bin > first_bin THEN 1 ELSE 0 END) AS BIGINT) AS n_spanning,
+       CAST(sum(least(start + n_tok, (bin_id + 1) * {_PACK_BUDGET})
+                - greatest(start, bin_id * {_PACK_BUDGET})) AS BIGINT) AS n_tokens
+FROM x GROUP BY bin_id
+""",
+)
+def sequence_pack_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing manifest: concatenate the corpus in
+    doc_id order and chunk it at a fixed token budget (docs may span a
+    chunk boundary); report, per context-window bin, how many docs touch
+    it, how many of those span a boundary, and its token fill.
+
+    The global token offset is an exclusive prefix sum via
+    :func:`operators.ids.add_running_total` — the two-pass
+    partition-offset pattern, NOT a single-partition window, so the same
+    plan packs a 100 TB corpus (only per-partition token totals reach the
+    driver). Everything downstream is integer arithmetic: explode the
+    [first_bin, last_bin] span, clip each doc's contribution to the bin
+    edges, one hash aggregation. Output is hash-exact (no floats)."""
+    b = _PACK_BUDGET
+    toks = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tok")
+    )
+    cum = add_running_total(toks, ["doc_id"], "n_tok", "start")
+    spans = cum.select(
+        "doc_id",
+        "n_tok",
+        "start",
+        F.expr(f"start div {b}").alias("first_bin"),
+        F.expr(f"(start + n_tok - 1) div {b}").alias("last_bin"),
+    )
+    x = spans.select(
+        "n_tok",
+        "start",
+        "first_bin",
+        "last_bin",
+        F.explode(F.sequence("first_bin", "last_bin")).alias("bin_id"),
+    )
+    return x.groupBy("bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("last_bin") > F.col("first_bin")).cast("int")).cast("bigint").alias("n_spanning"),
+        F.sum(
+            F.least(F.col("start") + F.col("n_tok"), (F.col("bin_id") + 1) * b)
+            - F.greatest(F.col("start"), F.col("bin_id") * b)
+        ).cast("bigint").alias("n_tokens"),
+    )
+
+
+@register(
+    "unigram_logprob_quality",
+    survey_ref="text-analysis,A7,A8",
+    oracle="""
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+freq AS (SELECT word, count(*) AS c FROM tok GROUP BY 1),
+total AS (SELECT count(*) AS n FROM tok)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tok,
+       round(avg(ln(c * 1.0 / n)), 6) AS avg_logprob
+FROM tok JOIN freq USING (word) CROSS JOIN total
+GROUP BY doc_id
+""",
+)
+def unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model quality score: each document's mean token
+    log-probability under the corpus's own unigram distribution — the
+    cheap perplexity proxy used to rank documents before an expensive
+    model-based quality filter.
+
+    Scale shape: token frequencies are a map-side-combined groupBy whose
+    output is vocab-sized, so it BROADCASTS back onto the token stream —
+    the per-token table never re-shuffles by word (hot "the"-class words
+    never converge on one reducer), and the per-doc average is a second
+    partial aggregate. Two small shuffles total at any corpus size."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    freq = tok.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    total = tok.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        tok.join(F.broadcast(freq), "word")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            F.round(F.avg(F.log(F.col("c") * 1.0 / F.col("n"))), 6).alias("avg_logprob"),
+        )
+    )
+
+
+@register(
+    "domain_temperature_mix",
+    survey_ref="pipeline-mix,A7,A8",
+    oracle="""
+WITH counts AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+tot AS (SELECT sum(sqrt(n_docs)) AS sw, CAST(sum(n_docs) AS BIGINT) AS nd FROM counts)
+SELECT lang,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       round(sqrt(n_docs) / sw, 6) AS mix_weight,
+       round(nd * sqrt(n_docs) / sw, 1) AS expected_docs
+FROM counts CROSS JOIN tot
+""",
+)
+def domain_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted domain mixing (alpha = 0.5): per-language
+    sampling weights proportional to n_docs^alpha, the standard rebalance
+    that up-samples low-resource domains when assembling a training mix.
+
+    alpha = 0.5 is computed as sqrt(), which IEEE 754 requires to be
+    correctly rounded — so both engines produce bit-identical weights
+    (a pow(x, 0.7)-style temperature would drift in the last ulp across
+    libm implementations). The whole query is two tiny aggregates over a
+    language-count frame; the scalar denominator joins back as a
+    broadcast, the A8 shape."""
+    counts = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    tot = counts.agg(
+        F.sum(F.sqrt("n_docs")).alias("sw"),
+        F.sum("n_docs").cast("bigint").alias("nd"),
+    )
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.round(F.sqrt("n_docs") / F.col("sw"), 6).alias("mix_weight"),
+        F.round(F.col("nd") * F.sqrt("n_docs") / F.col("sw"), 1).alias("expected_docs"),
+    )

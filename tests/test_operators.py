@@ -754,3 +754,27 @@ def test_fuzzy_join_dist2_matches_naive(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         fuzzy_join(left, right, "lname", "rname", max_dist=3)
+
+
+def test_add_running_total_matches_window(spark):
+    from pyspark.sql import Window
+
+    from harvester_database_and_automation_spark.operators.ids import add_running_total
+
+    df = spark.createDataFrame(
+        [(i, (i * 37) % 113 + 1) for i in range(5000)], "k int, w int"
+    ).repartition(16)
+    got = add_running_total(df, ["k"], "w", "start")
+    expected = df.withColumn(
+        "start",
+        F.coalesce(
+            F.sum("w").over(Window.orderBy("k").rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ).cast("long"),
+    )
+    assert got.count() == 5000
+    assert got.join(expected, ["k", "w", "start"], "inner").count() == 5000
+    # Exclusive prefix: first row starts at 0, last start + w = grand total.
+    total = df.agg(F.sum("w")).collect()[0][0]
+    last = got.orderBy(F.col("k").desc()).limit(1).collect()[0]
+    assert last["start"] + last["w"] == total
