@@ -569,6 +569,200 @@ def ivf_recall_at_3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "semantic_dedup_cells",
+    survey_ref="dedup-embedding,similarity-ivf,J1,A3",
+    oracle=f"""
+WITH vecs AS (SELECT vec_id, embedding::DOUBLE[] AS vv FROM embeddings),
+cents AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id < 8),
+vc AS (
+  SELECT vecs.vec_id, cents.cid,
+         {_COS_SQL.format(a='vecs.vv', b='cents.cv')} AS sim
+  FROM vecs CROSS JOIN cents
+), assign AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rk
+    FROM vc
+  ) t WHERE rk = 1
+), m AS (
+  SELECT a.vec_id, a.cell, v.vv FROM assign a JOIN vecs v USING (vec_id)
+), pairs AS (
+  SELECT x.cell, x.vec_id AS vec_a, y.vec_id AS vec_b
+  FROM m x JOIN m y ON x.cell = y.cell AND x.vec_id < y.vec_id
+  WHERE {_COS_SQL.format(a='x.vv', b='y.vv')} > 0.4
+), sizes AS (SELECT cell, count(*) AS n_members FROM assign GROUP BY cell),
+agg AS (
+  SELECT cell, count(*) AS n_pairs, count(DISTINCT vec_b) AS n_dropped
+  FROM pairs GROUP BY cell
+)
+SELECT s.cell, CAST(s.n_members AS BIGINT) AS n_members,
+       CAST(COALESCE(a.n_pairs, 0) AS BIGINT)   AS n_pairs,
+       CAST(COALESCE(a.n_dropped, 0) AS BIGINT) AS n_dropped
+FROM sizes s LEFT JOIN agg a USING (cell)
+""",
+)
+def semantic_dedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication: cluster the corpus (here the
+    shared IVF coarse assignment), then compare vectors pairwise ONLY
+    within a cluster and drop the higher id of every pair above the cosine
+    threshold. Reports per cell its size, the over-threshold pair count,
+    and how many vectors dedup would remove.
+
+    This is the scale path that makes `embedding_near_dup_pairs` (the
+    all-pairs baseline) deployable: the self-join is an equi-join on cell,
+    so comparison cost is sum of squared CELL sizes, not corpus size
+    squared — with k cells that is a k× reduction at equal occupancy, and
+    the cells come from the session-shared inverted file the ANN probe
+    already maintains."""
+    ranked = _ivf_ranked(spark, sf_dir)
+    assign = ranked.filter(F.col("rk") == 1).select("vec_id", F.col("cid").alias("cell"))
+    e = _emb_with_norm(spark, sf_dir).select("vec_id", "vec", "norm")
+    members = e.join(assign, "vec_id")
+    a = members.select(
+        "cell", F.col("vec_id").alias("vec_a"), F.col("vec").alias("va"), F.col("norm").alias("na")
+    )
+    b = members.select(
+        "cell", F.col("vec_id").alias("vec_b"), F.col("vec").alias("vb"), F.col("norm").alias("nb")
+    )
+    pairs = (
+        a.join(b, "cell")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .filter((_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))) > 0.4)
+        .select("cell", "vec_a", "vec_b")
+    )
+    sizes = assign.groupBy("cell").agg(F.count(F.lit(1)).cast("bigint").alias("n_members"))
+    agg = pairs.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.countDistinct("vec_b").alias("n_dropped"),
+    )
+    return sizes.join(agg, "cell", "left").select(
+        "cell",
+        "n_members",
+        F.coalesce(F.col("n_pairs"), F.lit(0)).cast("bigint").alias("n_pairs"),
+        F.coalesce(F.col("n_dropped"), F.lit(0)).cast("bigint").alias("n_dropped"),
+    )
+
+
+# Fixed-order 8-term squared-distance between two 8-dim subvectors — the
+# SAME left-associative addition chain on both engines so encode argmins
+# are bit-identical.
+def _sq8_sql(a: str, b: str) -> str:
+    return " + ".join(f"({a}[{i}]-{b}[{i}])*({a}[{i}]-{b}[{i}])" for i in range(1, 9))
+
+
+@register(
+    "pq_adc_topk",
+    survey_ref="similarity-pq,J1,A10,W2",
+    oracle=f"""
+WITH vecs AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+subs AS (SELECT unnest(generate_series(0, 7)) AS m),
+subvec AS (
+  SELECT vec_id, label, m, v[m * 8 + 1 : m * 8 + 8] AS sv FROM vecs CROSS JOIN subs
+),
+ex AS (SELECT label, min(vec_id) AS ex_id FROM vecs GROUP BY label),
+cw AS (
+  SELECT s.m, s.label AS code, s.sv AS cwv
+  FROM subvec s JOIN ex ON ex.ex_id = s.vec_id
+),
+dists AS (
+  SELECT s.vec_id, s.m, c.code, {_sq8_sql('s.sv', 'c.cwv')} AS d2
+  FROM subvec s JOIN cw c ON c.m = s.m
+),
+codes AS (
+  SELECT vec_id, m, code FROM (
+    SELECT vec_id, m, code,
+           row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, code) AS rn
+    FROM dists
+  ) t WHERE rn = 1
+),
+recon AS (
+  SELECT codes.vec_id, flatten(list(c.cwv ORDER BY codes.m)) AS rv
+  FROM codes JOIN cw c ON c.m = codes.m AND c.code = codes.code
+  GROUP BY codes.vec_id
+),
+queries AS (SELECT vec_id AS query_id, v AS qv FROM vecs WHERE vec_id % 17 = 0),
+scores AS (
+  SELECT q.query_id, r.vec_id AS neighbor_id, list_dot_product(q.qv, r.rv) AS adc
+  FROM queries q JOIN recon r ON r.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, rk, round(adc, 6) AS adc
+FROM (
+  SELECT query_id, neighbor_id, adc,
+         row_number() OVER (PARTITION BY query_id ORDER BY adc DESC, neighbor_id) AS rk
+  FROM scores
+) t WHERE rk <= 5
+""",
+)
+def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance computation: split
+    each 64-dim vector into 8 subspaces, encode every subvector as its
+    nearest codeword, and score query-to-neighbor as the exact query dotted
+    with the neighbor's RECONSTRUCTION — the int-code compressed index that
+    makes billion-vector search fit in memory (8 bytes/vector here vs 256).
+
+    Codewords are per-label exemplar subvectors (the lowest vec_id of each
+    label) — a deterministic stand-in for per-subspace k-means so the SQL
+    oracle can replay encoding bit-for-bit; the operator under test
+    (encode via argmin, ADC scan via code lookup) is unchanged by how the
+    codebook was trained. Scale shape: the codebook (8 subspaces x 10
+    codes) broadcasts everywhere; encoding is a map pass; the ADC scan
+    joins codes to codewords and folds the reconstruction ONCE per
+    neighbor, then a per-query top-k window over Q x N narrow rows —
+    vectors themselves never shuffle."""
+    e = _emb(spark, sf_dir)
+    subs = F.broadcast(spark.range(8).select(F.col("id").cast("int").alias("m")))
+    subvec = e.crossJoin(subs).select(
+        "vec_id", "label", "m", F.slice("vec", F.col("m") * 8 + 1, 8).alias("sv")
+    )
+    ex = e.groupBy("label").agg(F.min("vec_id").alias("ex_id"))
+    cw = F.broadcast(
+        subvec.join(ex, subvec["vec_id"] == ex["ex_id"], "inner").select(
+            "m", F.col("sv").alias("cwv"), subvec["label"].alias("code")
+        )
+    )
+    d2 = sum(
+        (F.element_at("sv", i) - F.element_at("cwv", i))
+        * (F.element_at("sv", i) - F.element_at("cwv", i))
+        for i in range(1, 9)
+    )
+    dists = _fanout(subvec).join(cw, "m").select(
+        "vec_id", "m", "code", d2.alias("d2")
+    )
+    codes = (
+        dists.groupBy("vec_id", "m")
+        .agg(F.min(F.struct("d2", "code")).alias("best"))
+        .select("vec_id", "m", F.col("best.code").alias("code"))
+    )
+    recon = (
+        codes.join(cw.select("m", "code", "cwv"), ["m", "code"])
+        .groupBy("vec_id")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("m", "cwv"))), lambda s: s["cwv"]
+                )
+            ).alias("rv")
+        )
+    )
+    queries = F.broadcast(
+        e.filter(F.col("vec_id") % 17 == 0).select(
+            F.col("vec_id").alias("query_id"), F.col("vec").alias("qv")
+        )
+    )
+    scores = (
+        queries.crossJoin(recon.withColumnRenamed("vec_id", "neighbor_id"))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", _dot(F.col("qv"), F.col("rv")).alias("adc"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("adc").desc(), F.col("neighbor_id").asc())
+    return (
+        scores.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("query_id", "neighbor_id", "rk", F.round("adc", 6).alias("adc"))
+    )
+
+
+@register(
     "kmeans_lloyd_clusters",
     survey_ref="embedding-cluster,iterative,A1,J7",
     oracle="""

@@ -112,6 +112,52 @@ def pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "kanonymity_audit",
+    survey_ref="governance,A1,A5,P4",
+    oracle="""
+WITH classes AS (
+  SELECT c_nationkey, c_mktsegment, CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+         count(*) AS n
+  FROM customer GROUP BY 1, 2, 3
+)
+SELECT CASE WHEN n < 5 THEN 'suppress' WHEN n < 10 THEN 'generalize' ELSE 'ok' END AS k_band,
+       CAST(count(*) AS BIGINT) AS n_classes,
+       CAST(sum(n) AS BIGINT)   AS n_rows,
+       CAST(min(n) AS BIGINT)   AS min_class_size,
+       CAST(max(n) AS BIGINT)   AS max_class_size
+FROM classes GROUP BY 1
+""",
+)
+def kanonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the quasi-identifier (nation, segment,
+    account-balance band): size every equivalence class and band it by the
+    re-identification policy — classes under k=5 must be suppressed,
+    under 10 generalized (coarser bands), at 10+ released as-is. The
+    release pipeline's privacy gate before any per-record export.
+
+    Two cascaded hash aggregations (class sizes, then the 3-row band
+    rollup) — both partial-aggregate map-side, so the 100 TB plan is one
+    shuffle of class-key cardinality, never row cardinality."""
+    cust = load_table(spark, sf_dir, "customer")
+    classes = cust.groupBy(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias("bal_band"),
+    ).agg(F.count("*").alias("n"))
+    band = (
+        F.when(F.col("n") < 5, "suppress")
+        .when(F.col("n") < 10, "generalize")
+        .otherwise("ok")
+    )
+    return classes.groupBy(band.alias("k_band")).agg(
+        F.count("*").cast("bigint").alias("n_classes"),
+        F.sum("n").cast("bigint").alias("n_rows"),
+        F.min("n").cast("bigint").alias("min_class_size"),
+        F.max("n").cast("bigint").alias("max_class_size"),
+    )
+
+
+@register(
     "retention_erasure_audit",
     survey_ref="M3,P2,A2",
     oracle="""

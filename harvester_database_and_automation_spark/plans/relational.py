@@ -1749,6 +1749,56 @@ def event_concurrency_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "user_rolling_7day_value",
+    survey_ref="W-range-frame,A1",
+    oracle="""
+WITH e AS (
+  SELECT event_id, user_id,
+         datediff('second', TIMESTAMP '2024-01-01', ts) AS s,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+)
+SELECT event_id, user_id,
+       CAST(count(*) OVER w AS BIGINT) AS n_7d,
+       CAST(sum(cents) OVER w AS BIGINT) AS roll_cents
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY s
+             RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)
+""",
+)
+def user_rolling_7day_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user trailing-7-day activity via a RANGE window frame — the one
+    window family the reference never uses (SURVEY §2.5 notes it has
+    ranking windows only) but any event-stream health metric needs. The
+    frame bound is event-time, not row-count; BOTH engines order and bound
+    the frame on the same whole-second offset from a fixed origin (framing
+    one side on raw nanosecond timestamps shifts events sitting exactly on
+    the truncated 7-day boundary), and the measure is integer cents so the
+    varying-frame sums re-aggregate exactly.
+
+    Scale shape: one shuffle on user_id, then a per-partition ordered scan
+    — the same cost as the ranking windows; no self-join materializes the
+    frame."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.expr("timestampdiff(SECOND, TIMESTAMP_NTZ'2024-01-01 00:00:00', ts)").alias("s"),
+        F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("s")
+        .rangeBetween(-7 * 86400, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_7d"),
+        F.sum("cents").over(w).cast("bigint").alias("roll_cents"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Hypertable cascade rollup — operators/rollup_cascade.py over events.
 # ---------------------------------------------------------------------------

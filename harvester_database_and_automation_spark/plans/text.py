@@ -207,6 +207,61 @@ def doc_fingerprint_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "paragraph_dup_fraction",
+    survey_ref="dedup-paragraph,J1,A1",
+    oracle="""
+WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+para AS (
+  SELECT doc_id,
+         md5(array_to_string(w[(i - 1) * 20 + 1 : least(i * 20, len(w))], ' ')) AS h
+  FROM words, unnest(generate_series(1, CAST(ceil(len(w) / 20.0) AS BIGINT))) AS u(i)
+),
+counts AS (SELECT h, count(*) AS c FROM para GROUP BY h)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_para,
+       CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+       round(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS dup_frac
+FROM para JOIN counts USING (h)
+GROUP BY doc_id
+""",
+)
+def paragraph_dup_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document exact dedup at paragraph granularity (the MassiveText /
+    Gopher repetition filter): chunk each document into consecutive 20-word
+    paragraphs, hash them, and report per document how many of its
+    paragraphs appear anywhere else in the corpus.
+
+    Scale shape: chunking is a map-side explode; the global paragraph
+    count is one hash aggregation on the 128-bit digest (uniform keys, no
+    skew) and the join back to paragraphs is an equi-join on the same
+    digest — paragraph text never re-shuffles, only (doc_id, hash) pairs
+    do. Documents whose dup_frac exceeds a policy threshold would be
+    dropped or trimmed by the downstream curation pass."""
+    docs = _fanout(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    para = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, int(ceil(size(split(text, ' ')) / 20.0))),"
+                " i -> md5(concat_ws(' ', slice(split(text, ' '), (i - 1) * 20 + 1, 20))))"
+            )
+        ).alias("h"),
+    )
+    counts = para.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        para.join(counts, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_para"),
+            F.sum((F.col("c") > 1).cast("int")).cast("bigint").alias("n_dup"),
+            F.round(F.sum((F.col("c") > 1).cast("int")) * 1.0 / F.count(F.lit(1)), 6).alias(
+                "dup_frac"
+            ),
+        )
+    )
+
+
 _ROLL_TERMS_SQL = " + ".join(
     f"CAST(ascii(substr(text, pos + {i}, 1)) AS BIGINT) * {31 ** (7 - i)}" for i in range(8)
 )

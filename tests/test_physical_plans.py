@@ -157,6 +157,50 @@ def test_heavy_hitters_candidate_join_is_broadcast(spark):
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
 
 
+def test_paragraph_dedup_joins_on_digest_not_text(spark):
+    """The global-count join back to paragraphs must key on the md5 digest
+    — paragraph text must never survive past the hash projection into a
+    shuffle (at 100 TB the text column is the corpus itself)."""
+    plan = fmt_plan(spark, "paragraph_dup_fraction")
+    assert count_nodes(plan, "CartesianProduct") == 0
+    assert count_nodes(plan, "BroadcastNestedLoopJoin") == 0
+    # every exchange below the final agg carries only (doc_id, h) or
+    # (h, c) — the text column appears in no Exchange argument list
+    exchange_args = " ".join(re.findall(r"Arguments: hashpartitioning\([^\n]*", plan))
+    assert "text#" not in exchange_args, "paragraph text must not be a shuffle key"
+
+
+def test_semantic_dedup_pairs_is_cell_equi_join(spark):
+    """SemDeDup's whole point: the pair comparison is an equi-join on the
+    cluster cell, never an all-pairs product over the corpus."""
+    plan = fmt_plan(spark, "semantic_dedup_cells")
+    assert count_nodes(plan, "CartesianProduct") == 0
+    n_equi = (
+        count_nodes(plan, "SortMergeJoin")
+        + count_nodes(plan, "ShuffledHashJoin")
+        + count_nodes(plan, "BroadcastHashJoin")
+    )
+    assert n_equi >= 1
+
+
+def test_pq_codebook_joins_are_broadcast(spark):
+    """PQ encode + ADC: the codebook (8 subspaces x 10 codes) and the query
+    block must broadcast — the only streamed side is the vector corpus."""
+    plan = fmt_plan(spark, "pq_adc_topk")
+    assert count_nodes(plan, "CartesianProduct") == 0
+    assert "BroadcastHashJoin" in plan
+
+
+def test_rolling_window_partitions_by_user(spark):
+    """The RANGE-frame window must partition by user_id (one ordered scan
+    per user partition), never funnel the fact through a global sort."""
+    plan = fmt_plan(spark, "user_rolling_7day_value")
+    spec = re.search(r"windowspecdefinition\(([^)]*)", plan)
+    assert spec and spec.group(1).split(",")[0].strip().startswith("user_id"), (
+        "window must be user_id-partitioned"
+    )
+
+
 def test_rollup_cascade_has_no_extra_fact_scans(spark):
     """Cascade levels must re-aggregate the level below: exactly one scan
     of the events fact per plan (the oracle-facing day query)."""
