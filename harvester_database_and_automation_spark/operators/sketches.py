@@ -47,16 +47,21 @@ def heavy_hitters_exact(df: DataFrame, col: str, k: int) -> DataFrame:
     src = df.select(col).filter(F.col(col).isNotNull())
 
     def mg_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Batch-merged Misra-Gries (the mergeable-summaries form): count
+        # each Arrow batch vectorized (value_counts is C-speed — a per-row
+        # Python loop here measured ~10x slower), fold the batch summary
+        # into the running one, and when over capacity subtract the
+        # (cap+1)-th largest count from every counter and drop the
+        # non-positives. Each prune removes >= sub*(cap+1) mass, so the
+        # total undercount stays <= n_p/(cap+1) — the same deficiency
+        # bound as element-wise MG, so the candidate guarantee holds.
         counters: dict = {}
         for pdf in batches:
-            for v in pdf[col].values:
-                if v in counters:
-                    counters[v] += 1
-                elif len(counters) < cap:
-                    counters[v] = 1
-                else:
-                    # decrement-all eviction: amortized O(1) per element
-                    counters = {key: c - 1 for key, c in counters.items() if c > 1}
+            for v, c in pdf[col].value_counts().items():
+                counters[v] = counters.get(v, 0) + int(c)
+            if len(counters) > cap:
+                sub = sorted(counters.values(), reverse=True)[cap]
+                counters = {key: c - sub for key, c in counters.items() if c > sub}
         yield pd.DataFrame({col: list(counters.keys())})
 
     candidates = src.mapInPandas(mg_partition, schema=out_schema).distinct()
