@@ -42,7 +42,39 @@ def _media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("media_decode_stats", survey_ref="multimodal,S8-shape,A1")
+# Hex nibble -> int via position in the hex alphabet (strpos is 1-based).
+_HEXPOS = "strpos('0123456789abcdef', h[{c}]) - 1"
+
+
+@register(
+    "media_decode_stats",
+    survey_ref="multimodal,S8-shape,A1",
+    oracle=f"""
+WITH media AS (
+  SELECT doc_id AS media_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image'
+              WHEN doc_id % 3 = 1 THEN 'audio'
+              ELSE 'video' END AS kind,
+         text, sha256(text) AS h
+  FROM documents
+),
+feat AS (
+  SELECT media_id, kind,
+         octet_length(text::BLOB) AS n_bytes,
+         sqrt(CAST(list_sum(list_transform(generate_series(0, 15), i ->
+             CAST(({_HEXPOS.format(c='i*2+1')}) * 16
+                  + {_HEXPOS.format(c='i*2+2')} AS BIGINT)
+             * CAST(({_HEXPOS.format(c='i*2+1')}) * 16
+                    + {_HEXPOS.format(c='i*2+2')} AS BIGINT)
+         )) AS DOUBLE)) / 255.0 AS norm
+  FROM media
+)
+SELECT kind, CAST(count(*) AS BIGINT) AS n_items,
+       round(avg(n_bytes), 4) AS avg_bytes,
+       round(avg(norm), 6) AS avg_feature_norm
+FROM feat GROUP BY kind
+""",
+)
 def media_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode (deterministic fake) + feature-extract every media item via
     mapInPandas, then aggregate per kind: item count, mean payload size,
@@ -50,7 +82,15 @@ def media_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     column scan → Arrow batches → fixed-width vectors → hash agg — only
     the codec inside the batch function is faked (no image/audio libs in
     this environment; sources/multimodal.py gates the real path behind
-    NotImplementedError)."""
+    NotImplementedError).
+
+    The DuckDB oracle replays the fake decoder's arithmetic from the same
+    payloads (sha256 hex → digest bytes → norm), putting even this stage
+    under the value-hash gate. The per-item norm is computed from the
+    INTEGER sum of squared digest bytes — exact in any summation order —
+    then sqrt/255 once, so both engines produce bit-identical norms; the
+    feature byte is recovered from the stored feature exactly via
+    round(x*255)."""
     from harvester_database_and_automation_spark.sources.multimodal import (
         decode_media,
         extract_features,
@@ -59,7 +99,12 @@ def media_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = _media_table(spark, sf_dir)
     decoded = decode_media(media, fake=True)
     feats = extract_features(media)
-    norm = F.sqrt(F.aggregate("features", F.lit(0.0), lambda acc, x: acc + x * x))
+    sq_sum = F.aggregate(
+        F.transform("features", lambda x: F.round(x * 255).cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda acc, b: acc + b * b,
+    )
+    norm = F.sqrt(sq_sum.cast("double")) / 255.0
     return (
         decoded.join(feats, "media_id")
         .groupBy("kind")
@@ -68,6 +113,33 @@ def media_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("n_bytes"), 4).alias("avg_bytes"),
             F.round(F.avg(norm), 6).alias("avg_feature_norm"),
         )
+    )
+
+
+@register(
+    "video_frame_sample_plan",
+    survey_ref="multimodal,array-explode,P2",
+    oracle="""
+SELECT media_id, CAST(u.f AS INT) AS frame_idx
+FROM (
+  SELECT doc_id AS media_id, CAST(n_chars % 100 AS INT) AS n_frames
+  FROM documents WHERE doc_id % 3 = 2
+) v, unnest(generate_series(0, n_frames - 1, 10)) AS u(f)
+WHERE n_frames > 0
+""",
+)
+def video_frame_sample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every-10th-frame sampling manifest for the video rows — the
+    metadata-only explode that drives a later per-frame decode stage
+    (sources/multimodal.py::sample_frames). Zero-frame videos sample to
+    nothing on both engines. At scale this is the fan-out table a video
+    pipeline joins back to the binary column, so the blob itself is never
+    exploded — only (media_id, frame_idx) rows are."""
+    from harvester_database_and_automation_spark.sources.multimodal import sample_frames
+
+    media = _media_table(spark, sf_dir)
+    return sample_frames(media, every_n=10).select(
+        "media_id", F.col("frame_idx").cast("int").alias("frame_idx")
     )
 
 

@@ -107,9 +107,13 @@ def extract_features(df: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
 def sample_frames(df: DataFrame, every_n: int = 10) -> DataFrame:
     """Frame-sampling plan for videos: one output row per kept frame index,
     derived from metadata only (n_frames) — the decode of each kept frame
-    is a later mapInPandas stage. Pure relational explode; no UDF."""
+    is a later mapInPandas stage. Pure relational explode; no UDF.
+
+    Zero-frame videos are filtered first: they sample to nothing, and
+    Spark's ``sequence(0, -1, step)`` raises on the inverted bounds rather
+    than returning an empty array."""
     return (
-        df.filter(F.col("kind") == "video")
+        df.filter((F.col("kind") == "video") & (F.col("meta.n_frames") > 0))
         .select(
             "media_id",
             F.explode(
