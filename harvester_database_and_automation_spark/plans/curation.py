@@ -136,6 +136,75 @@ def unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "token_length_outliers",
+    survey_ref="text-analysis,A1,A7,P4",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, lang, source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS x
+  FROM documents
+),
+stats AS (
+  SELECT lang, source,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT)   AS s,
+         CAST(sum(x * x) AS BIGINT) AS ss
+  FROM toks GROUP BY lang, source
+)
+SELECT t.lang, t.source,
+       CAST(st.n AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN (t.x * st.n - st.s) * (t.x * st.n - st.s)
+                          > 4 * (st.n * st.ss - st.s * st.s)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       round(st.s * 1.0 / st.n, 6) AS mean_tokens
+FROM toks t JOIN stats st USING (lang, source)
+GROUP BY t.lang, t.source, st.n, st.s
+""",
+)
+def token_length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical outlier filter for curation: per (lang, source) stratum,
+    count documents whose token length sits more than 2 standard deviations
+    from the stratum mean — the distribution-based pruning pass that runs
+    after rule filters and before dedup.
+
+    The |z| > 2 test is evaluated in INTEGER arithmetic:
+    (x*n - S)^2 > 4*(n*SS - S^2) is z^2 > 4 with both sides multiplied by
+    n^2*sigma^2 — so the cut is exact in both engines with no float
+    boundary to disagree on (a float z-score at 1.9999999 vs 2.0000001
+    would flip rows between engines). Magnitudes stay far inside int64 at
+    bench scale; a production run at corpus n where x*n approaches 2^63
+    would evaluate the same predicate in decimal.
+
+    Scale shape: stratum moments are one partial-agg groupBy whose output
+    is stratum-sized, broadcast back onto the scan — two small shuffles
+    regardless of corpus size (the `unigram_logprob_quality` shape)."""
+    toks = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", F.size(F.split("text", " ")).cast("bigint").alias("x")
+    )
+    stats = toks.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("s"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("ss"),
+    )
+    dev = F.col("x") * F.col("n") - F.col("s")
+    is_outlier = dev * dev > 4 * (F.col("n") * F.col("ss") - F.col("s") * F.col("s"))
+    return (
+        toks.join(F.broadcast(stats), ["lang", "source"])
+        .groupBy("lang", "source", "n", "s")
+        .agg(
+            F.sum(is_outlier.cast("int")).cast("bigint").alias("n_outliers"),
+        )
+        .select(
+            "lang",
+            "source",
+            F.col("n").alias("n_docs"),
+            "n_outliers",
+            F.round(F.col("s") * 1.0 / F.col("n"), 6).alias("mean_tokens"),
+        )
+    )
+
+
+@register(
     "domain_temperature_mix",
     survey_ref="pipeline-mix,A7,A8",
     oracle="""

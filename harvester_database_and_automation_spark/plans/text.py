@@ -470,6 +470,125 @@ _MINHASH_PERMS_SQL = ", ".join(
 )
 
 
+def _minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc 16-component MinHash signature (doc_id, m0..m15), session-
+    shared: all 16 minhashes are min-aggregates of ONE groupBy over the
+    shingle base hash, so partial (map-side) aggregation ships at most 16
+    values per doc per task — the shape that survives a 100 TB corpus. The
+    LSH banding query and the estimator-calibration query both consume it;
+    at scale this IS the persisted signature table a dedup service keeps."""
+
+    def build() -> DataFrame:
+        sh = _shingles(spark, sf_dir).withColumn(
+            "m", F.expr("cast(conv(substr(md5(shingle), 1, 8), 16, 10) as bigint)")
+        )
+        return sh.groupBy("doc_id").agg(
+            *[
+                F.min((F.lit(a) * F.col("m") + F.lit(b)) % F.lit(_MINHASH_P)).alias(f"m{h}")
+                for h, (a, b) in enumerate(_MINHASH_PERMS)
+            ]
+        )
+
+    return shared_df(spark, ("minhash_sigs", sf_dir), build)
+
+
+# Shared oracle CTE chain: per-doc per-permutation minhash, band signatures,
+# and the LSH candidate pairs.
+_MINHASH_CANDS_SQL = f"""
+based AS (
+  SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS m FROM sh
+),
+perms(h, a, b) AS (VALUES {{perms}}),
+hashes AS (
+  SELECT doc_id, h, min((a * m + b) % {_MINHASH_P}) AS minhash
+  FROM based, perms
+  GROUP BY doc_id, h
+),
+bands AS (
+  SELECT doc_id, h // 4 AS band,
+         md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY h)) AS band_sig
+  FROM hashes
+  GROUP BY doc_id, h // 4
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+)
+"""
+
+
+@register(
+    "minhash_jaccard_calibration",
+    survey_ref="dedup-minhash,A1,A7",
+    oracle=f"""
+WITH sh AS ({_SHINGLES_SQL}),
+{_MINHASH_CANDS_SQL.format(perms=_MINHASH_PERMS_SQL).strip().lstrip()},
+match AS (
+  SELECT c.doc_a, c.doc_b,
+         CAST(sum(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END) AS INT) AS n_sig_match
+  FROM cands c
+  JOIN hashes sa ON sa.doc_id = c.doc_a
+  JOIN hashes sb ON sb.doc_id = c.doc_b AND sb.h = sa.h
+  GROUP BY 1, 2
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairj AS (
+  SELECT m.doc_a, m.doc_b, m.n_sig_match,
+         COALESCE(i.n_common, 0) * 1.0
+           / (s1.sz + s2.sz - COALESCE(i.n_common, 0)) AS j
+  FROM match m
+  LEFT JOIN inter i ON i.doc_a = m.doc_a AND i.doc_b = m.doc_b
+  JOIN sizes s1 ON s1.doc_id = m.doc_a
+  JOIN sizes s2 ON s2.doc_id = m.doc_b
+)
+SELECT n_sig_match, CAST(count(*) AS BIGINT) AS n_pairs,
+       round(avg(j), 6) AS avg_jaccard
+FROM pairj GROUP BY n_sig_match
+""",
+)
+def minhash_jaccard_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator calibration: for every LSH candidate pair, compare
+    the sketch's Jaccard estimate (matching signature components / 16)
+    against the TRUE shingle Jaccard, grouped by match count — the
+    measurement that justifies the sketch's band/row configuration before
+    switching dedup to it at scale (the same certify-the-approximation
+    discipline as `ivf_recall_at_3`).
+
+    Both sides are session-shared intermediates: signatures from
+    `_minhash_sigs`, true Jaccards from the scored pair frame the dedup
+    family already maintains — this query adds only narrow int joins on
+    candidate pairs."""
+    cands = minhash_lsh_candidates(spark, sf_dir)
+    sigs = _minhash_sigs(spark, sf_dir)
+    sa = sigs.select(F.col("doc_id").alias("doc_a"), *[F.col(f"m{h}").alias(f"a{h}") for h in range(16)])
+    sb = sigs.select(F.col("doc_id").alias("doc_b"), *[F.col(f"m{h}").alias(f"b{h}") for h in range(16)])
+    matched = (
+        cands.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            sum((F.col(f"a{h}") == F.col(f"b{h}")).cast("int") for h in range(16))
+            .cast("int")
+            .alias("n_sig_match"),
+        )
+    )
+    true_j = _jaccard_pairs(spark, sf_dir, 0.0)
+    pairj = matched.join(true_j, ["doc_a", "doc_b"], "left").select(
+        "n_sig_match", F.coalesce("jaccard", F.lit(0.0)).alias("j")
+    )
+    return pairj.groupBy("n_sig_match").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.round(F.avg("j"), 6).alias("avg_jaccard"),
+    )
+
+
 @register(
     "minhash_lsh_candidates",
     survey_ref="dedup-minhash,J1,A4",
@@ -504,18 +623,7 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode+agg, candidate generation an equi-join on (band, signature) —
     cost is proportional to collisions, not to |docs|^2.
     """
-    sh = _shingles(spark, sf_dir).withColumn(
-        "m", F.expr("cast(conv(substr(md5(shingle), 1, 8), 16, 10) as bigint)")
-    )
-    # All 16 minhashes as min-aggregates of ONE groupBy: partial (map-side)
-    # aggregation means each task ships at most 16 hashes per doc instead
-    # of 16x its shingle set — the shape that survives a 100TB corpus.
-    sigs = sh.groupBy("doc_id").agg(
-        *[
-            F.min((F.lit(a) * F.col("m") + F.lit(b)) % F.lit(_MINHASH_P)).alias(f"m{h}")
-            for h, (a, b) in enumerate(_MINHASH_PERMS)
-        ]
-    )
+    sigs = _minhash_sigs(spark, sf_dir)
     band_structs = [
         F.struct(
             F.lit(band).alias("band"),

@@ -44,6 +44,9 @@ ALLOWED: dict[str, dict[str, str]] = {
     # materializes its long-format mutation tables (init.sql:403-410),
     # and the per-query exchange count drops to the 2-3 of its own joins.
     "ngram_jaccard_pairs": {"exchange-storm": "shingle index recomputed per consumer under the gate"},
+    "minhash_jaccard_calibration": {
+        "exchange-storm": "certification runs BOTH the sketch (signatures+banding) and the ground truth (scored pair frame) — each is a session-shared/materialized intermediate in production, and every exchange ships int keys only"
+    },
     "k3_origin_estimator": {"exchange-storm": "mutation table recomputed per consumer under the gate"},
     "k4_priority_scorer": {"exchange-storm": "mutation table recomputed per consumer under the gate"},
     "ivf_topk_probe": {"exchange-storm": "centroid sims reused for assign+probe; inverted file materialized at scale"},
