@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from harvester_database_and_automation_spark.catalog import load_table
 from harvester_database_and_automation_spark.plans.registry import register
-from harvester_database_and_automation_spark.plans.shared import shared_df
+from harvester_database_and_automation_spark.plans.shared import fanout, shared_df
 
 # DuckDB-side cosine between two DOUBLE[] lists.
 _COS_SQL = (
@@ -31,19 +31,7 @@ def _dot(a, b):
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
 
 
-def _fanout(df: DataFrame) -> DataFrame:
-    """Round-robin repartition to the session's shuffle parallelism.
-
-    The embeddings scan is a single small parquet file → one input
-    partition; without this, every all-pairs comparison below runs as ONE
-    task regardless of cluster size. On a real cluster the scan is many
-    splits already, so the repartition is SKIPPED — vectors never enter a
-    round-robin shuffle there.
-    """
-    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
-    if df.rdd.getNumPartitions() >= n:
-        return df
-    return df.repartition(n)
+_fanout = fanout  # shared split-aware repartition (plans/shared.py)
 
 
 def _cosine(a, b):

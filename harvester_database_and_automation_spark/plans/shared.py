@@ -30,6 +30,46 @@ from pyspark.sql import DataFrame, SparkSession
 _ATTR = "_hdas_shared_plans"
 
 
+def fanout(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to the session's shuffle parallelism, but
+    ONLY when the scan is under-split (the local test corpus is one parquet
+    file per table, so heavy per-row map work would otherwise run as a
+    single task). A real 100 TB corpus already scans as thousands of splits
+    — repartitioning there would ship every payload through a pure-waste
+    shuffle, so it is skipped.
+
+    Split detection estimates the scan's partition count from its input
+    files' on-disk sizes (sum of ceil(size / maxPartitionBytes)) — the
+    same arithmetic FilePartition uses, at the cost of a file listing.
+    The previous probe, ``df.rdd.getNumPartitions()``, forced a full
+    plan-to-RDD conversion worth 0.1-1s of driver time PER QUERY; the
+    listing is ~10x cheaper and warm-cached by the session catalog.
+    Frames with no file inputs (in-memory ranges, streaming) fall back to
+    the RDD probe."""
+    import os
+
+    spark = df.sparkSession
+    n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    files = df.inputFiles()
+    if files:
+        raw = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
+        max_bytes = int("".join(ch for ch in raw if ch.isdigit()) or "134217728")
+        splits = 0
+        for f in files:
+            path = f.removeprefix("file://").removeprefix("file:")
+            try:
+                size = os.path.getsize(path)
+            except OSError:
+                return df  # non-local storage: trust the scan's own splitting
+            splits += -(-size // max_bytes)
+        if splits >= n:
+            return df
+        return df.repartition(n)
+    if df.rdd.getNumPartitions() >= n:
+        return df
+    return df.repartition(n)
+
+
 def shared_df(spark: SparkSession, key: tuple, builder: Callable[[], DataFrame]) -> DataFrame:
     """Return the session-cached DataFrame for ``key``, building + persisting
     it on first use. ``key`` must include every input the plan depends on

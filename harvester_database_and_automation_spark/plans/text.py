@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from harvester_database_and_automation_spark.catalog import load_table
 from harvester_database_and_automation_spark.plans.registry import register
-from harvester_database_and_automation_spark.plans.shared import shared_df
+from harvester_database_and_automation_spark.plans.shared import fanout, shared_df
 
 # Shared CTE: distinct 3-word shingles per document (dedup unit of the
 # MinHash/Jaccard family). DuckDB arrays are 1-based.
@@ -28,16 +28,7 @@ _SHINGLES_SQL = """
 """
 
 
-def _fanout(df: DataFrame) -> DataFrame:
-    """Round-robin repartition to the session's shuffle parallelism, but ONLY
-    when the scan is under-split (the local test corpus is one parquet file,
-    so heavy per-row map work would otherwise run as a single task). A real
-    100TB corpus already scans as thousands of splits — repartitioning there
-    would ship every payload through a pure-waste shuffle, so we skip it."""
-    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
-    if df.rdd.getNumPartitions() >= n:
-        return df
-    return df.repartition(n)
+_fanout = fanout  # shared split-aware repartition (plans/shared.py)
 
 
 def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
