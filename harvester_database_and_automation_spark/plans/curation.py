@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from harvester_database_and_automation_spark.catalog import load_table
 from harvester_database_and_automation_spark.operators.ids import add_running_total
 from harvester_database_and_automation_spark.plans.registry import register
+from harvester_database_and_automation_spark.plans.text import _SHINGLES_SQL, _jaccard_pairs
 
 # Context-window budget for sequence packing (tokens per training sample).
 _PACK_BUDGET = 2048
@@ -132,6 +133,125 @@ def unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_tok"),
             F.round(F.avg(F.log(F.col("c") * 1.0 / F.col("n"))), 6).alias("avg_logprob"),
         )
+    )
+
+
+@register(
+    "curation_funnel_report",
+    survey_ref="pipeline-curation,P4,A2,A10,J1",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, lang, text, string_split(text, ' ') AS w FROM documents
+),
+q AS (
+  SELECT doc_id, lang, text, CAST(len(w) AS BIGINT) AS n_tok,
+         len(w) >= 30 AND len(list_filter(w, x -> x IN ('the', 'a'))) >= 1 AS is_q
+  FROM d
+),
+keepers AS (
+  SELECT md5(lower(text)) AS fp, min(doc_id) AS keep_id
+  FROM q WHERE is_q GROUP BY 1
+),
+ex AS (
+  SELECT q.doc_id, q.lang, q.n_tok, q.is_q,
+         COALESCE(q.is_q AND k.keep_id = q.doc_id, FALSE) AS is_e
+  FROM q LEFT JOIN keepers k ON k.fp = md5(lower(q.text))
+),
+sh AS ({_SHINGLES_SQL}),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT i.doc_a, i.doc_b
+  FROM inter i
+  JOIN sizes s1 ON s1.doc_id = i.doc_a
+  JOIN sizes s2 ON s2.doc_id = i.doc_b
+  JOIN ex ea ON ea.doc_id = i.doc_a AND ea.is_e
+  JOIN ex eb ON eb.doc_id = i.doc_b AND eb.is_e
+  WHERE i.n_common * 1.0 / (s1.sz + s2.sz - i.n_common) >= 0.5
+),
+dropped AS (SELECT DISTINCT doc_b FROM pairs),
+fin AS (
+  SELECT ex.lang, ex.n_tok, ex.is_q, ex.is_e,
+         ex.is_e AND dr.doc_b IS NULL AS is_f
+  FROM ex LEFT JOIN dropped dr ON dr.doc_b = ex.doc_id
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT)                                  AS n_input,
+       CAST(sum(CASE WHEN is_q THEN 1 ELSE 0 END) AS BIGINT)     AS n_after_quality,
+       CAST(sum(CASE WHEN is_e THEN 1 ELSE 0 END) AS BIGINT)     AS n_after_exact,
+       CAST(sum(CASE WHEN is_f THEN 1 ELSE 0 END) AS BIGINT)     AS n_final,
+       CAST(sum(CASE WHEN is_f THEN n_tok ELSE 0 END) AS BIGINT) AS tokens_final
+FROM fin GROUP BY lang
+""",
+)
+def curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation pipeline composed end-to-end, reported as a per-language
+    funnel: input -> quality filter (>= 30 tokens with stopwords, the
+    `doc_quality_score` 'ok' rule) -> exact dedup (keep the lowest doc_id
+    per content hash) -> near-dup drop (any survivor whose shingle Jaccard
+    with a LOWER-id survivor is >= 0.5 is dropped — the greedy by-id rule,
+    deterministic in both engines without a transitive closure), with the
+    surviving token budget. This is the single number a training-data run
+    starts from, and the stage-by-stage shrinkage is the report a curation
+    review asks for.
+
+    Composition reuses the session-shared frames (the scored Jaccard pair
+    table); every stage flag is boolean/integer and the one float (the
+    Jaccard threshold) is computed identically on both engines, so the
+    funnel is hash-exact. Scale shape: flags are projections over the scan
+    plus one content-hash aggregate; the near-dup stage joins the pair
+    frame the dedup family already maintains — nothing new shuffles at
+    corpus scale."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    words = F.split("text", " ")
+    is_q = (F.size(words) >= 30) & (
+        F.size(F.filter(words, lambda w: w.isin("the", "a"))) >= 1
+    )
+    q = docs.select(
+        "doc_id",
+        "lang",
+        F.md5(F.lower("text")).alias("fp"),
+        F.size(words).cast("bigint").alias("n_tok"),
+        is_q.alias("is_q"),
+    )
+    keepers = (
+        q.filter("is_q").groupBy("fp").agg(F.min("doc_id").alias("keep_id"))
+    )
+    ex = q.join(keepers, "fp", "left").select(
+        "doc_id",
+        "lang",
+        "n_tok",
+        "is_q",
+        F.coalesce(F.col("is_q") & (F.col("keep_id") == F.col("doc_id")), F.lit(False)).alias(
+            "is_e"
+        ),
+    )
+    surv = ex.filter("is_e").select("doc_id")
+    pairs = (
+        _jaccard_pairs(spark, sf_dir, 0.5)
+        .join(surv.withColumnRenamed("doc_id", "doc_a"), "doc_a", "left_semi")
+        .join(surv.withColumnRenamed("doc_id", "doc_b"), "doc_b", "left_semi")
+    )
+    dropped = pairs.select("doc_b").distinct()
+    fin = ex.join(dropped, ex.doc_id == dropped.doc_b, "left").select(
+        "lang",
+        "n_tok",
+        "is_q",
+        "is_e",
+        (F.col("is_e") & F.col("doc_b").isNull()).alias("is_f"),
+    )
+    return fin.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_input"),
+        F.sum(F.col("is_q").cast("int")).cast("bigint").alias("n_after_quality"),
+        F.sum(F.col("is_e").cast("int")).cast("bigint").alias("n_after_exact"),
+        F.sum(F.col("is_f").cast("int")).cast("bigint").alias("n_final"),
+        F.sum(F.when(F.col("is_f"), F.col("n_tok")).otherwise(0)).cast("bigint").alias(
+            "tokens_final"
+        ),
     )
 
 

@@ -44,6 +44,9 @@ ALLOWED: dict[str, dict[str, str]] = {
     # materializes its long-format mutation tables (init.sql:403-410),
     # and the per-query exchange count drops to the 2-3 of its own joins.
     "ngram_jaccard_pairs": {"exchange-storm": "shingle index recomputed per consumer under the gate"},
+    "curation_funnel_report": {
+        "exchange-storm": "the funnel composes quality filter + exact dedup + the near-dup pair derivation end-to-end; under the gate the scored-pair frame is recomputed inline (session-shared / materialized in production) and every exchange ships ids, hashes, and per-lang partials only"
+    },
     "minhash_jaccard_calibration": {
         "exchange-storm": "certification runs BOTH the sketch (signatures+banding) and the ground truth (scored pair frame) — each is a session-shared/materialized intermediate in production, and every exchange ships int keys only"
     },
