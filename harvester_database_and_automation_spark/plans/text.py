@@ -448,6 +448,61 @@ def dup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "incremental_dup_components",
+    survey_ref="dedup-cc-incremental,J1,A1",
+    oracle=f"""
+WITH RECURSIVE
+sh AS ({_SHINGLES_SQL}),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v
+  FROM inter
+  JOIN sizes s1 ON s1.doc_id = doc_a
+  JOIN sizes s2 ON s2.doc_id = doc_b
+  WHERE n_common * 1.0 / (s1.sz + s2.sz - n_common) >= 0.5
+),
+sym AS (SELECT e.u, e.v FROM edges e UNION SELECT e.v AS u, e.u AS v FROM edges e),
+reach(src, node) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.src, s.v FROM reach r JOIN sym s ON s.u = r.node
+)
+SELECT src AS doc_id, min(node) AS component_id FROM reach GROUP BY src
+""",
+)
+def incremental_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental dup-cluster maintenance path, certified against the
+    full closure: contract only the PRIOR corpus's edges (both endpoints
+    doc_id < 250) into a component map, then fold the remaining pairs in
+    via `operators.components.incremental_components` — which contracts
+    just the root-translated NEW edges, never re-touching the historical
+    edge list. The oracle computes the whole-corpus transitive closure
+    from scratch; matching hashes prove per-ingest maintenance cost can
+    track feed churn (the new pairs) instead of corpus size, the
+    ARCHITECTURE.md 100 TB promise, with zero drift from a full rebuild."""
+    from harvester_database_and_automation_spark.operators.components import (
+        alternating_star_components,
+        incremental_components,
+    )
+
+    split_at = 250
+    edges = _jaccard_pairs(spark, sf_dir, 0.5).select("doc_a", "doc_b")
+    prior = edges.filter(F.col("doc_b") < split_at)
+    delta = edges.filter(F.col("doc_b") >= split_at)
+    prior_map = alternating_star_components(prior, src="doc_a", dst="doc_b")
+    updated = incremental_components(prior_map, delta, src="doc_a", dst="doc_b")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.join(updated, docs.doc_id == updated.node, "left").select(
+        "doc_id", F.coalesce("component_id", "doc_id").alias("component_id")
+    )
+
+
 # Universal-hash permutation family for MinHash: v_h = (a_h*m + b_h) mod P
 # over a single 32-bit base hash m per shingle (first 8 md5 hex chars).
 # One md5 per shingle instead of 16 — the md5 was ~the whole map-side cost.

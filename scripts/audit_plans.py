@@ -44,6 +44,9 @@ ALLOWED: dict[str, dict[str, str]] = {
     # materializes its long-format mutation tables (init.sql:403-410),
     # and the per-query exchange count drops to the 2-3 of its own joins.
     "ngram_jaccard_pairs": {"exchange-storm": "shingle index recomputed per consumer under the gate"},
+    "incremental_dup_components": {
+        "exchange-storm": "certification runs BOTH contractions (prior-corpus map + incremental fold of the delta) from the raw pair derivation in one plan; in production the prior map is a published table and only the delta's root-graph contraction executes — every exchange here ships (int, int) pairs"
+    },
     "curation_funnel_report": {
         "exchange-storm": "the funnel composes quality filter + exact dedup + the near-dup pair derivation end-to-end; under the gate the scored-pair frame is recomputed inline (session-shared / materialized in production) and every exchange ships ids, hashes, and per-lang partials only"
     },
