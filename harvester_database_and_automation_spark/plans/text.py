@@ -198,6 +198,47 @@ def doc_fingerprint_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# GPT-2-style pre-tokenizer: contraction suffixes, space-prefixed letter /
+# digit runs, space-prefixed punctuation runs, residual whitespace. Kept to
+# the syntax subset Java regex (Spark) and RE2 (DuckDB) tokenize
+# IDENTICALLY — no lookahead, no \p classes ('' doubles the quote for SQL).
+_BPE_PAT = r"'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+
+
+@register(
+    "bpe_token_stats",
+    survey_ref="text-analysis,tokenizer",
+    oracle=rf"""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS INT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '{_BPE_PAT.replace("'", "''")}')) AS INT)
+         AS n_bpe_tokens,
+       round(length(text) * 1.0
+             / len(regexp_extract_all(text, '{_BPE_PAT.replace("'", "''")}')), 6)
+         AS chars_per_bpe_token
+FROM documents
+""",
+)
+def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subword-style token counting: the GPT-2 pre-tokenizer regex (the
+    split BPE merges run inside) next to the whitespace count — the pair
+    of numbers a training-data budget is planned in. chars/token is the
+    compression-rate proxy used to convert corpus bytes to token budgets.
+
+    Both engines run the SAME pattern; the regex is restricted to the
+    syntax subset where Java regex and RE2 produce identical leftmost-first
+    tokenizations (verified by the hash gate). Pure map work — the 100 TB
+    plan is a full-speed scan with one tiny aggregate nowhere."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_bpe = F.size(F.regexp_extract_all("text", F.lit(_BPE_PAT), F.lit(0)))
+    return docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("int").alias("n_ws_tokens"),
+        n_bpe.cast("int").alias("n_bpe_tokens"),
+        F.round(F.length("text") * 1.0 / n_bpe, 6).alias("chars_per_bpe_token"),
+    )
+
+
 @register(
     "paragraph_dup_fraction",
     survey_ref="dedup-paragraph,J1,A1",
