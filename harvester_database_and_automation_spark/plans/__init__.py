@@ -42,9 +42,37 @@ def _green_counts() -> dict[str, int]:
     return counts
 
 
+def _judge_only_verified() -> set[str]:
+    """Queries the round-1 JUDGE re-ran green but the driver's capped
+    artifact never recorded: registered at round 1 (they appear in
+    BENCH_r01.json's per-query timings) yet absent from CORRECTNESS_r01.
+    They carry weaker evidence than a driver row but stronger than none,
+    so rotation seats them after the never-anywhere-verified queries."""
+    import json
+    import re
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parents[2]
+    try:
+        bench = json.loads((repo / "BENCH_r01.json").read_text())
+        correct = set(json.loads((repo / "CORRECTNESS_r01.json").read_text()))
+    except (OSError, ValueError):
+        return set()
+    # The artifact stores the bench stdout's (front-truncated) tail, not
+    # parsed JSON — recover query names from the '"name": seconds' pairs.
+    # A name clipped by the truncation simply won't match any registered
+    # query, which errs toward treating it as unverified (safe).
+    tail = bench.get("tail", "") or ""
+    r1_queries = set(re.findall(r'"(\w+)": [0-9.]+[,}]', tail))
+    return r1_queries - correct
+
+
 def _rotate_least_verified_first() -> None:
     greens = _green_counts()
-    ordered = sorted(QUERIES, key=lambda n: greens.get(n, 0))
+    judge_only = _judge_only_verified()
+    ordered = sorted(
+        QUERIES, key=lambda n: (greens.get(n, 0), 1 if n in judge_only else 0)
+    )
     rotated = {n: QUERIES[n] for n in ordered}
     QUERIES.clear()
     QUERIES.update(rotated)
