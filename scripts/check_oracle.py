@@ -19,10 +19,27 @@ from harvester_database_and_automation_spark.testing import check_query, duckdb_
 
 def main() -> int:
     args = sys.argv[1:]
+    vanilla = "--vanilla" in args
+    args = [a for a in args if a != "--vanilla"]
     sf_dir = args[0] if args and "/" in args[0] else "/root/testdata/sf0.01"
     names = [a for a in args if "/" not in a] or list(QUERIES)
 
-    spark = get_spark("oracle-check")
+    if vanilla:
+        # Simulate the external driver: its session has NONE of our confs —
+        # default 200 shuffle partitions (different aggregation/summation
+        # order than our 32), a non-UTC timezone, fewer cores. Any query
+        # that only passes under session.py's tuning fails here first.
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .config("spark.sql.session.timeZone", "America/New_York")
+            .config("spark.driver.memory", "16g")
+            .appName("oracle-check-vanilla")
+            .getOrCreate()
+        )
+    else:
+        spark = get_spark("oracle-check")
     con = duckdb_connection(sf_dir)
     n_fail = 0
     for name in names:
