@@ -36,6 +36,25 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+def merge_mg_summary(counters: dict, batch_counts: dict, cap: int) -> dict:
+    """Fold one batch's exact counts into a running Misra-Gries summary of
+    capacity ``cap`` (the Agarwal et al. mergeable-summaries step): add the
+    counts, then if over capacity subtract the (cap+1)-th largest counter
+    from every counter and drop the non-positives.
+
+    Guarantee (the property tests gate it): after folding any batch
+    sequence with total mass n, every item with true frequency > n/(cap+1)
+    still has a positive counter — each prune subtracts sub from > cap
+    counters while removing >= sub*(cap+1) total mass, so the total
+    undercount of any single item is <= n/(cap+1)."""
+    for v, c in batch_counts.items():
+        counters[v] = counters.get(v, 0) + int(c)
+    if len(counters) > cap:
+        sub = sorted(counters.values(), reverse=True)[cap]
+        counters = {key: c - sub for key, c in counters.items() if c > sub}
+    return counters
+
+
 def heavy_hitters_exact(df: DataFrame, col: str, k: int) -> DataFrame:
     """Items of ``df[col]`` occurring at least ``1/k`` of total rows, with
     exact counts: (item, n_occurrences). NULLs are ignored."""
@@ -57,11 +76,7 @@ def heavy_hitters_exact(df: DataFrame, col: str, k: int) -> DataFrame:
         # bound as element-wise MG, so the candidate guarantee holds.
         counters: dict = {}
         for pdf in batches:
-            for v, c in pdf[col].value_counts().items():
-                counters[v] = counters.get(v, 0) + int(c)
-            if len(counters) > cap:
-                sub = sorted(counters.values(), reverse=True)[cap]
-                counters = {key: c - sub for key, c in counters.items() if c > sub}
+            counters = merge_mg_summary(counters, pdf[col].value_counts().to_dict(), cap)
         yield pd.DataFrame({col: list(counters.keys())})
 
     candidates = src.mapInPandas(mg_partition, schema=out_schema).distinct()

@@ -157,3 +157,60 @@ def test_approx_percentile_within_tolerance(spark):
     # accuracy=10000 bounds rank error at n/10000; translate to a loose
     # value tolerance via the observed spread
     assert abs(row["approx"] - row["exact"]) <= 0.01 * row["exact"]
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries mergeable summaries: the candidate guarantee that makes
+# heavy_hitters_exact exact. Pure-Python fold — no Spark in the loop.
+# ---------------------------------------------------------------------------
+batches = st.lists(
+    st.lists(st.integers(0, 30), min_size=0, max_size=200),
+    min_size=1,
+    max_size=12,
+)
+
+
+@given(batches, st.integers(2, 10))
+@settings(max_examples=300, deadline=None)
+def test_mg_merge_keeps_every_heavy_hitter(batch_seq, k):
+    """After folding any batch sequence, every item with true frequency
+    >= n/k must survive in the capacity-2k summary (deficiency bound
+    n/(2k+1) < n/k), regardless of batch boundaries or value order."""
+    from collections import Counter
+
+    from harvester_database_and_automation_spark.operators.sketches import merge_mg_summary
+
+    cap = 2 * k
+    counters: dict = {}
+    truth: Counter = Counter()
+    for batch in batch_seq:
+        bc = Counter(batch)
+        truth.update(bc)
+        counters = merge_mg_summary(counters, dict(bc), cap)
+        assert len(counters) <= cap
+    n = sum(truth.values())
+    for item, c in truth.items():
+        if c * k >= n and n > 0:
+            assert item in counters, (
+                f"heavy hitter {item} (freq {c}/{n}, k={k}) evicted"
+            )
+
+
+@given(batches, st.integers(2, 10))
+@settings(max_examples=100, deadline=None)
+def test_mg_merge_never_overcounts(batch_seq, k):
+    """Summary counters only ever undercount (prunes subtract, never add):
+    counter[v] <= true frequency of v at every fold step."""
+    from collections import Counter
+
+    from harvester_database_and_automation_spark.operators.sketches import merge_mg_summary
+
+    cap = 2 * k
+    counters: dict = {}
+    truth: Counter = Counter()
+    for batch in batch_seq:
+        bc = Counter(batch)
+        truth.update(bc)
+        counters = merge_mg_summary(counters, dict(bc), cap)
+        for v, c in counters.items():
+            assert 0 < c <= truth[v]
