@@ -490,6 +490,64 @@ def dup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "shingle_novelty_by_source",
+    survey_ref="text-analysis,dedup-near,A1,A7",
+    oracle=f"""
+WITH sh AS ({_SHINGLES_SQL}),
+first_seen AS (SELECT shingle, min(doc_id) AS first_doc FROM sh GROUP BY shingle),
+per_doc AS (
+  SELECT s.doc_id,
+         CAST(count(*) AS BIGINT) AS n_shingles,
+         CAST(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+  FROM sh s JOIN first_seen f ON f.shingle = s.shingle
+  GROUP BY s.doc_id
+)
+SELECT d.source,
+       CAST(count(*) AS BIGINT)        AS n_docs,
+       CAST(sum(p.n_shingles) AS BIGINT) AS total_shingles,
+       CAST(sum(p.n_novel) AS BIGINT)    AS novel_shingles,
+       round(sum(p.n_novel) * 1.0 / sum(p.n_shingles), 6) AS novelty_ratio
+FROM per_doc p JOIN documents d USING (doc_id)
+GROUP BY d.source
+""",
+)
+def shingle_novelty_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-diversity metric: per source, the fraction of each document's
+    distinct 3-gram shingles first introduced by that document (first
+    occurrence = lowest doc_id). A source whose novelty ratio collapses is
+    re-crawling content the corpus already has — the signal used to
+    down-weight or stop a feed before dedup pays for it.
+
+    Reuses the session-shared shingle hub; first-occurrence is one
+    min-aggregate on the shingle key joined back by the same key — the
+    paragraph-dedup shape, integer-exact throughout except the final
+    per-source ratio (one division, both engines)."""
+    sh = _shingles(spark, sf_dir)
+    first_seen = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        sh.join(first_seen, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            F.sum((F.col("first_doc") == F.col("doc_id")).cast("int"))
+            .cast("bigint")
+            .alias("n_novel"),
+        )
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return (
+        per_doc.join(docs, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_shingles").cast("bigint").alias("total_shingles"),
+            F.sum("n_novel").cast("bigint").alias("novel_shingles"),
+            F.round(F.sum("n_novel") * 1.0 / F.sum("n_shingles"), 6).alias("novelty_ratio"),
+        )
+    )
+
+
+@register(
     "incremental_dup_components",
     survey_ref="dedup-cc-incremental,J1,A1",
     oracle=f"""
