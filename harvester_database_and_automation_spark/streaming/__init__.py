@@ -1,6 +1,9 @@
 """Structured Streaming skin over the reference's polling microservices
 (SURVEY.md §2.11)."""
 
+from harvester_database_and_automation_spark.streaming.changefeed import (
+    streaming_change_router,
+)
 from harvester_database_and_automation_spark.streaming.dedup import dedup_within_watermark
 from harvester_database_and_automation_spark.streaming.ingest import incremental_file_ingest
 from harvester_database_and_automation_spark.streaming.joins import interval_join
@@ -14,6 +17,7 @@ from harvester_database_and_automation_spark.streaming.windows import (
 )
 
 __all__ = [
+    "streaming_change_router",
     "incremental_file_ingest",
     "interval_join",
     "session_windowed_counts",

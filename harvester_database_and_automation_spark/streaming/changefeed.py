@@ -1,0 +1,141 @@
+"""Streaming content-hash change router.
+
+The reference's batch change detection fetches each incoming record's
+current row and diffs field-by-field to decide skip / metadata-update /
+reprocess (BatchProcessingWorker.java:214-297, and operators/merge.py's
+batch translation). Here the "current" side lives in per-key value STATE
+inside the streaming checkpoint, so a feed can be routed continuously:
+each record is classified against the last content hash seen for its key,
+with no external current-table join in the hot path.
+
+Two implementations of the same semantics:
+
+- ``streaming_change_router`` — ``applyInPandasWithState``: works
+  everywhere Spark 4 runs; this is the production entry point.
+- ``ChangeRouter`` + ``streaming_change_router_tws`` — the Spark 4
+  ``transformWithStateInPandas`` / ``StatefulProcessor`` successor API.
+  Its Python side requires the ``google.protobuf`` package, which this
+  container does not ship, so the builder is gated by
+  ``TWS_AVAILABLE`` (import-try per the environment rules). The class is
+  complete and the gated test exercises it wherever protobuf exists.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUTPUT_SCHEMA = "id string, content_hash string, change_kind string"
+_STATE_SCHEMA = "h string"
+
+try:  # transformWithState's worker needs google.protobuf at runtime
+    from google.protobuf import descriptor as _pb_descriptor  # noqa: F401
+
+    TWS_AVAILABLE = True
+except ImportError:
+    TWS_AVAILABLE = False
+
+
+def _classify(last: str | None, hashes) -> tuple[list[str], str | None]:
+    """Fold a key's batch of hashes against the prior state; returns the
+    per-row kinds and the new last-hash. Shared by both implementations so
+    their semantics cannot drift."""
+    kinds: list[str] = []
+    for h in hashes:
+        if last is None:
+            kinds.append("insert")
+        elif h == last:
+            kinds.append("unchanged")
+        else:
+            kinds.append("update")
+        last = h
+    return kinds, last
+
+
+def _route(
+    key: tuple[str],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    last = state.get[0] if state.exists else None
+    ids, hashes, kinds = [], [], []
+    for pdf in pdfs:
+        batch_kinds, last = _classify(last, pdf["content_hash"])
+        ids.extend([key[0]] * len(pdf))
+        hashes.extend(pdf["content_hash"])
+        kinds.extend(batch_kinds)
+    state.update((last,))
+    yield pd.DataFrame({"id": ids, "content_hash": hashes, "change_kind": kinds})
+
+
+def streaming_change_router(
+    keyed: DataFrame, id_col: str = "id", hash_col: str = "content_hash"
+) -> DataFrame:
+    """Route a streaming feed by per-key content-hash change state.
+
+    Input: streaming DataFrame with ``id_col`` and ``hash_col``. Output:
+    one row per input record tagged insert / update / unchanged. State is
+    one hash per key in the checkpoint — at feed scale this is the
+    keyspace, sharded by Spark's state store across executors, and the
+    downstream writer only pays for the insert/update slice (the
+    reference's "reprocess only changed sequences" contract).
+    """
+    renamed = keyed.select(
+        F.col(id_col).cast("string").alias("id"),
+        F.col(hash_col).cast("string").alias("content_hash"),
+    )
+    return renamed.groupBy("id").applyInPandasWithState(
+        _route,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+if TWS_AVAILABLE:  # pragma: no cover - container lacks protobuf
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class ChangeRouter(StatefulProcessor):
+        """Same classification on the ``StatefulProcessor`` API: per-key
+        value state holds the last hash; rows fold in Arrow batch order."""
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._last = handle.getValueState("last_hash", _STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+            last = self._last.get()[0] if self._last.exists() else None
+            ids, hashes, kinds = [], [], []
+            for pdf in rows:
+                batch_kinds, last = _classify(last, pdf["content_hash"])
+                ids.extend([key[0]] * len(pdf))
+                hashes.extend(pdf["content_hash"])
+                kinds.extend(batch_kinds)
+            self._last.update((last,))
+            yield pd.DataFrame(
+                {"id": ids, "content_hash": hashes, "change_kind": kinds}
+            )
+
+        def close(self) -> None:
+            pass
+
+    def streaming_change_router_tws(
+        keyed: DataFrame, id_col: str = "id", hash_col: str = "content_hash"
+    ) -> DataFrame:
+        renamed = keyed.select(
+            F.col(id_col).cast("string").alias("id"),
+            F.col(hash_col).cast("string").alias("content_hash"),
+        )
+        return renamed.groupBy("id").transformWithStateInPandas(
+            statefulProcessor=ChangeRouter(),
+            outputStructType=OUTPUT_SCHEMA,
+            outputMode="append",
+            timeMode="none",
+        )

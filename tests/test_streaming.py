@@ -392,3 +392,83 @@ def test_interval_join_stream_stream(spark, tmp_path):
         ).parquet(out).collect()
     }
     assert got == expect
+
+
+def test_streaming_change_router_classifies_against_state(spark, tmp_path):
+    from harvester_database_and_automation_spark.streaming.changefeed import (
+        streaming_change_router,
+    )
+
+    src = tmp_path / "feed"
+    src.mkdir()
+    (src / "b1.json").write_text(
+        '{"id": "s1", "content_hash": "h1"}\n{"id": "s2", "content_hash": "h2"}\n'
+    )
+    schema = "id string, content_hash string"
+    out = str(tmp_path / "routed")
+
+    def run_batch(tag: str):
+        stream = spark.readStream.schema(schema).json(str(src))
+
+        def sink(batch_df, _batch_id):
+            batch_df.withColumn("run", F.lit(tag)).write.mode("append").parquet(out)
+
+        q = (
+            streaming_change_router(stream)
+            .writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {
+            (r["id"], r["content_hash"]): r["change_kind"]
+            for r in spark.read.parquet(out).filter(F.col("run") == tag).collect()
+        }
+
+    first = run_batch("r1")
+    assert first == {("s1", "h1"): "insert", ("s2", "h2"): "insert"}
+
+    # s1 re-arrives unchanged, s2 with new content, s3 is brand new.
+    (src / "b2.json").write_text(
+        '{"id": "s1", "content_hash": "h1"}\n'
+        '{"id": "s2", "content_hash": "h9"}\n'
+        '{"id": "s3", "content_hash": "h3"}\n'
+    )
+    second = run_batch("r2")
+    # Hash state for s1/s2 survived the restart via the checkpoint.
+    assert second == {
+        ("s1", "h1"): "unchanged",
+        ("s2", "h9"): "update",
+        ("s3", "h3"): "insert",
+    }
+
+
+def test_streaming_change_router_tws_variant(spark, tmp_path):
+    """The transformWithStateInPandas variant — exercised only where its
+    protobuf dependency exists (this container lacks it; the operator is
+    gated per the environment rules)."""
+    import pytest as _pytest
+
+    from harvester_database_and_automation_spark.streaming import changefeed
+
+    if not changefeed.TWS_AVAILABLE:
+        _pytest.skip("google.protobuf not installed; transformWithState gated off")
+
+    src = tmp_path / "feed"
+    src.mkdir()
+    (src / "b1.json").write_text('{"id": "s1", "content_hash": "h1"}\n')
+    stream = spark.readStream.schema("id string, content_hash string").json(str(src))
+    out = str(tmp_path / "routed")
+    q = (
+        changefeed.streaming_change_router_tws(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = {(r["id"], r["change_kind"]) for r in spark.read.parquet(out).collect()}
+    assert rows == {("s1", "insert")}
