@@ -235,3 +235,73 @@ def lineage_mutation_counts_table(spark: SparkSession, sf_dir: str, deps) -> Dat
     )
 
     return lineage_mutation_counts(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Dedup hub tables — the session-cached frames of plans/text.py published
+# as real tables. This is the deployment shape the cache mirrors: shingle
+# index, MinHash signature table, scored pair table, component map —
+# rebuilt per ingest (incrementally via the churn predicate), consumed by
+# every dedup query without re-deriving the explode/join.
+# ---------------------------------------------------------------------------
+@LAYER.register("shingle_index")
+def shingle_index(spark: SparkSession, sf_dir: str, deps) -> DataFrame:
+    """Layer 6 — (doc_id, shingle_digest): the inverted-index hub of the
+    dedup family, digests only so the table never carries text."""
+    from harvester_database_and_automation_spark.plans.text import _shingles
+
+    return _shingles(spark, sf_dir).select("doc_id", F.md5("shingle").alias("shingle_digest"))
+
+
+@LAYER.register("minhash_signatures")
+def minhash_signatures(spark: SparkSession, sf_dir: str, deps) -> DataFrame:
+    """Layer 6 — per-doc 16-component MinHash signature table (what a
+    dedup service keys its LSH banding off between ingests)."""
+    from harvester_database_and_automation_spark.plans.text import _minhash_sigs
+
+    return _minhash_sigs(spark, sf_dir)
+
+
+@LAYER.register("dup_pairs", depends_on=("shingle_index",))
+def dup_pairs(spark: SparkSession, sf_dir: str, deps) -> DataFrame:
+    """Layer 7 — scored near-dup pairs (Jaccard >= 0.1) built from the
+    PUBLISHED shingle index, not a recompute: the inverted-index self-join
+    reads digests only. Downstream thresholds slice this table (pair
+    report at 0.1, clustering edges at 0.5)."""
+    sh = deps["shingle_index"]
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle_digest") == F.col("b.shingle_digest"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    jac = F.col("n_common") * 1.0 / (F.col("s1.sz") + F.col("s2.sz") - F.col("n_common"))
+    return (
+        inter.join(sizes.alias("s1"), F.col("doc_a") == F.col("s1.doc_id"))
+        .join(sizes.alias("s2"), F.col("doc_b") == F.col("s2.doc_id"))
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.1)
+    )
+
+
+@LAYER.register("dup_components", depends_on=("dup_pairs",))
+def dup_components(spark: SparkSession, sf_dir: str, deps) -> DataFrame:
+    """Layer 8 — the published (doc_id, component_id) map over the 0.5
+    edge slice of dup_pairs; the table `incremental_components` maintains
+    between full rebuilds."""
+    from harvester_database_and_automation_spark.operators.components import (
+        alternating_star_components,
+    )
+
+    edges = deps["dup_pairs"].filter(F.col("jaccard") >= 0.5).select("doc_a", "doc_b")
+    labels = alternating_star_components(edges, src="doc_a", dst="doc_b")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.join(labels, docs.doc_id == labels.node, "left").select(
+        "doc_id", F.coalesce("component_id", "doc_id").alias("component_id")
+    )
