@@ -290,6 +290,18 @@ def dup_pairs(spark: SparkSession, sf_dir: str, deps) -> DataFrame:
     )
 
 
+@LAYER.register("ivf_index")
+def ivf_index(spark: SparkSession, sf_dir: str, deps) -> DataFrame:
+    """Layer 6 — the ANN inverted file (vec_id, cid, sim, rk): per-vector
+    centroid similarities with assignment rank, the table a vector store
+    rebuilds only when centroids move. The probe and recall queries read
+    this through the session cache locally; published here it serves them
+    across jobs."""
+    from harvester_database_and_automation_spark.plans.embeddings import _ivf_ranked
+
+    return _ivf_ranked(spark, sf_dir)
+
+
 @LAYER.register("dup_components", depends_on=("dup_pairs",))
 def dup_components(spark: SparkSession, sf_dir: str, deps) -> DataFrame:
     """Layer 8 — the published (doc_id, component_id) map over the 0.5
