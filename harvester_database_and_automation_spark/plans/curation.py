@@ -221,14 +221,22 @@ def curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     keepers = (
         q.filter("is_q").groupBy("fp").agg(F.min("doc_id").alias("keep_id"))
     )
-    ex = q.join(keepers, "fp", "left").select(
-        "doc_id",
-        "lang",
-        "n_tok",
-        "is_q",
-        F.coalesce(F.col("is_q") & (F.col("keep_id") == F.col("doc_id")), F.lit(False)).alias(
-            "is_e"
-        ),
+    # Three consumers read the flag frame (both near-dup endpoint filters
+    # and the final rollup); checkpointing the NARROW flags (ids + bools,
+    # no text) computes them once instead of re-expanding the corpus scan
+    # per consumer — the dup_connected_components pattern.
+    ex = (
+        q.join(keepers, "fp", "left")
+        .select(
+            "doc_id",
+            "lang",
+            "n_tok",
+            "is_q",
+            F.coalesce(
+                F.col("is_q") & (F.col("keep_id") == F.col("doc_id")), F.lit(False)
+            ).alias("is_e"),
+        )
+        .localCheckpoint(eager=True)
     )
     surv = ex.filter("is_e").select("doc_id")
     pairs = (

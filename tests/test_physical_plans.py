@@ -201,6 +201,24 @@ def test_rolling_window_partitions_by_user(spark):
     )
 
 
+def test_curation_funnel_bounds_corpus_scans(spark):
+    """The funnel composes four stages but must not multiply corpus scans
+    without bound: the documents fact may appear only for the flag
+    projection, the exact-dedup aggregate, and the shingle derivation."""
+    plan = fmt_plan(spark, "curation_funnel_report")
+    assert count_nodes(plan, "CartesianProduct") == 0
+    assert plan.count("documents.parquet") <= 4
+
+
+def test_incremental_components_is_join_only(spark):
+    """Both contractions (prior map + delta fold) must stay pure int-pair
+    equi-joins/aggregations — any nested-loop node means the label joins
+    regressed to a non-keyed plan."""
+    plan = fmt_plan(spark, "incremental_dup_components")
+    assert count_nodes(plan, "CartesianProduct") == 0
+    assert count_nodes(plan, "BroadcastNestedLoopJoin") == 0
+
+
 def test_rollup_cascade_has_no_extra_fact_scans(spark):
     """Cascade levels must re-aggregate the level below: exactly one scan
     of the events fact per plan (the oracle-facing day query)."""
