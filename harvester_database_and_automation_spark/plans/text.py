@@ -850,6 +850,113 @@ def simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# A 32-bit SimHash as a reusable oracle CTE — same construction as the
+# 16-bit simhash_buckets oracle, doubled width so a Hamming radius is a
+# meaningful filter (radius 1 on 16 bits saturates: half the corpus pairs).
+_SIMHASH32_SQL = """
+  SELECT doc_id,
+         CAST(sum(bit * (CAST(1 AS BIGINT) << b)) AS BIGINT) AS simhash32
+  FROM (
+    SELECT doc_id, b,
+           CASE WHEN sum(CASE WHEN ((strpos('0123456789abcdef',
+                                            substr(md5(word), 1 + b // 4, 1)) - 1)
+                                    >> (b % 4)) & 1 = 1 THEN 1 ELSE -1 END) >= 0
+                THEN 1 ELSE 0 END AS bit
+    FROM (SELECT DISTINCT doc_id, word
+          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents) t) tok,
+         unnest(generate_series(0, 31)) AS u(b)
+    GROUP BY doc_id, b
+  ) bits
+  GROUP BY doc_id
+"""
+
+
+@register(
+    "simhash_hamming_pairs",
+    survey_ref="dedup-simhash,J1,A1",
+    oracle=f"""
+WITH sig AS ({_SIMHASH32_SQL}),
+bands AS (
+  SELECT doc_id, b AS band, (simhash32 >> (b * 16)) & 65535 AS band_val
+  FROM sig, unnest(generate_series(0, 1)) AS u(b)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       CAST(bit_count(xor(sa.simhash32, sb.simhash32)) AS INT) AS hamming
+FROM cand c
+JOIN sig sa ON sa.doc_id = c.doc_a
+JOIN sig sb ON sb.doc_id = c.doc_b
+WHERE bit_count(xor(sa.simhash32, sb.simhash32)) <= 1
+""",
+)
+def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming-radius near-dup search over a 32-bit SimHash: pairs of
+    documents whose signatures differ in at most ONE bit, found via the
+    pigeonhole banding — split the signature into two 16-bit bands;
+    Hamming distance <= 1 guarantees at least one band is identical, so
+    candidates come from an equi-join on (band, band_val) and only
+    candidates pay the exact bit_count(xor) verification.
+
+    This is the third member of the banded-candidate family (MinHash
+    bands for Jaccard, IVF cells for cosine, signature bands for
+    Hamming): comparison cost tracks band-bucket occupancy, never |docs|².
+    At production signature widths (64/128-bit), bands widen and buckets
+    thin; the plan is unchanged. The signature itself is the
+    simhash_buckets construction at double width — still a zero-shuffle
+    per-document fold."""
+    docs = _fanout(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    sig = docs.select(
+        "doc_id",
+        F.expr(
+            """
+            aggregate(
+              zip_with(
+                aggregate(
+                  transform(array_distinct(split(text, ' ')),
+                            w -> cast(conv(reverse(substr(md5(w), 1, 8)), 16, 10) as bigint)),
+                  array_repeat(0L, 32),
+                  (acc, m) -> zip_with(acc, sequence(0, 31),
+                                       (a, b) -> a + ((m >> b) & 1))),
+                sequence(0, 31),
+                (cnt, b) -> if(2 * cnt >= size(array_distinct(split(text, ' '))),
+                               shiftleft(cast(1 as bigint), b), cast(0 as bigint))),
+              cast(0 as bigint), (x, y) -> x + y)
+            """
+        ).alias("simhash32"),
+    )
+    bands = sig.select(
+        "doc_id",
+        "simhash32",
+        F.explode(F.array(F.lit(0), F.lit(1))).alias("band"),
+    ).select(
+        "doc_id",
+        "simhash32",
+        "band",
+        F.expr("shiftright(simhash32, band * 16) & 65535").alias("band_val"),
+    )
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash32").alias("sa"), "band", "band_val"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash32").alias("sb"), "band", "band_val"
+    )
+    cand = (
+        a.join(b, ["band", "band_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sa", "sb")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    return (
+        cand.filter(hamming <= 1)
+        .select("doc_a", "doc_b", hamming.cast("int").alias("hamming"))
+    )
+
+
 @register(
     "author_position_bridge",
     survey_ref="A1,A2,A3,O1",
