@@ -981,6 +981,77 @@ def order_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PROFILE_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+@register(
+    "lineitem_column_profile",
+    survey_ref="stats-profile,A1,A3,A9",
+    oracle="WITH long AS (\n"
+    + "\n  UNION ALL ".join(
+        f"SELECT '{c}' AS col_name, {c} AS value FROM lineitem" for c in _PROFILE_COLS
+    )
+    + """
+)
+SELECT col_name,
+       CAST(count(*) AS BIGINT)                   AS n_rows,
+       CAST(count(*) - count(value) AS BIGINT)    AS n_nulls,
+       CAST(count(DISTINCT value) AS BIGINT)      AS ndv,
+       round(min(value), 4)                       AS min_value,
+       round(max(value), 4)                       AS max_value,
+       round(quantile_cont(value, 0.25), 4)       AS q1,
+       round(quantile_cont(value, 0.50), 4)       AS median,
+       round(quantile_cont(value, 0.75), 4)       AS q3
+FROM long GROUP BY col_name
+""",
+)
+def lineitem_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style table statistics: per measure column of the fact
+    table, row/null counts, exact NDV, min/max, and the exact quartiles —
+    the profile an optimizer (or a data-quality monitor) collects per
+    ingest. The reference leans on PostgreSQL's implicit ANALYZE for this;
+    in Spark it is an explicit query feeding CBO/monitoring.
+
+    Plan shape: ONE scan — every statistic for every column computes in a
+    single wide aggregate (count-distincts expand map-side; no per-column
+    rescan), and the 1-row result is stacked into tidy per-column rows at
+    zero data cost. The exact quartiles buffer values per aggregate; at
+    100 TB swap `percentile` for `approx_percentile` (the repo's
+    approx-vs-exact tolerance gate covers that trade)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count(c).alias(f"{c}_cnt"),
+            F.countDistinct(c).alias(f"{c}_ndv"),
+            F.round(F.min(c), 4).alias(f"{c}_min"),
+            F.round(F.max(c), 4).alias(f"{c}_max"),
+            F.round(F.expr(f"percentile({c}, 0.25)"), 4).alias(f"{c}_q1"),
+            F.round(F.expr(f"percentile({c}, 0.50)"), 4).alias(f"{c}_med"),
+            F.round(F.expr(f"percentile({c}, 0.75)"), 4).alias(f"{c}_q3"),
+        ]
+    wide = li.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}_cnt, {c}_ndv, {c}_min, {c}_max, {c}_q1, {c}_med, {c}_q3"
+        for c in _PROFILE_COLS
+    )
+    return wide.selectExpr(
+        "n_rows",
+        f"stack({len(_PROFILE_COLS)}, {stack_args})"
+        " as (col_name, cnt, ndv, min_value, max_value, q1, median, q3)",
+    ).select(
+        "col_name",
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        (F.col("n_rows") - F.col("cnt")).cast("bigint").alias("n_nulls"),
+        F.col("ndv").cast("bigint").alias("ndv"),
+        "min_value",
+        "max_value",
+        "q1",
+        "median",
+        "q3",
+    )
+
+
 # ---------------------------------------------------------------------------
 # First-per-group keep-first (A10).
 # ---------------------------------------------------------------------------
