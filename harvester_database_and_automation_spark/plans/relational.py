@@ -981,6 +981,59 @@ def order_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "kmv_ndv_estimate",
+    survey_ref="sketch-cardinality,A3,A8",
+    oracle="""
+WITH h AS (
+  SELECT ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15))::BIGINT
+           / CAST(1152921504606846976 AS DOUBLE) AS hv
+  FROM (SELECT DISTINCT l_partkey FROM lineitem)
+),
+kmin AS (SELECT hv FROM h ORDER BY hv LIMIT 64),
+sketch AS (SELECT max(hv) AS hk, CAST(count(*) AS BIGINT) AS k FROM kmin),
+exact AS (SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS ndv FROM lineitem)
+SELECT e.ndv,
+       round((s.k - 1) / s.hk, 2) AS kmv_estimate,
+       round(abs((s.k - 1) / s.hk - e.ndv) / e.ndv, 4) AS rel_err
+FROM sketch s CROSS JOIN exact e
+""",
+)
+def kmv_ndv_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values cardinality sketch certified against the exact
+    distinct count: hash every distinct key to [0,1), keep the 64 smallest
+    hashes, estimate NDV as (k-1)/h_(k) — the order-statistics estimator
+    behind KMV/theta sketches, here with a deterministic md5 hash so the
+    SQL oracle replays it bit-for-bit (HLL itself can't be cross-engine
+    oracle-checked: implementations differ).
+
+    Scale shape: the k smallest hashes are a top-k (TakeOrdered — per
+    partition k values, then a k*partitions merge on the driver side of
+    the exchange), so the sketch side never shuffles the key set; the
+    exact side exists only as the certification denominator, exactly like
+    `ivf_recall_at_3`'s ground truth."""
+    li = load_table(spark, sf_dir, "lineitem")
+    h = (
+        li.select("l_partkey")
+        .distinct()
+        .select(
+            (
+                F.expr("cast(conv(substr(md5(cast(l_partkey as string)), 1, 15), 16, 10) as bigint)")
+                / F.lit(1152921504606846976).cast("double")
+            ).alias("hv")
+        )
+    )
+    kmin = h.orderBy("hv").limit(64)
+    sketch = kmin.agg(F.max("hv").alias("hk"), F.count(F.lit(1)).cast("bigint").alias("k"))
+    exact = li.agg(F.countDistinct("l_partkey").cast("bigint").alias("ndv"))
+    est = (F.col("k") - 1) / F.col("hk")
+    return sketch.crossJoin(exact).select(
+        "ndv",
+        F.round(est, 2).alias("kmv_estimate"),
+        F.round(F.abs(est - F.col("ndv")) / F.col("ndv"), 4).alias("rel_err"),
+    )
+
+
 _PROFILE_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
 
 
