@@ -1034,6 +1034,107 @@ def kmv_ndv_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Shared KMV hash: distinct key -> uniform [0,1) via 60 md5 bits.
+_KMV_HASH_SQL = (
+    "('0x' || substr(md5(CAST({key} AS VARCHAR)), 1, 15))::BIGINT"
+    " / CAST(1152921504606846976 AS DOUBLE)"
+)
+
+
+@register(
+    "kmv_segment_overlap",
+    survey_ref="sketch-cardinality,U2,A3",
+    oracle=f"""
+WITH a_keys AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'),
+b_keys AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH'),
+a_min AS (SELECT {_KMV_HASH_SQL.format(key='o_custkey')} AS hv FROM a_keys ORDER BY hv LIMIT 64),
+b_min AS (SELECT {_KMV_HASH_SQL.format(key='o_custkey')} AS hv FROM b_keys ORDER BY hv LIMIT 64),
+u_min AS (
+  SELECT hv FROM (SELECT hv FROM a_min UNION SELECT hv FROM b_min) t ORDER BY hv LIMIT 64
+),
+est AS (
+  SELECT (SELECT (count(*) - 1) / max(hv) FROM a_min) AS est_a,
+         (SELECT (count(*) - 1) / max(hv) FROM b_min) AS est_b,
+         (SELECT (count(*) - 1) / max(hv) FROM u_min) AS est_union
+),
+exact AS (
+  SELECT (SELECT CAST(count(*) AS BIGINT) FROM a_keys) AS exact_a,
+         (SELECT CAST(count(*) AS BIGINT) FROM b_keys) AS exact_b,
+         (SELECT CAST(count(*) AS BIGINT) FROM (
+            SELECT o_custkey FROM a_keys UNION SELECT o_custkey FROM b_keys)) AS exact_union
+)
+SELECT exact_a, exact_b, exact_union,
+       round(est_a, 2) AS est_a,
+       round(est_b, 2) AS est_b,
+       round(est_union, 2) AS est_union,
+       round(est_a + est_b - est_union, 2) AS est_intersection
+FROM est CROSS JOIN exact
+""",
+)
+def kmv_segment_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV sketch ALGEBRA: estimate the union and intersection of two
+    customer segments from their 64-value sketches alone — merge the two
+    k-min sets, re-truncate to k, apply the same (k-1)/h_k estimator, and
+    get the intersection by inclusion-exclusion. Exact counts ride along
+    as certification.
+
+    Mergeability is what matters at 100 TB: each segment (or partition, or
+    day) keeps a 64-double sketch, and ANY union of segments is estimable
+    by merging sketches — no re-scan of the raw keys. The estimator and
+    hash are the `kmv_ndv_estimate` ones, so both engines agree exactly."""
+    o = load_table(spark, sf_dir, "orders")
+
+    def hmin(priority: str) -> DataFrame:
+        return (
+            o.filter(F.col("o_orderpriority") == priority)
+            .select("o_custkey")
+            .distinct()
+            .select(
+                (
+                    F.expr(
+                        "cast(conv(substr(md5(cast(o_custkey as string)), 1, 15), 16, 10) as bigint)"
+                    )
+                    / F.lit(1152921504606846976).cast("double")
+                ).alias("hv")
+            )
+            .orderBy("hv")
+            .limit(64)
+        )
+
+    a_min, b_min = hmin("1-URGENT"), hmin("2-HIGH")
+    u_min = a_min.union(b_min).distinct().orderBy("hv").limit(64)
+
+    def est(kmin: DataFrame, name: str) -> DataFrame:
+        return kmin.agg(((F.count(F.lit(1)) - 1) / F.max("hv")).alias(name))
+
+    def exact(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).cast("bigint").alias(name))
+
+    a_keys = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey").distinct()
+    b_keys = o.filter(F.col("o_orderpriority") == "2-HIGH").select("o_custkey").distinct()
+    u_keys = a_keys.union(b_keys).distinct()
+
+    row = (
+        est(a_min, "est_a_raw")
+        .crossJoin(est(b_min, "est_b_raw"))
+        .crossJoin(est(u_min, "est_union_raw"))
+        .crossJoin(exact(a_keys, "exact_a"))
+        .crossJoin(exact(b_keys, "exact_b"))
+        .crossJoin(exact(u_keys, "exact_union"))
+    )
+    return row.select(
+        "exact_a",
+        "exact_b",
+        "exact_union",
+        F.round("est_a_raw", 2).alias("est_a"),
+        F.round("est_b_raw", 2).alias("est_b"),
+        F.round("est_union_raw", 2).alias("est_union"),
+        F.round(
+            F.col("est_a_raw") + F.col("est_b_raw") - F.col("est_union_raw"), 2
+        ).alias("est_intersection"),
+    )
+
+
 _PROFILE_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
 
 

@@ -44,6 +44,9 @@ ALLOWED: dict[str, dict[str, str]] = {
     # materializes its long-format mutation tables (init.sql:403-410),
     # and the per-query exchange count drops to the 2-3 of its own joins.
     "ngram_jaccard_pairs": {"exchange-storm": "shingle index recomputed per consumer under the gate"},
+    "kmv_segment_overlap": {
+        "exchange-storm": "certification runs THREE sketch branches (a/b/union k-min top-ks) AND their three exact distinct counts in one plan; in production each segment's 64-double sketch is a maintained table and only the merge executes — every exchange here ships either 64 doubles or distinct bigint keys"
+    },
     "incremental_dup_components": {
         "exchange-storm": "certification runs BOTH contractions (prior-corpus map + incremental fold of the delta) from the raw pair derivation in one plan; in production the prior map is a published table and only the delta's root-graph contraction executes — every exchange here ships (int, int) pairs"
     },
