@@ -2,6 +2,11 @@
 M1-M6 and the beyond-reference families in ARCHITECTURE.md)."""
 
 from harvester_database_and_automation_spark.operators.asof import asof_join
+from harvester_database_and_automation_spark.operators.bloom import (
+    bloom_might_contain,
+    bloom_semi_join,
+    build_bloom,
+)
 from harvester_database_and_automation_spark.operators.dedup import keep_best
 from harvester_database_and_automation_spark.operators.fuzzy import fuzzy_join
 from harvester_database_and_automation_spark.operators.rangejoin import bucketed_range_join
@@ -30,6 +35,9 @@ from harvester_database_and_automation_spark.operators.state import JobState
 __all__ = [
     "asof_join",
     "bucketed_range_join",
+    "bloom_might_contain",
+    "bloom_semi_join",
+    "build_bloom",
     "cascade_rollup",
     "fuzzy_join",
     "heavy_hitters_exact",

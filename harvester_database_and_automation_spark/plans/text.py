@@ -1109,6 +1109,120 @@ def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The bloom oracle rebuilds the exact same 4096-bit / 4-hash bitset the
+# Spark operator builds (operators/bloom.py): double hashing from the two
+# md5 halves, h2 forced odd; word w = p // 32, mask = 1 << (p % 32)
+# (32-bit words in BIGINT slots: DuckDB rejects 1::BIGINT << 63 as overflow).
+_BLOOM_HASH_SQL = """
+  SELECT {cols} shingle,
+         ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h1,
+         (('0x' || substr(md5(shingle), 17, 15))::BIGINT | 1) AS h2
+  FROM {src}
+"""
+
+
+@register(
+    "bloom_decontamination",
+    survey_ref="pipeline-decontam,bloom-prefilter,J5,A2",
+    oracle=f"""
+WITH sh AS ({_SHINGLES_SQL}),
+eval_grams AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 41 = 0),
+hp AS ({_BLOOM_HASH_SQL.format(cols="", src="eval_grams")}),
+pos AS (
+  SELECT DISTINCT (h1 + i * h2) % 4096 AS p
+  FROM hp CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i)
+),
+words AS (
+  SELECT p // 32 AS w, bit_or(1::BIGINT << CAST(p % 32 AS INT)) AS bits
+  FROM pos GROUP BY 1
+),
+probes AS (
+  SELECT DISTINCT d.source, s.shingle
+  FROM sh s JOIN documents d ON d.doc_id = s.doc_id
+  WHERE s.doc_id % 41 <> 0
+),
+pp AS ({_BLOOM_HASH_SQL.format(cols="source,", src="probes")}),
+probed AS (
+  SELECT source, shingle,
+         bool_and(COALESCE(w.bits, 0) & (1::BIGINT << CAST(q.p % 32 AS INT)) <> 0) AS candidate
+  FROM (
+    SELECT source, shingle, (h1 + i * h2) % 4096 AS p
+    FROM pp CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i)
+  ) q
+  LEFT JOIN words w ON w.w = q.p // 32
+  GROUP BY source, shingle
+),
+labeled AS (
+  SELECT pr.source, pr.candidate, (e.shingle IS NOT NULL) AS hit
+  FROM probed pr LEFT JOIN eval_grams e ON e.shingle = pr.shingle
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_probes,
+       CAST(sum(CASE WHEN candidate THEN 1 ELSE 0 END) AS BIGINT) AS bloom_candidates,
+       CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS exact_hits,
+       CAST(sum(CASE WHEN candidate AND NOT hit THEN 1 ELSE 0 END) AS BIGINT) AS false_positives,
+       CAST(sum(CASE WHEN hit AND NOT candidate THEN 1 ELSE 0 END) AS BIGINT) AS false_negatives,
+       round(sum(CASE WHEN candidate AND NOT hit THEN 1 ELSE 0 END) * 1.0
+             / nullif(count(*) - sum(CASE WHEN hit THEN 1 ELSE 0 END), 0), 6) AS fp_rate
+FROM labeled GROUP BY source
+""",
+)
+def bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered decontamination, certifying the semi-join
+    reduction in ``operators/bloom.py``: build a 4096-bit filter over the
+    eval suite's distinct shingles, probe every corpus (source, shingle)
+    through the broadcast bitset, and report per source the candidate
+    count vs the exact hit count — false_negatives is structurally 0 (the
+    Bloom guarantee the oracle certifies bit-for-bit) and fp_rate is the
+    wasted-join fraction the m/k sizing bought.
+
+    Scale shape: this is how a 100 TB corpus avoids shuffling its full
+    shingle set against a benchmark key list — the filter is ~1 KB
+    broadcast to every scan task, misses die map-side, and only the
+    candidate sliver (hits + fp) pays the exact semi-join. The reference's
+    in-process HashSet membership checks
+    (gisaid/GisaidApiImporter.java:230-239) are the single-node ancestor
+    of this pattern."""
+    from harvester_database_and_automation_spark.operators.bloom import (
+        bloom_might_contain,
+        build_bloom,
+    )
+
+    sh = _shingles(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    is_eval = F.col("doc_id") % 41 == 0
+    eval_grams = sh.filter(is_eval).select("shingle").distinct()
+    probes = (
+        sh.filter(~is_eval).join(docs, "doc_id").select("source", "shingle").distinct()
+    )
+    bloom = build_bloom(eval_grams, "shingle")
+    cand = (
+        probes.crossJoin(F.broadcast(bloom))
+        .withColumn("candidate", bloom_might_contain(F.col("bits"), "shingle"))
+        .drop("bits")
+    )
+    labeled = cand.join(
+        F.broadcast(eval_grams.withColumn("hit", F.lit(True))), "shingle", "left"
+    ).select("source", "candidate", F.coalesce(F.col("hit"), F.lit(False)).alias("hit"))
+    b = lambda c: F.sum(c.cast("int")).cast("bigint")  # noqa: E731
+    agg = labeled.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_probes"),
+        b(F.col("candidate")).alias("bloom_candidates"),
+        b(F.col("hit")).alias("exact_hits"),
+        b(F.col("candidate") & ~F.col("hit")).alias("false_positives"),
+        b(F.col("hit") & ~F.col("candidate")).alias("false_negatives"),
+    )
+    return agg.withColumn(
+        "fp_rate",
+        F.round(
+            F.col("false_positives")
+            * 1.0
+            / F.nullif((F.col("n_probes") - F.col("exact_hits")).cast("double"), F.lit(0.0)),
+            6,
+        ),
+    )
+
+
 @register(
     "corpus_mix_sample",
     survey_ref="pipeline-mixing,J8,W2",

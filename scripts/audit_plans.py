@@ -50,6 +50,9 @@ ALLOWED: dict[str, dict[str, str]] = {
     "incremental_dup_components": {
         "exchange-storm": "certification runs BOTH contractions (prior-corpus map + incremental fold of the delta) from the raw pair derivation in one plan; in production the prior map is a published table and only the delta's root-graph contraction executes — every exchange here ships (int, int) pairs"
     },
+    "bloom_decontamination": {
+        "exchange-storm": "certification runs the bloom candidate path AND the exact ground-truth labeling in one plan; in production the ~1 KB bitset is built once and broadcast, misses die map-side, and every exchange here ships bit positions, 32-bit words, or (source, count) partials — never document text"
+    },
     "curation_funnel_report": {
         "exchange-storm": "the funnel composes quality filter + exact dedup + the near-dup pair derivation end-to-end; under the gate the scored-pair frame is recomputed inline (session-shared / materialized in production) and every exchange ships ids, hashes, and per-lang partials only"
     },
