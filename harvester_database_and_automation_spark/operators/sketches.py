@@ -89,3 +89,73 @@ def heavy_hitters_exact(df: DataFrame, col: str, k: int) -> DataFrame:
         .filter(F.col("n_occurrences") * k >= F.col("_hh_n"))
         .drop("_hh_n")
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min frequency sketch (Cormode & Muthukrishnan 2005).
+# ---------------------------------------------------------------------------
+def count_min_cells(
+    df: DataFrame, expr: str, width: int = 1024, depth: int = 4
+) -> DataFrame:
+    """Build a Count-Min sketch over the occurrences of key expression
+    ``expr``: a (depth x width) counter grid as a (j, pos, c) DataFrame
+    (<= depth*width rows). Row j's column for a key is the same split-md5
+    double hash as ``operators/bloom.py`` — deterministic, so a SQL oracle
+    rebuilds the identical grid.
+
+    Scale shape: one explode (depth small ints per occurrence) into one
+    partial-aggregated groupBy — the sketch is a fixed-size mergeable
+    summary (cells of two runs ADD), so per-segment sketches maintain
+    under union exactly like the KMV sketch algebra. The raw key stream
+    never shuffles; only (j, pos) pairs do."""
+    from harvester_database_and_automation_spark.operators.bloom import bloom_position_sql
+
+    cells = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        F.expr(bloom_position_sql(expr, j, width)).alias("pos"),
+                    )
+                    for j in range(depth)
+                ]
+            )
+        ).alias("cell")
+    )
+    return cells.groupBy(F.col("cell.j").alias("j"), F.col("cell.pos").alias("pos")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+
+
+def count_min_estimate(
+    cells: DataFrame, probes: DataFrame, expr: str, width: int = 1024, depth: int = 4
+) -> DataFrame:
+    """Estimate each probe key's frequency from a ``count_min_cells`` grid:
+    min over the depth rows of the addressed counters. Never undercounts
+    (every occurrence of the key incremented all its cells); overcounts by
+    whatever collided, bounded by e*n/width with probability 1-e^-depth.
+    Adds ``cms_estimate`` to the probe frame. The grid is tiny — broadcast
+    join, probes never shuffle."""
+    from harvester_database_and_automation_spark.operators.bloom import bloom_position_sql
+
+    keyed = probes.select(
+        "*",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        F.expr(bloom_position_sql(expr, j, width)).alias("pos"),
+                    )
+                    for j in range(depth)
+                ]
+            )
+        ).alias("cell"),
+    ).select("*", F.col("cell.j").alias("j"), F.col("cell.pos").alias("pos")).drop("cell")
+    joined = keyed.join(F.broadcast(cells), ["j", "pos"], "left")
+    group_cols = [c for c in probes.columns]
+    return (
+        joined.groupBy(*group_cols)
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("cms_estimate"))
+    )

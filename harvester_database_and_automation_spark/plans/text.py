@@ -1298,6 +1298,89 @@ def word_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_hitters_exact(words, "word", 200)
 
 
+# Count-Min oracle rebuilds the exact (4 x 1024) counter grid the Spark
+# operator builds (operators/sketches.py): same split-md5 double hash as
+# the Bloom filter, counters summed per (row j, column pos).
+_CMS_HASH_SQL = """
+  SELECT {cols} word,
+         ('0x' || substr(md5(word), 1, 15))::BIGINT AS h1,
+         (('0x' || substr(md5(word), 17, 15))::BIGINT | 1) AS h2
+  FROM {src}
+"""
+
+
+@register(
+    "cms_word_frequency",
+    survey_ref="sketch-frequency,A1,O1",
+    oracle=f"""
+WITH words AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+top AS (
+  SELECT word, count(*) AS true_count FROM words
+  GROUP BY word ORDER BY true_count DESC, word LIMIT 20
+),
+wh AS ({_CMS_HASH_SQL.format(cols="", src="words")}),
+cells AS (
+  SELECT j, (h1 + j * h2) % 1024 AS pos, count(*) AS c
+  FROM wh CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS j)
+  GROUP BY 1, 2
+),
+ph AS ({_CMS_HASH_SQL.format(cols="true_count,", src="top")}),
+est AS (
+  SELECT word, true_count, min(COALESCE(c.c, 0)) AS cms_estimate
+  FROM (
+    SELECT word, true_count, j, (h1 + j * h2) % 1024 AS pos
+    FROM ph CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS j)
+  ) q
+  LEFT JOIN cells c ON c.j = q.j AND c.pos = q.pos
+  GROUP BY word, true_count
+)
+SELECT word,
+       CAST(true_count AS BIGINT)               AS true_count,
+       CAST(cms_estimate AS BIGINT)             AS cms_estimate,
+       CAST(cms_estimate - true_count AS BIGINT) AS overcount
+FROM est
+""",
+)
+def cms_word_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min frequency sketch certified against exact counts: build
+    the (4 x 1024) counter grid over every token occurrence, estimate the
+    top-20 words' frequencies from it, and report the overcount — which
+    the sketch guarantees is never negative (a hash-matched oracle row
+    with overcount >= 0 for every word IS the no-undercount certificate).
+
+    Completes the sketch suite: Bloom (membership), KMV (cardinality),
+    Misra-Gries (heavy-hitter candidates), CMS (per-key frequency). Scale
+    shape: the grid is a fixed 4096-cell mergeable summary — per-segment
+    grids ADD cell-wise, so 100 TB maintains per-partition sketches and
+    merges, while the raw token stream never shuffles (only (j, pos)
+    pairs do)."""
+    from harvester_database_and_automation_spark.operators.sketches import (
+        count_min_cells,
+        count_min_estimate,
+    )
+
+    def build_words() -> DataFrame:
+        docs = _fanout(load_table(spark, sf_dir, "documents").select("text"))
+        return docs.select(F.explode(F.split("text", " ")).alias("word"))
+
+    # Persisted: the token stream feeds the truth ranking AND the grid.
+    words = shared_df(spark, ("cms_words", sf_dir), build_words)
+    top = (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("true_count"))
+        .orderBy(F.col("true_count").desc(), F.col("word").asc())
+        .limit(20)
+    )
+    cells = count_min_cells(words, "word", width=1024, depth=4)
+    est = count_min_estimate(cells, top, "word", width=1024, depth=4)
+    return est.select(
+        "word",
+        F.col("true_count").cast("bigint").alias("true_count"),
+        F.col("cms_estimate").cast("bigint").alias("cms_estimate"),
+        (F.col("cms_estimate") - F.col("true_count")).cast("bigint").alias("overcount"),
+    )
+
+
 @register(
     "doc_repetition_stats",
     survey_ref="text-analysis,A1,P4",
