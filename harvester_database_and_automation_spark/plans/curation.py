@@ -10,7 +10,7 @@ chunked submission planning) to the shapes an LLM data pipeline needs.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from harvester_database_and_automation_spark.catalog import load_table
@@ -370,4 +370,59 @@ def domain_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_docs").cast("bigint").alias("n_docs"),
         F.round(F.sqrt("n_docs") / F.col("sw"), 6).alias("mix_weight"),
         F.round(F.col("nd") * F.sqrt("n_docs") / F.col("sw"), 1).alias("expected_docs"),
+    )
+
+
+@register(
+    "weighted_quality_sample",
+    survey_ref="pipeline-sampling,J8,W2,O3",
+    oracle="""
+WITH keyed AS (
+  SELECT lang, doc_id, n_chars,
+         -ln(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+             / CAST(1152921504606846976 AS DOUBLE)) / n_chars AS jitter
+  FROM documents
+)
+SELECT lang, doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(sample_rank AS INT) AS sample_rank
+FROM (
+  SELECT lang, doc_id, n_chars, jitter,
+         row_number() OVER (PARTITION BY lang ORDER BY jitter, doc_id) AS sample_rank
+  FROM keyed
+) t
+WHERE sample_rank <= 10
+""",
+)
+def weighted_quality_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-proportional sampling without replacement (Efraimidis-
+    Spirakis A-ExpJ keys): per language, draw 10 documents with inclusion
+    probability proportional to a quality weight (n_chars standing in for
+    a quality score) by ranking on the exponential jitter -ln(u)/w, u a
+    deterministic md5-uniform of the doc id. The k smallest jitters ARE a
+    weighted sample without replacement — the corpus-assembly step that
+    up-samples high-quality documents instead of sampling uniformly
+    (`corpus_mix_sample` is the unweighted quota variant).
+
+    Determinism note: ln is not IEEE-correctly-rounded across libms, so
+    the jitter itself never appears in the output — only the integer rank
+    — and an order flip needs two keys within ~1 ulp (probability ~1e-13
+    for 60-bit uniforms). Scale shape: one map pass computes keys, the
+    per-lang top-k is a ranking window per domain; at extreme skew the
+    same keys feed a `min_by(array, k)` aggregate instead — either way
+    the text never shuffles, only (lang, id, key) triples."""
+    docs = load_table(spark, sf_dir, "documents").select("lang", "doc_id", "n_chars")
+    u = F.expr(
+        "cast(conv(substr(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint)"
+    ) / F.lit(1152921504606846976).cast("double")
+    keyed = docs.withColumn("jitter", -F.log(u) / F.col("n_chars"))
+    w = Window.partitionBy("lang").orderBy(F.col("jitter").asc(), F.col("doc_id").asc())
+    return (
+        keyed.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= 10)
+        .select(
+            "lang",
+            "doc_id",
+            F.col("n_chars").cast("bigint").alias("n_chars"),
+            F.col("sample_rank").cast("int").alias("sample_rank"),
+        )
     )
