@@ -49,17 +49,42 @@ def main() -> None:
                 per_query[name] = dt
 
     total = round(sum(per_query.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total warm wall-clock over registered query inventory",
-                "value": total,
-                "unit": "sec",
-                "queries": per_query,
-                "sf": sf,
-            }
-        )
+    times = sorted(per_query.values())
+    n = len(times)
+
+    # Full per-query map to a repo file (the driver's stdout capture keeps
+    # only the last 2000 chars — round 1's 4 KB line survived only as an
+    # unparseable tail). The printed line stays under that cap: aggregate
+    # stats plus the slowest queries, with the rest in BENCH_FULL.json.
+    slowest_first = dict(sorted(per_query.items(), key=lambda kv: -kv[1]))
+    full = {
+        "metric": "total warm wall-clock over registered query inventory",
+        "value": total,
+        "unit": "sec",
+        "queries": slowest_first,
+        "sf": sf,
+    }
+    (Path(__file__).resolve().parent / "BENCH_FULL.json").write_text(
+        json.dumps(full, indent=1) + "\n"
     )
+
+    out = {
+        "metric": "total warm wall-clock, all queries (full map: BENCH_FULL.json)",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": n,
+        "median_sec": round(times[n // 2], 3),
+        "p90_sec": round(times[(9 * n) // 10], 3),
+        "queries": {},
+    }
+    budget = 1900
+    for name, dt in slowest_first.items():
+        out["queries"][name] = dt
+        if len(json.dumps(out, separators=(",", ":"))) > budget:
+            del out["queries"][name]
+            break
+    print(json.dumps(out, separators=(",", ":")))
 
 
 if __name__ == "__main__":
