@@ -1488,3 +1488,53 @@ def train_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min_by("doc_id", "h").cast("bigint").alias("first_doc"),
         )
     )
+
+
+@register(
+    "doc_unicode_sanitation",
+    survey_ref="text-analysis,P6,A2",
+    oracle=r"""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(length(text) - length(regexp_replace(text, '[\x00-\x08\x0B\x0C\x0E-\x1F]', '', 'g'))
+            AS BIGINT) AS n_control,
+       CAST(length(text) - length(regexp_replace(text, '[\x{200B}-\x{200D}\x{FEFF}]', '', 'g'))
+            AS BIGINT) AS n_zero_width,
+       CAST(length(regexp_replace(text, '[\x00-\x7F]', '', 'g')) AS BIGINT) AS n_non_ascii,
+       length(regexp_replace(text, '\x{FFFD}', '', 'g')) < length(text) AS has_replacement_char,
+       CAST(length(trim(regexp_replace(text, ' +', ' ', 'g'))) AS BIGINT) AS n_chars_collapsed
+FROM documents
+""",
+)
+def doc_unicode_sanitation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode sanitation profile — the cleanup gate a pretraining corpus
+    runs before tokenization: per document, counts of control characters,
+    zero-width characters (ZWSP/ZWNJ/ZWJ/BOM), non-ASCII characters, the
+    U+FFFD replacement-char flag (mojibake / broken decoding upstream),
+    and the length after whitespace collapsing. Extends the reference's
+    row-content validation family (P6 — utility.R:755-814's enum/type
+    sanity, viollier/parser.py:84-131's format checks) to the character
+    level.
+
+    All counts are length-difference arithmetic over regexp_replace with
+    character-class patterns chosen to behave identically under Java
+    regex and RE2 (DuckDB needs the 'g' flag; Spark replaces globally by
+    default). One map pass, no shuffle at all — the scan's row count is
+    the plan."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    n = F.length("text")
+
+    def removed(pattern: str):
+        return (n - F.length(F.regexp_replace("text", pattern, ""))).cast("bigint")
+
+    return docs.select(
+        "doc_id",
+        n.cast("bigint").alias("n_chars"),
+        removed(r"[\x00-\x08\x0B\x0C\x0E-\x1F]").alias("n_control"),
+        removed(r"[\x{200B}-\x{200D}\x{FEFF}]").alias("n_zero_width"),
+        F.length(F.regexp_replace("text", r"[\x00-\x7F]", "")).cast("bigint").alias("n_non_ascii"),
+        (F.length(F.regexp_replace("text", "�", "")) < n).alias("has_replacement_char"),
+        F.length(F.trim(F.regexp_replace("text", " +", " "))).cast("bigint").alias(
+            "n_chars_collapsed"
+        ),
+    )
