@@ -11,6 +11,7 @@ from __future__ import annotations
 import re
 
 import pytest
+from pyspark.sql import functions as F
 
 from harvester_database_and_automation_spark.plans import QUERIES
 
@@ -225,3 +226,29 @@ def test_rollup_cascade_has_no_extra_fact_scans(spark):
     plan = fmt_plan(spark, "event_rollup_cascade")
     assert plan.count("events.parquet") <= 1
     assert count_nodes(plan, "HashAggregate") >= 4  # partial+final per level
+
+
+def test_published_partitioned_table_prunes_partitions(spark, tmp_path):
+    """Hive-style partition pruning on the derived layer: a predicate on
+    the partition column must reach the scan as a PartitionFilter (so at
+    100 TB only the matching leaf directories are listed/read), never as
+    a post-scan row filter over the full table."""
+    from harvester_database_and_automation_spark.operators.publish import (
+        publish_versioned,
+        read_published,
+    )
+
+    df = spark.range(1000).select(
+        F.col("id"),
+        (F.col("id") % 7).cast("string").alias("lang"),
+    )
+    table = str(tmp_path / "docs_by_lang")
+    publish_versioned(df, table, partition_by=["lang"])
+
+    got = read_published(spark, table).filter(F.col("lang") == "3")
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    plan = got._jdf.queryExecution().explainString(mode)
+    m = re.search(r"PartitionFilters: \[[^\n]*", plan)
+    assert m and "lang" in m.group(0), f"predicate must prune partitions: {plan}"
+    # And the pruning is effective: only 1 of the 7 leaf dirs feeds rows.
+    assert got.count() == df.filter(F.col("lang") == "3").count()
