@@ -1,0 +1,93 @@
+"""Streaming sketch maintenance: a published Count-Min grid kept current
+by micro-batch merges.
+
+The mergeable-summary algebra (cells ADD — gated by
+``tests/test_count_min.py``) is what makes frequency monitoring free at
+ingest time: each micro-batch sketches ONLY its own rows (a fixed-size
+aggregate), and the published grid is prior ⊕ delta — no rescan of the
+accumulated corpus, ever. This is the streaming analogue of the
+per-segment sketch maintenance the 100 TB sizing table describes, and the
+frequency-side sibling of ``stream_upsert_into_published``.
+
+Exactly-once: ``foreachBatch`` replays a batch if the job dies between
+the publish and the checkpoint commit, so the merge is made idempotent
+the standard way — the published version records the batch id that
+produced it, and a replayed batch id is skipped instead of double-added.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from harvester_database_and_automation_spark.operators.publish import (
+    current_version,
+    publish_versioned,
+    read_published,
+)
+from harvester_database_and_automation_spark.operators.sketches import count_min_cells
+
+_BATCH_MARKER = "_last_sketched_batch"
+
+
+def _last_batch(table_dir: str) -> int:
+    try:
+        with open(os.path.join(table_dir, _BATCH_MARKER), encoding="utf-8") as fh:
+            return int(fh.read().strip())
+    except (OSError, ValueError):
+        return -1
+
+
+def _record_batch(table_dir: str, batch_id: int) -> None:
+    with open(os.path.join(table_dir, _BATCH_MARKER), "w", encoding="utf-8") as fh:
+        fh.write(str(batch_id))
+
+
+def stream_cms_into_published(
+    spark: SparkSession,
+    src_dir: str,
+    schema: T.StructType,
+    checkpoint_dir: str,
+    table_dir: str,
+    col: str,
+    width: int = 1024,
+    depth: int = 4,
+    fmt: str = "csv",
+    reader_options: dict[str, str] | None = None,
+) -> None:
+    """One ``Trigger.AvailableNow`` poll: sketch every newly arrived file's
+    ``col`` values and merge the delta grid into the published table at
+    ``table_dir`` (versioned, atomic pointer swap). The file-source
+    checkpoint is the processed-file ledger, exactly like
+    ``incremental_file_ingest``."""
+    reader = spark.readStream.format(fmt).schema(schema)
+    for k, v in (reader_options or {}).items():
+        reader = reader.option(k, v)
+    stream = reader.load(src_dir)
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id <= _last_batch(table_dir):
+            return  # replay after a publish/checkpoint race — already merged
+        delta = count_min_cells(batch_df, col, width, depth)
+        if current_version(table_dir) is not None:
+            prior = read_published(batch_df.sparkSession, table_dir)
+            merged = (
+                prior.unionByName(delta)
+                .groupBy("j", "pos")
+                .agg(F.sum("c").alias("c"))
+            )
+        else:
+            merged = delta
+        publish_versioned(merged, table_dir)
+        _record_batch(table_dir, batch_id)
+
+    (
+        stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

@@ -472,3 +472,38 @@ def test_streaming_change_router_tws_variant(spark, tmp_path):
     q.awaitTermination()
     rows = {(r["id"], r["change_kind"]) for r in spark.read.parquet(out).collect()}
     assert rows == {("s1", "insert")}
+
+
+def test_streaming_cms_maintains_published_grid(spark, tmp_path):
+    """The published grid after N polls equals the grid computed from all
+    data at once (cell-wise additive merge), and a re-poll with no new
+    files changes nothing."""
+    from harvester_database_and_automation_spark.operators.publish import read_published
+    from harvester_database_and_automation_spark.operators.sketches import count_min_cells
+    from harvester_database_and_automation_spark.streaming import stream_cms_into_published
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    table = str(tmp_path / "cms_grid")
+    schema = T.StructType([T.StructField("word", T.StringType())])
+
+    def grid(df):
+        return {(r["j"], r["pos"]): r["c"] for r in df.collect()}
+
+    (src / "a.csv").write_text("alpha\nbeta\nalpha\n")
+    stream_cms_into_published(spark, str(src), schema, ckpt, table, "word", width=64, depth=2)
+    all_rows = spark.createDataFrame([("alpha",), ("beta",), ("alpha",)], schema)
+    assert grid(read_published(spark, table)) == grid(count_min_cells(all_rows, "word", 64, 2))
+
+    (src / "b.csv").write_text("beta\ngamma\n")
+    stream_cms_into_published(spark, str(src), schema, ckpt, table, "word", width=64, depth=2)
+    all_rows = spark.createDataFrame(
+        [("alpha",), ("beta",), ("alpha",), ("beta",), ("gamma",)], schema
+    )
+    want = grid(count_min_cells(all_rows, "word", 64, 2))
+    assert grid(read_published(spark, table)) == want
+
+    # No new files: the ledger skips everything, the grid is unchanged.
+    stream_cms_into_published(spark, str(src), schema, ckpt, table, "word", width=64, depth=2)
+    assert grid(read_published(spark, table)) == want
