@@ -44,8 +44,13 @@ _WORD = 32  # bits per bitset word: 32-bit words in BIGINT slots so the
 def bloom_position_sql(expr: str, i: int, m_bits: int = DEFAULT_M_BITS) -> str:
     """SQL for the i-th bit position of key expression ``expr``:
     (h1 + i*h2) mod m from the two md5 halves, h2 forced odd so the
-    stride never collapses the probes onto one slot. h1,h2 < 2^60 and
-    i ≤ k, so the bigint arithmetic never overflows."""
+    stride never collapses the probes onto one slot. h1,h2 < 2^60, so
+    h1 + i*h2 stays under 2^63 only for i ≤ 7 — hash counts above 8
+    (k/depth) are rejected up front rather than overflowing under ANSI
+    mode; widen the filter/grid (m_bits/width) instead, which is the
+    better accuracy lever anyway."""
+    if not 0 <= i <= 7:
+        raise ValueError("hash index must be in [0, 7] (k/depth <= 8): widen m_bits instead")
     h1 = f"cast(conv(substr(md5({expr}), 1, 15), 16, 10) as bigint)"
     h2 = f"(cast(conv(substr(md5({expr}), 17, 15), 16, 10) as bigint) | cast(1 as bigint))"
     return f"pmod({h1} + cast({i} as bigint) * {h2}, cast({m_bits} as bigint))"
@@ -68,10 +73,15 @@ def build_bloom(
     its partitions."""
     if m_bits % _WORD != 0:
         raise ValueError("m_bits must be a multiple of 32")
+    # NULL keys are dropped, matching left_semi semantics (a null never
+    # joins); without the filter md5(NULL) propagates a null position and
+    # the word-map assembly throws NULL_MAP_KEY.
     # No dedup before the OR: bit_or is idempotent, so duplicate positions
     # cost nothing and skipping distinct saves a full shuffle of the
     # position stream — the partial aggregate absorbs repeats map-side.
-    pos = keys.select(F.explode(F.array(*bloom_positions(col, m_bits, k))).alias("p"))
+    pos = keys.filter(F.col(col).isNotNull()).select(
+        F.explode(F.array(*bloom_positions(col, m_bits, k))).alias("p")
+    )
     words = pos.groupBy(F.shiftright("p", 5).alias("w")).agg(
         F.expr("bit_or(shiftleft(cast(1 as bigint), cast(p % 32 as int)))").alias("bits")
     )
@@ -127,6 +137,8 @@ def bloom_semi_join(
         .filter(bloom_might_contain(F.col("bits"), probe_col, m_bits, k))
         .drop("bits")
     )
+    # left_semi ignores duplicate build-side keys by itself — a distinct
+    # here would re-shuffle the whole key set for nothing.
     return thinned.join(
-        keys.select(F.col(key_col).alias(probe_col)).distinct(), probe_col, "left_semi"
+        keys.select(F.col(key_col).alias(probe_col)), probe_col, "left_semi"
     )

@@ -12,6 +12,7 @@ either the old or the new version, never a half-written directory.
 
 from __future__ import annotations
 
+import json
 import os
 import tempfile
 
@@ -33,6 +34,7 @@ def publish_versioned(
     table_dir: str,
     partition_by: list[str] | None = None,
     max_records_per_file: int | None = None,
+    metadata: dict | None = None,
 ) -> int:
     """Write ``df`` as the next version of ``table_dir`` and repoint the
     marker atomically (os.replace). Returns the new version number.
@@ -49,8 +51,31 @@ def publish_versioned(
     if max_records_per_file is not None:
         writer = writer.option("maxRecordsPerFile", max_records_per_file)
     writer.parquet(os.path.join(table_dir, f"v{version}"))
+    if metadata is not None:
+        # Written INSIDE the version dir before the marker swap, so the
+        # atomic pointer move carries data + metadata together — a crash
+        # can never publish one without the other (the streaming sketch
+        # sink's batch-id idempotence depends on this).
+        with open(
+            os.path.join(table_dir, f"v{version}", "_meta.json"), "w", encoding="utf-8"
+        ) as fh:
+            json.dump(metadata, fh)
     _swap_marker(table_dir, version)
     return version
+
+
+def published_metadata(table_dir: str) -> dict:
+    """The metadata dict published with the CURRENT version ({} if none)."""
+    version = current_version(table_dir)
+    if version is None:
+        return {}
+    try:
+        with open(
+            os.path.join(table_dir, f"v{version}", "_meta.json"), encoding="utf-8"
+        ) as fh:
+            return json.load(fh)
+    except (OSError, ValueError):
+        return {}
 
 
 def _swap_marker(table_dir: str, version: int) -> None:

@@ -139,7 +139,12 @@ def count_min_estimate(
     join, probes never shuffle."""
     from harvester_database_and_automation_spark.operators.bloom import bloom_position_sql
 
-    keyed = probes.select(
+    # Internal names are _cms_-prefixed and the regroup key is a synthetic
+    # row id, so probe frames may carry columns named j/pos/c and
+    # duplicate probe rows come back as duplicate rows (one estimate
+    # each), matching the "adds cms_estimate to the probe frame" contract.
+    with_id = probes.withColumn("_cms_rid", F.monotonically_increasing_id())
+    keyed = with_id.select(
         "*",
         F.explode(
             F.array(
@@ -151,11 +156,19 @@ def count_min_estimate(
                     for j in range(depth)
                 ]
             )
-        ).alias("cell"),
-    ).select("*", F.col("cell.j").alias("j"), F.col("cell.pos").alias("pos")).drop("cell")
-    joined = keyed.join(F.broadcast(cells), ["j", "pos"], "left")
-    group_cols = [c for c in probes.columns]
+        ).alias("_cms_cell"),
+    ).select(
+        "*",
+        F.col("_cms_cell.j").alias("_cms_j"),
+        F.col("_cms_cell.pos").alias("_cms_pos"),
+    ).drop("_cms_cell")
+    grid = cells.select(
+        F.col("j").alias("_cms_j"), F.col("pos").alias("_cms_pos"), F.col("c").alias("_cms_c")
+    )
+    joined = keyed.join(F.broadcast(grid), ["_cms_j", "_cms_pos"], "left")
+    group_cols = ["_cms_rid", *probes.columns]
     return (
         joined.groupBy(*group_cols)
-        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("cms_estimate"))
+        .agg(F.min(F.coalesce(F.col("_cms_c"), F.lit(0))).alias("cms_estimate"))
+        .drop("_cms_rid")
     )

@@ -11,13 +11,17 @@ frequency-side sibling of ``stream_upsert_into_published``.
 
 Exactly-once: ``foreachBatch`` replays a batch if the job dies between
 the publish and the checkpoint commit, so the merge is made idempotent
-the standard way — the published version records the batch id that
-produced it, and a replayed batch id is skipped instead of double-added.
+the standard way — the (checkpoint id, batch id) that produced a version
+is published ATOMICALLY with it (inside the version dir, carried by the
+same pointer swap — ``publish_versioned(metadata=...)``), and a replayed
+batch id is skipped instead of double-added. A table fed from a
+DIFFERENT checkpoint (deleted/relocated checkpoint dir, or a second
+stream) is rejected up front: batch ids would restart at 0 and silently
+skip-merge, so the caller must either keep the checkpoint or reset the
+table.
 """
 
 from __future__ import annotations
-
-import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -26,24 +30,10 @@ from pyspark.sql import types as T
 from harvester_database_and_automation_spark.operators.publish import (
     current_version,
     publish_versioned,
+    published_metadata,
     read_published,
 )
 from harvester_database_and_automation_spark.operators.sketches import count_min_cells
-
-_BATCH_MARKER = "_last_sketched_batch"
-
-
-def _last_batch(table_dir: str) -> int:
-    try:
-        with open(os.path.join(table_dir, _BATCH_MARKER), encoding="utf-8") as fh:
-            return int(fh.read().strip())
-    except (OSError, ValueError):
-        return -1
-
-
-def _record_batch(table_dir: str, batch_id: int) -> None:
-    with open(os.path.join(table_dir, _BATCH_MARKER), "w", encoding="utf-8") as fh:
-        fh.write(str(batch_id))
 
 
 def stream_cms_into_published(
@@ -68,8 +58,17 @@ def stream_cms_into_published(
         reader = reader.option(k, v)
     stream = reader.load(src_dir)
 
+    prior_meta = published_metadata(table_dir)
+    if prior_meta and prior_meta.get("checkpoint") != checkpoint_dir:
+        raise ValueError(
+            f"{table_dir} was built from checkpoint {prior_meta.get('checkpoint')!r}; "
+            f"feeding it from {checkpoint_dir!r} would restart batch ids and "
+            "corrupt idempotence — reuse the original checkpoint or reset the table"
+        )
+
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_id <= _last_batch(table_dir):
+        meta = published_metadata(table_dir)
+        if meta and batch_id <= meta.get("batch_id", -1):
             return  # replay after a publish/checkpoint race — already merged
         delta = count_min_cells(batch_df, col, width, depth)
         if current_version(table_dir) is not None:
@@ -81,8 +80,9 @@ def stream_cms_into_published(
             )
         else:
             merged = delta
-        publish_versioned(merged, table_dir)
-        _record_batch(table_dir, batch_id)
+        publish_versioned(
+            merged, table_dir, metadata={"batch_id": batch_id, "checkpoint": checkpoint_dir}
+        )
 
     (
         stream.writeStream.foreachBatch(merge_batch)

@@ -72,3 +72,18 @@ def test_empty_key_set_rejects_everything(spark):
         .count()
     )
     assert n == 0
+
+
+def test_null_keys_are_ignored_like_left_semi(spark):
+    keys = spark.createDataFrame([("hit",), (None,)], "key string")
+    probe = _keys(spark, ["hit", "miss"])
+    got = sorted(r["key"] for r in bloom_semi_join(probe, keys, "key", "key").collect())
+    want = sorted(r["key"] for r in probe.join(keys, "key", "left_semi").collect())
+    assert got == want == ["hit"]
+
+
+def test_more_than_eight_hashes_is_rejected(spark):
+    import pytest
+
+    with pytest.raises(ValueError, match="k/depth"):
+        build_bloom(_keys(spark, ["a"]), "key", k=9)

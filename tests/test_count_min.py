@@ -59,3 +59,17 @@ def test_cells_merge_additively_across_segments(spark):
     direct = count_min_cells(both, "word", width=64, depth=2)
     as_dict = lambda df: {(r["j"], r["pos"]): r["c"] for r in df.collect()}  # noqa: E731
     assert as_dict(merged) == as_dict(direct)
+
+
+def test_probe_columns_named_like_internals_and_duplicates_survive(spark):
+    # Probe frames may carry columns named j/pos/c, and duplicate probe
+    # rows must come back as duplicate rows, one estimate each.
+    stream = _stream(spark, {"x": 3, "y": 1})
+    cells = count_min_cells(stream, "word", width=64, depth=2)
+    probes = spark.createDataFrame(
+        [("x", 1, 2, 3), ("x", 1, 2, 3), ("y", 9, 9, 9)], "word string, j int, pos int, c int"
+    )
+    rows = count_min_estimate(cells, probes, "word", width=64, depth=2).collect()
+    assert len(rows) == 3
+    by_word = sorted((r["word"], r["cms_estimate"]) for r in rows)
+    assert by_word == [("x", 3), ("x", 3), ("y", 1)]

@@ -507,3 +507,17 @@ def test_streaming_cms_maintains_published_grid(spark, tmp_path):
     # No new files: the ledger skips everything, the grid is unchanged.
     stream_cms_into_published(spark, str(src), schema, ckpt, table, "word", width=64, depth=2)
     assert grid(read_published(spark, table)) == want
+
+
+def test_streaming_cms_rejects_foreign_checkpoint(spark, tmp_path):
+    import pytest
+    from harvester_database_and_automation_spark.streaming import stream_cms_into_published
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    (src / "a.csv").write_text("alpha\n")
+    schema = T.StructType([T.StructField("word", T.StringType())])
+    table = str(tmp_path / "grid")
+    stream_cms_into_published(spark, str(src), schema, str(tmp_path / "ck1"), table, "word")
+    with pytest.raises(ValueError, match="checkpoint"):
+        stream_cms_into_published(spark, str(src), schema, str(tmp_path / "ck2"), table, "word")
