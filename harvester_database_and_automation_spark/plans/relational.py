@@ -2330,3 +2330,59 @@ def click_purchase_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "first_purchase",
         F.col("first_purchase").isNotNull().alias("converted"),
     )
+
+
+@register(
+    "null_safe_recode_join",
+    survey_ref="P5,J9,J10,A1",
+    oracle="""
+WITH keyed AS (
+  SELECT event_id, user_id, nullif(event_type, 'click') AS k FROM events
+),
+lookup AS (
+  SELECT * FROM (VALUES (NULL, 'untracked_click'), ('view', 'impression'),
+                        ('purchase', 'conversion'), ('signup', 'registration'))
+       AS t(k, label)
+)
+SELECT COALESCE(l.label, 'unmapped') AS label,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+FROM keyed e LEFT JOIN lookup l ON e.k IS NOT DISTINCT FROM l.k
+GROUP BY COALESCE(l.label, 'unmapped')
+""",
+)
+def null_safe_recode_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-matches-NULL lookup join — the semantic gap between R and SQL
+    joins the reference silently relies on: dplyr joins match NA keys by
+    default (na_matches = 'na'), so the R-side recode/lookup patterns
+    (utility.R:324-357 coalesce_join; import_bag_meldeformular.R:26-92
+    code->label maps over columns with NAs) keep NA rows paired, while a
+    plain SQL equi-join drops them. Spark expresses the R semantics with
+    `eqNullSafe` (<=>), certified against DuckDB's IS NOT DISTINCT FROM:
+    the recoded NULL key ('click' events) must land in the 'untracked_click'
+    bucket, not vanish, and unmapped codes fall through to a default.
+
+    Scale shape: the lookup is a literal frame -> broadcast hash join with
+    a null-safe key; the fact side never shuffles for the join, and the
+    count-distinct agg is the usual two-level expand."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.expr("nullif(event_type, 'click')").alias("k")
+    )
+    lookup = F.broadcast(
+        spark.createDataFrame(
+            [
+                (None, "untracked_click"),
+                ("view", "impression"),
+                ("purchase", "conversion"),
+                ("signup", "registration"),
+            ],
+            "k string, label string",
+        )
+    )
+    joined = e.join(lookup, e["k"].eqNullSafe(lookup["k"]), "left")
+    return joined.groupBy(
+        F.coalesce(lookup["label"], F.lit("unmapped")).alias("label")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.countDistinct(e["user_id"]).cast("bigint").alias("n_users"),
+    )
