@@ -2386,3 +2386,66 @@ def null_safe_recode_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_events"),
         F.countDistinct(e["user_id"]).cast("bigint").alias("n_users"),
     )
+
+
+@register(
+    "user_retention_cohorts",
+    survey_ref="A1,A7,J1,date-family",
+    oracle="""
+WITH didx AS (
+  SELECT user_id,
+         CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS INT) AS d_idx
+  FROM events
+),
+cohort AS (SELECT user_id, min(d_idx) AS cohort_idx FROM didx GROUP BY user_id),
+activity AS (SELECT DISTINCT user_id, d_idx FROM didx),
+sizes AS (SELECT cohort_idx, count(*) AS n_cohort FROM cohort GROUP BY cohort_idx),
+cells AS (
+  SELECT c.cohort_idx, a.d_idx - c.cohort_idx AS days_since,
+         count(DISTINCT a.user_id) AS n_active
+  FROM activity a JOIN cohort c USING (user_id)
+  GROUP BY c.cohort_idx, a.d_idx - c.cohort_idx
+)
+SELECT CAST(DATE '1970-01-01' + ce.cohort_idx AS VARCHAR) AS cohort_date,
+       CAST(ce.days_since AS INT)                   AS days_since,
+       CAST(ce.n_active AS BIGINT)                  AS n_active,
+       CAST(s.n_cohort AS BIGINT)                   AS n_cohort,
+       round(ce.n_active * 1.0 / s.n_cohort, 6)     AS retention
+FROM cells ce JOIN sizes s USING (cohort_idx)
+""",
+)
+def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily cohort retention triangle — the engagement analysis every
+    event warehouse serves: users grouped by first-active day, each later
+    day's active fraction of the original cohort. Extends the reference's
+    weekly activity reporting (gisaid.sql:80-87 weekly full-outer; %Y-%W
+    bucketing in export_spsp_submission.R:316-320) to the cohort shape.
+
+    Day arithmetic is a flat integer epoch-day index end to end — no
+    interval math, no timezone exposure on the NTZ timestamps — so the
+    triangle is integer-exact on both engines (the cohort day renders as
+    an ISO string: pandas date-vs-timestamp dtypes otherwise differ); only the final retention
+    ratio is float (IEEE division agrees). Plan: two partial-agg shuffles
+    over (user, day) pairs plus a broadcast of the tiny cohort-size
+    frame; event rows never shuffle twice."""
+    e = load_table(spark, sf_dir, "events")
+    epoch = F.lit("1970-01-01").cast("date")
+    didx = e.select(
+        "user_id", F.datediff(F.to_date("ts"), epoch).cast("int").alias("d_idx")
+    )
+    cohort = didx.groupBy("user_id").agg(F.min("d_idx").alias("cohort_idx"))
+    activity = didx.distinct()
+    sizes = cohort.groupBy("cohort_idx").agg(F.count(F.lit(1)).alias("n_cohort"))
+    cells = (
+        activity.join(cohort, "user_id")
+        .groupBy("cohort_idx", (F.col("d_idx") - F.col("cohort_idx")).alias("days_since"))
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+    out = cells.join(F.broadcast(sizes), "cohort_idx")
+    return out.select(
+        F.date_add(epoch, F.col("cohort_idx")).cast("string").alias("cohort_date"),
+        F.col("days_since").cast("int").alias("days_since"),
+        F.col("n_active").cast("bigint").alias("n_active"),
+        F.col("n_cohort").cast("bigint").alias("n_cohort"),
+        F.round(F.col("n_active") * 1.0 / F.col("n_cohort"), 6).alias("retention"),
+    )
