@@ -328,6 +328,10 @@ def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-(doc, block) min, which partial-aggregates), and documents hash
     independently — embarrassingly parallel over doc partitions.
     """
+    return _winnow_fps(spark, sf_dir)
+
+
+def _build_winnow_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _fanout(
         load_table(spark, sf_dir, "documents")
         .select("doc_id", "text")
@@ -349,6 +353,94 @@ def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         h.alias("h"),
     )
     return hashed.groupBy("doc_id", "block").agg(F.min("h").alias("fp"))
+
+
+def _winnow_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-shared winnow fingerprint frame (doc_id, block, fp) —
+    built once for the fingerprint report and the overlap pair search."""
+    return shared_df(
+        spark, ("winnow_fps", sf_dir), lambda: _build_winnow_fps(spark, sf_dir)
+    )
+
+
+@register(
+    "substring_overlap_pairs",
+    survey_ref="dedup-substring,J1,A1",
+    oracle=f"""
+WITH windows AS (
+  SELECT doc_id, unnest(generate_series(1, length(text) - 7)) AS pos, text
+  FROM documents
+  WHERE length(text) >= 8
+), hashed AS (
+  SELECT doc_id, (pos - 1) // 16 AS block,
+         ({{roll}}) % 1000000007 AS h
+  FROM windows
+), fps AS (
+  SELECT doc_id, block, min(h) AS fp FROM hashed GROUP BY doc_id, block
+), dfp AS (SELECT DISTINCT doc_id, fp FROM fps),
+sizes AS (SELECT doc_id, count(*) AS n_fps FROM dfp GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+  FROM dfp a JOIN dfp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT s.doc_a, s.doc_b, CAST(s.n_shared AS BIGINT) AS n_shared,
+       CAST(sa.n_fps AS BIGINT) AS n_fps_a, CAST(sb.n_fps AS BIGINT) AS n_fps_b,
+       round(s.n_shared * 1.0 / least(sa.n_fps, sb.n_fps), 6) AS containment
+FROM shared s
+JOIN sizes sa ON sa.doc_id = s.doc_a
+JOIN sizes sb ON sb.doc_id = s.doc_b
+WHERE s.n_shared >= 3 AND s.n_shared * 2 >= least(sa.n_fps, sb.n_fps)
+""".format(roll=_ROLL_TERMS_SQL),
+)
+def substring_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verbatim substring-overlap candidates across documents — the
+    ExactSubstr-style dedup signal ("Deduplicating Training Data Makes
+    Language Models Better", Lee et al. 2022) at winnowing cost: the MOSS
+    guarantee says any shared run of at least w+k-1 = 23 characters shares
+    at least one selected fingerprint, so pairs of documents with >= 3
+    shared fingerprints AND containment >= 0.5 of the smaller document's
+    fingerprint set are the candidates for copied passages (the raw
+    >= 3-shared cut alone keeps stop-phrase collisions: 1.8M pairs at
+    sf0.1; the containment gate keeps the 48k real ones).
+
+    Scale shape: an inverted-index equi-join on the fingerprint value over
+    the session-shared winnow frame — cost tracks fingerprint-bucket
+    collisions, never |docs|²; text itself never enters the join. The
+    all-window rolling hash stays map-side exactly as in
+    `doc_winnow_fingerprints`."""
+    dfp = _winnow_fps(spark, sf_dir).select("doc_id", "fp").distinct()
+    sizes = dfp.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fps"))
+    a = dfp.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = dfp.select(F.col("doc_id").alias("doc_b"), "fp")
+    shared = (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= 3)
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_fps").alias("n_fps_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_fps").alias("n_fps_b"))
+    return (
+        shared.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        # containment >= 0.5, evaluated in integer arithmetic (2*shared >=
+        # min fp count) so no float boundary separates the engines; common
+        # stop-phrase fingerprints make low-containment pairs ubiquitous
+        # noise (1.8M pairs at sf0.1 for the raw n_shared >= 3 cut).
+        .filter(F.col("n_shared") * 2 >= F.least("n_fps_a", "n_fps_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("n_shared").cast("bigint").alias("n_shared"),
+            F.col("n_fps_a").cast("bigint").alias("n_fps_a"),
+            F.col("n_fps_b").cast("bigint").alias("n_fps_b"),
+            F.round(
+                F.col("n_shared") * 1.0 / F.least("n_fps_a", "n_fps_b"), 6
+            ).alias("containment"),
+        )
+    )
 
 
 @register(

@@ -59,6 +59,9 @@ ALLOWED: dict[str, dict[str, str]] = {
     "minhash_jaccard_calibration": {
         "exchange-storm": "certification runs BOTH the sketch (signatures+banding) and the ground truth (scored pair frame) — each is a session-shared/materialized intermediate in production, and every exchange ships int keys only"
     },
+    "substring_overlap_pairs": {
+        "exchange-storm": "the winnow fingerprint frame is recomputed inline under the gate (session-shared / published in production); what remains is the inverted-index shape — dfp distinct, the fp self-join, the pair aggregate — and every exchange ships (doc_id, fp) int pairs, never text"
+    },
     "k3_origin_estimator": {"exchange-storm": "mutation table recomputed per consumer under the gate"},
     "k4_priority_scorer": {"exchange-storm": "mutation table recomputed per consumer under the gate"},
     "ivf_topk_probe": {"exchange-storm": "centroid sims reused for assign+probe; inverted file materialized at scale"},
