@@ -379,9 +379,13 @@ WITH windows AS (
   SELECT doc_id, block, min(h) AS fp FROM hashed GROUP BY doc_id, block
 ), dfp AS (SELECT DISTINCT doc_id, fp FROM fps),
 sizes AS (SELECT doc_id, count(*) AS n_fps FROM dfp GROUP BY doc_id),
+pairable AS (
+  SELECT fp FROM dfp GROUP BY fp HAVING count(*) BETWEEN 2 AND 64
+),
+pruned AS (SELECT dfp.doc_id, dfp.fp FROM dfp JOIN pairable USING (fp)),
 shared AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
-  FROM dfp a JOIN dfp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  FROM pruned a JOIN pruned b ON a.fp = b.fp AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
 SELECT s.doc_a, s.doc_b, CAST(s.n_shared AS BIGINT) AS n_shared,
@@ -400,9 +404,10 @@ def substring_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     guarantee says any shared run of at least w+k-1 = 23 characters shares
     at least one selected fingerprint, so pairs of documents with >= 3
     shared fingerprints AND containment >= 0.5 of the smaller document's
-    fingerprint set are the candidates for copied passages (the raw
-    >= 3-shared cut alone keeps stop-phrase collisions: 1.8M pairs at
-    sf0.1; the containment gate keeps the 48k real ones).
+    fingerprint set are the candidates for copied passages; fingerprints
+    in more than 64 documents are df-pruned before pairing (stop-phrase
+    windows — no dedup signal, unbounded join buckets) and the raw
+    >= 3-shared cut plus the containment gate keep only real overlaps.
 
     Scale shape: an inverted-index equi-join on the fingerprint value over
     the session-shared winnow frame — cost tracks fingerprint-bucket
@@ -411,8 +416,20 @@ def substring_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     `doc_winnow_fingerprints`."""
     dfp = _winnow_fps(spark, sf_dir).select("doc_id", "fp").distinct()
     sizes = dfp.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fps"))
-    a = dfp.select(F.col("doc_id").alias("doc_a"), "fp")
-    b = dfp.select(F.col("doc_id").alias("doc_b"), "fp")
+    # Document-frequency pruning before the self-join: a fingerprint in a
+    # single doc can't pair, and one in >64 docs is stop-phrase noise
+    # whose bucket alone would expand to >2k pairs — without this cut the
+    # hot buckets cost 14s at sf0.1 (1.6s with it), and at corpus scale
+    # they're the unbounded term. Denominators (n_fps) stay unpruned.
+    pairable = (
+        dfp.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df").between(2, 64))
+        .select("fp")
+    )
+    pruned = dfp.join(pairable, "fp")
+    a = pruned.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = pruned.select(F.col("doc_id").alias("doc_b"), "fp")
     shared = (
         a.join(b, "fp")
         .filter(F.col("doc_a") < F.col("doc_b"))
