@@ -205,3 +205,58 @@ def vacuum(table_dir: str, keep: int = 2) -> list[int]:
     for v in to_drop:
         shutil.rmtree(os.path.join(table_dir, f"v{v}"))
     return to_drop
+
+
+def compact_small_files(
+    spark: SparkSession,
+    table_dir: str,
+    partition_by: list[str],
+    target_bytes: int = 128 << 20,
+    min_files: int = 2,
+) -> tuple[int, list[str]]:
+    """Small-file compaction as a maintenance publish: find leaf
+    partitions of the CURRENT version holding more (and smaller) files
+    than ``target_bytes`` warrants, rewrite ONLY those partitions
+    coalesced, and hard-link everything else forward — an atomic new
+    version via the same marker swap, so readers never see a half-
+    compacted table and rollback stays one marker write away.
+
+    Incremental ingests (streaming micro-batches, per-feed partition
+    overwrites) accrete files per partition; scan cost at 100 TB is
+    dominated by file count (footer reads + task scheduling), so
+    compaction is the OPTIMIZE half of the maintenance pair whose other
+    half is :func:`vacuum`. Cost is proportional to the bytes in
+    under-sized partitions, never the table.
+
+    Returns ``(version, compacted_leaves)`` — the current version is
+    returned unchanged (no new publish) when nothing needs compacting.
+    """
+    import math
+
+    cur = current_version(table_dir)
+    if cur is None:
+        raise FileNotFoundError(f"no published version in {table_dir}")
+    cur_dir = os.path.join(table_dir, f"v{cur}")
+
+    to_compact: list[str] = []
+    for leaf in _leaf_partition_dirs(cur_dir, len(partition_by)):
+        leaf_dir = os.path.join(cur_dir, leaf)
+        sizes = [
+            os.path.getsize(os.path.join(leaf_dir, f))
+            for f in os.listdir(leaf_dir)
+            if not f.startswith(("_", ".")) and os.path.isfile(os.path.join(leaf_dir, f))
+        ]
+        needed = max(1, math.ceil(sum(sizes) / target_bytes))
+        if len(sizes) >= min_files and len(sizes) > needed:
+            to_compact.append(leaf)
+
+    if not to_compact:
+        return cur, []
+
+    df = (
+        spark.read.option("basePath", cur_dir)
+        .parquet(*(os.path.join(cur_dir, leaf) for leaf in to_compact))
+        .repartition(*partition_by)
+    )
+    version = publish_incremental(df, table_dir, partition_by)
+    return version, to_compact

@@ -373,6 +373,128 @@ def domain_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# RAG-chunking geometry: window size / stride in characters. Stride < size
+# so consecutive chunks overlap (retrieval context straddles boundaries).
+_CHUNK_SIZE = 120
+_CHUNK_STRIDE = 90
+
+
+@register(
+    "doc_chunk_manifest",
+    survey_ref="pipeline-chunking,array-explode,P1",
+    oracle=f"""
+SELECT doc_id,
+       CAST(u.i AS INT)                                    AS chunk_idx,
+       CAST(u.i * {_CHUNK_STRIDE} AS BIGINT)               AS start,
+       CAST(length(substr(text, u.i * {_CHUNK_STRIDE} + 1, {_CHUNK_SIZE})) AS INT)
+                                                           AS chunk_chars,
+       md5(substr(text, u.i * {_CHUNK_STRIDE} + 1, {_CHUNK_SIZE}))
+                                                           AS chunk_md5
+FROM documents,
+     unnest(generate_series(
+       0, (greatest(0, length(text) - {_CHUNK_SIZE}) + {_CHUNK_STRIDE} - 1)
+          // {_CHUNK_STRIDE})) AS u(i)
+""",
+)
+def doc_chunk_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-style chunk manifest: slice every document into fixed-size
+    character windows (120 chars at stride 90, so consecutive chunks
+    overlap by 30) and emit one row per chunk with its
+    offset, actual length (the tail chunk is shorter), and content md5 —
+    the manifest a retrieval indexer consumes downstream.
+
+    Chunk count per doc is the integer ceil((len - size)/stride) + 1,
+    computed with integer `div` on both engines so the plan is float-free
+    until the md5. Scale shape: pure map-side `sequence` + `explode` —
+    zero shuffles, zero UDFs; the scan's projection is (doc_id, text)
+    only, and a 100 TB corpus chunks at scan speed. Mirrors the
+    reference's chunked submission planning
+    (database/R/export_spsp_submission.R:244-273) re-aimed at retrieval
+    indexing."""
+    size, stride = _CHUNK_SIZE, _CHUNK_STRIDE
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    last = F.expr(f"(greatest(0, length(text) - {size}) + {stride - 1}) div {stride}")
+    chunk = F.expr(f"substr(text, chunk_idx * {stride} + 1, {size})")
+    return (
+        docs.select("doc_id", "text", F.explode(F.sequence(F.lit(0), last)).alias("chunk_idx"))
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("int").alias("chunk_idx"),
+            (F.col("chunk_idx") * stride).cast("bigint").alias("start"),
+            F.length(chunk).cast("int").alias("chunk_chars"),
+            F.md5(chunk).alias("chunk_md5"),
+        )
+    )
+
+
+@register(
+    "source_boilerplate_fraction",
+    survey_ref="pipeline-boilerplate,text-analysis,A1,J1,A7",
+    oracle=f"""
+WITH sh AS ({_SHINGLES_SQL}),
+src AS (SELECT doc_id, source FROM documents),
+labeled AS (SELECT sh.doc_id, src.source, sh.shingle FROM sh JOIN src USING (doc_id)),
+src_totals AS (SELECT source, count(DISTINCT doc_id) AS n_docs FROM src GROUP BY source),
+df AS (
+  SELECT source, shingle, count(*) AS n_docs_with
+  FROM labeled GROUP BY source, shingle
+),
+boiler AS (
+  SELECT df.source, df.shingle
+  FROM df JOIN src_totals USING (source)
+  WHERE df.n_docs_with * 10 >= src_totals.n_docs * 3
+)
+SELECT l.doc_id,
+       l.source,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(count(b.shingle) AS BIGINT) AS n_boiler,
+       round(count(b.shingle) * 1.0 / count(*), 6) AS boiler_frac
+FROM labeled l
+LEFT JOIN boiler b ON b.source = l.source AND b.shingle = l.shingle
+GROUP BY l.doc_id, l.source
+""",
+)
+def source_boilerplate_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source boilerplate detection (the CCNet/RefinedWeb cleaning
+    step, adapted from lines to 3-word shingles since the synthetic corpus
+    has no line structure): a shingle is boilerplate within a source when
+    it appears in >= 30% of that source's documents; each document then
+    reports what fraction of its distinct shingles are source-boilerplate
+    — the signal a curation pipeline thresholds to drop templated pages.
+
+    Scale shape: reuses the session-shared shingle hub (the explode +
+    distinct runs once per session across the whole dedup family); the
+    document-frequency table is a hash aggregation on (source, shingle) —
+    map-side partial agg, no skewed window; the boilerplate set stays
+    (source, shingle) pairs and joins back shuffle-on-shingle, never
+    touching document text. The 30% threshold compares integers
+    (n_docs_with * 10 >= n_docs * 3) so the gate is float-free."""
+    from harvester_database_and_automation_spark.plans.text import _shingles
+
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    labeled = _shingles(spark, sf_dir).join(src, "doc_id").select("doc_id", "source", "shingle")
+    src_totals = src.groupBy("source").agg(F.countDistinct("doc_id").alias("n_docs"))
+    df_tab = labeled.groupBy("source", "shingle").agg(F.count(F.lit(1)).alias("n_docs_with"))
+    boiler = (
+        df_tab.join(F.broadcast(src_totals), "source")
+        .filter(F.col("n_docs_with") * 10 >= F.col("n_docs") * 3)
+        .select(F.col("source").alias("b_source"), F.col("shingle").alias("b_shingle"))
+    )
+    return (
+        labeled.join(
+            boiler,
+            (F.col("source") == F.col("b_source")) & (F.col("shingle") == F.col("b_shingle")),
+            "left",
+        )
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            F.count("b_shingle").cast("bigint").alias("n_boiler"),
+            F.round(F.count("b_shingle") * 1.0 / F.count(F.lit(1)), 6).alias("boiler_frac"),
+        )
+    )
+
+
 @register(
     "weighted_quality_sample",
     survey_ref="pipeline-sampling,J8,W2,O3",

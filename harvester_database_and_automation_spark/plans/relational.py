@@ -2449,3 +2449,283 @@ def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_cohort").cast("bigint").alias("n_cohort"),
         F.round(F.col("n_active") * 1.0 / F.col("n_cohort"), 6).alias("retention"),
     )
+
+
+# Morton interleave of two 4-bit dims, written as explicit shift/mask terms
+# so DuckDB replays operators/layout.zorder_value bit-for-bit.
+_Z4_SQL = " | ".join(
+    f"(((x >> {b}) & 1) << {2 * b}) | (((y >> {b}) & 1) << {2 * b + 1})"
+    for b in range(4)
+)
+
+
+@register(
+    "zorder_cell_stats",
+    survey_ref="layout-zorder,A1,math",
+    oracle=f"""
+WITH dims AS (
+  SELECT l_partkey % 16 AS x, l_suppkey % 16 AS y FROM lineitem
+),
+z AS (SELECT x, y, {_Z4_SQL} AS zv FROM dims)
+SELECT CAST(zv // 16 AS INT)  AS z_cell,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(min(x) AS INT) AS min_x, CAST(max(x) AS INT) AS max_x,
+       CAST(min(y) AS INT) AS min_y, CAST(max(y) AS INT) AS max_y
+FROM z GROUP BY z_cell
+""",
+)
+def zorder_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-engine certification of the Morton (Z-order) interleave that
+    :func:`operators.layout.zorder_value` clusters writes by: bucket the
+    fact table into a 16x16 grid, compute each row's 8-bit z-value with
+    the SAME operator the writer uses, and report per 16-code z-cell the
+    bounding box of the original dimensions. Every cell's (min,max) box
+    is at most 4x4 — the locality guarantee that gives parquet row-group
+    min/max pruning on BOTH filter columns at once (the multi-column
+    b-tree replacement; SURVEY.md §4's layout-for-selectivity story).
+
+    Plan shape: map-side integer bit math + one hash aggregation on a
+    256-value key — no window, no skew, scan reads two columns."""
+    from harvester_database_and_automation_spark.operators.layout import zorder_value
+
+    li = load_table(spark, sf_dir, "lineitem")
+    dims = li.select(
+        (F.col("l_partkey") % 16).alias("x"), (F.col("l_suppkey") % 16).alias("y")
+    )
+    z = dims.withColumn("zv", zorder_value(["x", "y"], bits=4))
+    return z.groupBy(F.expr("zv div 16").cast("int").alias("z_cell")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.min("x").cast("int").alias("min_x"),
+        F.max("x").cast("int").alias("max_x"),
+        F.min("y").cast("int").alias("min_y"),
+        F.max("y").cast("int").alias("max_y"),
+    )
+
+
+@register(
+    "value_drift_cdf",
+    survey_ref="quality-drift,A1,J3,A8",
+    oracle="""
+WITH binned AS (
+  SELECT least(255, greatest(0, CAST(floor(value / 2.5) AS INT))) AS bin,
+         CASE WHEN CAST(strftime(ts, '%d') AS INT) <= 15 THEN 'a' ELSE 'b' END AS period
+  FROM events
+),
+counts AS (
+  SELECT bin,
+         count(*) FILTER (period = 'a') AS c_a,
+         count(*) FILTER (period = 'b') AS c_b
+  FROM binned GROUP BY bin
+),
+tot AS (SELECT sum(c_a) AS t_a, sum(c_b) AS t_b FROM counts),
+cdf AS (
+  SELECT bin,
+         CAST(c_a AS BIGINT) AS n_a,
+         CAST(c_b AS BIGINT) AS n_b,
+         sum(c_a) OVER (ORDER BY bin) * 1.0 / t_a AS cdf_a_raw,
+         sum(c_b) OVER (ORDER BY bin) * 1.0 / t_b AS cdf_b_raw
+  FROM counts, tot
+)
+SELECT bin, n_a, n_b,
+       round(cdf_a_raw, 6) AS cdf_a,
+       round(cdf_b_raw, 6) AS cdf_b,
+       round(abs(cdf_a_raw - cdf_b_raw), 6) AS abs_diff
+FROM cdf
+""",
+)
+def value_drift_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift detector (the monitoring stage a training-data
+    pipeline runs between ingestion batches): bin the event value into
+    256 fixed-width buckets, split the feed into two periods (first vs
+    second half of the month), and emit both empirical CDFs per bin with
+    their absolute gap — `max(abs_diff)` over the output IS the binned
+    two-sample Kolmogorov-Smirnov statistic, and the full curve shows
+    WHERE the distributions diverge.
+
+    Scale shape: the CDF needs a global cumulative sum, but over the
+    256-row binned frame, not the events — so instead of a
+    single-partition window (banned by the plan audit) the prefix sum is
+    a broadcast triangular self-join on bin <= bin: events reduce
+    map-side to 256 rows, everything after is O(bins^2) = 32k pairs.
+    The same plan drifts-checks a 100 TB feed: only bin counts shuffle."""
+    e = load_table(spark, sf_dir, "events")
+    binned = e.select(
+        F.least(F.lit(255), F.greatest(F.lit(0), F.floor(F.col("value") / 2.5).cast("int"))).alias(
+            "bin"
+        ),
+        F.when(F.dayofmonth("ts") <= 15, "a").otherwise("b").alias("period"),
+    )
+    counts = binned.groupBy("bin").agg(
+        F.count(F.when(F.col("period") == "a", 1)).alias("c_a"),
+        F.count(F.when(F.col("period") == "b", 1)).alias("c_b"),
+    )
+    tot = counts.agg(
+        F.sum("c_a").alias("t_a"), F.sum("c_b").alias("t_b")
+    )
+    prior = counts.select(F.col("bin").alias("pbin"), F.col("c_a").alias("pa"), F.col("c_b").alias("pb"))
+    cum = (
+        counts.join(F.broadcast(prior), F.col("pbin") <= F.col("bin"))
+        .groupBy("bin", "c_a", "c_b")
+        .agg(F.sum("pa").alias("cum_a"), F.sum("pb").alias("cum_b"))
+    )
+    cdf_a = F.col("cum_a") * 1.0 / F.col("t_a")
+    cdf_b = F.col("cum_b") * 1.0 / F.col("t_b")
+    return cum.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        F.col("c_a").cast("bigint").alias("n_a"),
+        F.col("c_b").cast("bigint").alias("n_b"),
+        F.round(cdf_a, 6).alias("cdf_a"),
+        F.round(cdf_b, 6).alias("cdf_b"),
+        F.round(F.abs(cdf_a - cdf_b), 6).alias("abs_diff"),
+    )
+
+
+@register(
+    "event_value_mad_outliers",
+    survey_ref="quality-outliers,W2,A1,A9",
+    oracle="""
+WITH ranked AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+),
+med AS (
+  SELECT event_type, n, value AS med FROM ranked WHERE rn = (n + 1) // 2
+),
+dev AS (
+  SELECT e.event_type, m.n, m.med, abs(e.value - m.med) AS d,
+         row_number() OVER (PARTITION BY e.event_type
+                            ORDER BY abs(e.value - m.med), e.event_id) AS rn
+  FROM events e JOIN med m USING (event_type)
+),
+mad AS (SELECT event_type, n, med, d AS mad FROM dev WHERE rn = (n + 1) // 2)
+SELECT m.event_type,
+       CAST(m.n AS BIGINT) AS n,
+       round(m.med, 6) AS med,
+       round(m.mad, 6) AS mad,
+       CAST(count(*) FILTER (abs(e.value - m.med) > 3 * m.mad) AS BIGINT) AS n_outliers
+FROM events e JOIN mad m USING (event_type)
+GROUP BY m.event_type, m.n, m.med, m.mad
+""",
+)
+def event_value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly detection via median absolute deviation: per event
+    type, the (lower) median, the MAD, and how many events sit more than
+    3 MADs out — the outlier gate that survives the heavy tails that
+    break mean/stddev z-scores (`token_length_outliers` is the z-score
+    variant; this is its robust sibling).
+
+    Both order statistics are DISCRETE (row_number = (n+1) div 2 over a
+    (value, event_id) total order), never interpolated — so med and mad
+    are exact input values and the 3-MAD comparison evaluates the
+    identical doubles on both engines; no percentile-interpolation float
+    boundary exists anywhere. Plan: two per-type ranking windows over
+    narrow (type, value, id) rows plus a broadcast of the per-type
+    medians; with a handful of event types the extreme-scale variant
+    reads the thresholds off a binned CDF (`value_drift_cdf`'s shape)
+    instead of sorting per type."""
+    e = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    w_val = Window.partitionBy("event_type").orderBy("value", "event_id")
+    ranked = e.select(
+        "event_type",
+        "value",
+        F.row_number().over(w_val).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("n"),
+    )
+    med = ranked.filter(F.col("rn") == F.expr("(n + 1) div 2")).select(
+        "event_type", "n", F.col("value").alias("med")
+    )
+    dev = e.join(F.broadcast(med), "event_type").withColumn(
+        "d", F.abs(F.col("value") - F.col("med"))
+    )
+    w_dev = Window.partitionBy("event_type").orderBy("d", "event_id")
+    mad = (
+        dev.withColumn("rn", F.row_number().over(w_dev))
+        .filter(F.col("rn") == F.expr("(n + 1) div 2"))
+        .select("event_type", "n", "med", F.col("d").alias("mad"))
+    )
+    return (
+        e.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", "n", "med", "mad")
+        .agg(
+            F.sum(
+                (F.abs(F.col("value") - F.col("med")) > 3 * F.col("mad")).cast("int")
+            ).cast("bigint").alias("n_outliers")
+        )
+        .select(
+            "event_type",
+            F.col("n").cast("bigint").alias("n"),
+            F.round("med", 6).alias("med"),
+            F.round("mad", 6).alias("mad"),
+            "n_outliers",
+        )
+    )
+
+
+@register(
+    "daily_new_vs_returning",
+    survey_ref="A1,A10,J1,quality-drift",
+    oracle="""
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+),
+first_seen AS (SELECT user_id, min(day) AS first_day FROM ud GROUP BY user_id),
+daily AS (
+  SELECT ud.day,
+         count(*) AS n_active,
+         count(*) FILTER (f.first_day = ud.day) AS n_new
+  FROM ud JOIN first_seen f USING (user_id)
+  GROUP BY ud.day
+),
+cum AS (
+  SELECT day, n_active, n_new,
+         sum(n_new) OVER (ORDER BY day) AS n_cum
+  FROM daily
+)
+SELECT CAST(day AS VARCHAR) AS day,
+       CAST(n_active AS BIGINT) AS n_active,
+       CAST(n_new AS BIGINT) AS n_new,
+       CAST(n_active - n_new AS BIGINT) AS n_returning,
+       CAST(n_cum AS BIGINT) AS n_cum_users
+FROM cum
+""",
+)
+def daily_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily engagement split: active users per day decomposed into
+    first-ever-seen (new) vs returning, plus the running count of
+    distinct users ever seen — the cumulative-distinct curve that naive
+    `count(DISTINCT)`-per-growing-window computes quadratically. Here it
+    falls out linearly: a user contributes to the cumulative curve only
+    on their first day, so the curve is a prefix sum of per-day new-user
+    counts.
+
+    Scale shape: one distinct-reduce to (user, day) pairs, a min-agg per
+    user, one join back on user_id (AQE-handled), a per-day aggregation —
+    and the prefix sum runs over the ~30-row day frame via a broadcast
+    triangular join, never a single-partition window over users. Days
+    render as ISO strings (date-dtype parity)."""
+    e = load_table(spark, sf_dir, "events")
+    ud = e.select("user_id", F.to_date("ts").alias("day")).distinct()
+    first_seen = ud.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    daily = (
+        ud.join(first_seen, "user_id")
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_active"),
+            F.count(F.when(F.col("first_day") == F.col("day"), 1)).alias("n_new"),
+        )
+    )
+    prior = daily.select(F.col("day").alias("pday"), F.col("n_new").alias("pnew"))
+    cum = (
+        daily.join(F.broadcast(prior), F.col("pday") <= F.col("day"))
+        .groupBy("day", "n_active", "n_new")
+        .agg(F.sum("pnew").alias("n_cum"))
+    )
+    return cum.select(
+        F.col("day").cast("string").alias("day"),
+        F.col("n_active").cast("bigint").alias("n_active"),
+        F.col("n_new").cast("bigint").alias("n_new"),
+        (F.col("n_active") - F.col("n_new")).cast("bigint").alias("n_returning"),
+        F.col("n_cum").cast("bigint").alias("n_cum_users"),
+    )

@@ -1647,3 +1647,213 @@ def doc_unicode_sanitation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_chars_collapsed"
         ),
     )
+
+
+@register(
+    "prefix_filter_jaccard_pairs",
+    survey_ref="dedup-near,J1,W2,A1",
+    oracle=f"""
+WITH sh AS ({_SHINGLES_SQL}),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(n_common * 1.0 / (s1.sz + s2.sz - n_common), 6) AS jaccard
+FROM inter
+JOIN sizes s1 ON s1.doc_id = doc_a
+JOIN sizes s2 ON s2.doc_id = doc_b
+WHERE n_common * 1.0 / (s1.sz + s2.sz - n_common) >= 0.5
+""",
+)
+def prefix_filter_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PPJoin-style prefix filtering: candidates come ONLY from each
+    document's prefix — its (sz - ceil(t*sz) + 1) globally-RAREST
+    shingles under a canonical (document-frequency, shingle) order — yet
+    the result is provably every pair with Jaccard >= 0.5. The oracle
+    computes the same pairs from the full inverted index, so the value
+    hash certifies the prefix filter's completeness, not just its output.
+
+    This is the candidate generator that beats plain df-pruned
+    inverted-index joins at scale: hot shingles almost never appear in
+    any prefix (they sort last), so the quadratic buckets vanish without
+    a correctness-losing frequency cap. Plan: one df aggregation joined
+    back (broadcast — vocab-sized), a per-doc ranking window over compact
+    (doc, shingle-df) rows, the prefix-only self-join, then exact
+    verification against the session-shared scored pair frame."""
+    sh = _shingles(spark, sf_dir)
+    df_tab = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    ranked = (
+        sh.join(F.broadcast(df_tab), "shingle")
+        .withColumn("pos", F.row_number().over(Window.partitionBy("doc_id").orderBy("df", "shingle")))
+        .withColumn("sz", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
+    )
+    # Jaccard t=0.5 prefix bound: sz - ceil(sz/2) + 1, all-integer.
+    prefix = ranked.filter(F.col("pos") <= F.col("sz") - F.expr("(sz + 1) div 2") + 1).select(
+        "doc_id", "shingle"
+    )
+    a, b = prefix.alias("pa"), prefix.alias("pb")
+    cands = (
+        a.join(b, (F.col("pa.shingle") == F.col("pb.shingle")) & (F.col("pa.doc_id") < F.col("pb.doc_id")))
+        .select(F.col("pa.doc_id").alias("doc_a"), F.col("pb.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    verified = _jaccard_pairs(spark, sf_dir, 0.5)
+    return cands.join(verified, ["doc_a", "doc_b"]).select(
+        "doc_a", "doc_b", F.round(F.col("jaccard"), 6).alias("jaccard")
+    )
+
+
+@register(
+    "word_cooccurrence_lift",
+    survey_ref="text-analysis,J1,A1,A8",
+    oracle="""
+WITH dw AS (
+  SELECT DISTINCT doc_id, w AS word
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE w <> ''
+),
+n_docs AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+wc AS (SELECT word, count(*) AS n_w FROM dw GROUP BY word),
+pairs AS (
+  SELECT a.word AS w1, b.word AS w2, count(*) AS n12
+  FROM dw a JOIN dw b ON a.doc_id = b.doc_id AND a.word < b.word
+  GROUP BY 1, 2
+)
+SELECT w1, w2, CAST(n12 AS BIGINT) AS n12,
+       round(n12 * 1.0 * n / (c1.n_w * 1.0 * c2.n_w), 6) AS lift
+FROM pairs
+JOIN wc c1 ON c1.word = w1
+JOIN wc c2 ON c2.word = w2
+CROSS JOIN n_docs
+WHERE n12 >= 5
+""",
+)
+def word_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-level word-pair association (lift = P(w1,w2)/(P(w1)P(w2)),
+    the exp of PMI — reported as the raw ratio so no libm `ln` sits in the
+    hash-compared output): which terms co-occur more than independence
+    predicts. The collocation/association miner of a text-analytics stack,
+    kept support-filtered (pair in >= 5 docs).
+
+    Scale shape: there is NO self-join — each document's distinct-word
+    array expands to its ordered pairs map-side (a higher-order double
+    transform; cost is sum of per-doc vocab^2, not corpus^2, and pair
+    partials combine before the one groupBy shuffle); marginals are a
+    vocab-sized broadcast; the doc total is a broadcast scalar. Lift is a
+    ratio of small exact ints in double math — engine-identical."""
+    base = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ws_expr = F.expr("array_sort(array_distinct(filter(split(text, ' '), w -> w <> '')))")
+    # Only the quadratic pair expansion needs the fanout; the marginal and
+    # doc-count branches are linear scans and skip the repartition.
+    arr = _fanout(base).select("doc_id", ws_expr.alias("ws"))
+    n_docs = base.agg(F.countDistinct("doc_id").alias("n"))
+    wc = (
+        base.select(F.explode(ws_expr).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n_w"))
+    )
+    pair_structs = F.expr(
+        "flatten(transform(ws, (w1, i) ->"
+        " transform(slice(ws, i + 2, size(ws)), w2 -> struct(w1, w2))))"
+    )
+    pairs = (
+        arr.select(F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .agg(F.count(F.lit(1)).alias("n12"))
+        .filter(F.col("n12") >= 5)
+    )
+    c1 = wc.select(F.col("word").alias("w1"), F.col("n_w").alias("n_w1"))
+    c2 = wc.select(F.col("word").alias("w2"), F.col("n_w").alias("n_w2"))
+    return (
+        pairs.join(F.broadcast(c1), "w1")
+        .join(F.broadcast(c2), "w2")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "w1",
+            "w2",
+            F.col("n12").cast("bigint").alias("n12"),
+            F.round(F.col("n12") * 1.0 * F.col("n") / (F.col("n_w1") * 1.0 * F.col("n_w2")), 6).alias(
+                "lift"
+            ),
+        )
+    )
+
+
+@register(
+    "cdc_chunk_stats",
+    survey_ref="dedup-cdc,W2,array-explode,A1",
+    oracle="""
+WITH pos AS (
+  SELECT doc_id, text, length(text) AS len, u.i
+  FROM documents, unnest(generate_series(8, length(text))) AS u(i)
+),
+bounds AS (
+  SELECT doc_id, text, len, i
+  FROM pos
+  WHERE ('0x' || substr(md5(substr(text, i - 7, 8)), 1, 8))::BIGINT % 64 = 0
+),
+all_bounds AS (
+  SELECT doc_id, text, len, i FROM bounds
+  UNION ALL
+  SELECT doc_id, text, length(text), length(text) FROM documents
+),
+chunks AS (
+  SELECT doc_id, text, len, i AS chunk_end,
+         COALESCE(lag(i) OVER (PARTITION BY doc_id ORDER BY i), 0) AS chunk_start
+  FROM all_bounds
+)
+SELECT doc_id,
+       CAST(chunk_start AS BIGINT) AS chunk_start,
+       CAST(chunk_end - chunk_start AS INT) AS chunk_len,
+       md5(substr(text, chunk_start + 1, chunk_end - chunk_start)) AS chunk_md5
+FROM chunks
+WHERE chunk_end > chunk_start
+""",
+)
+def cdc_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (the rsync/LBFS boundary trick): a chunk
+    boundary falls AFTER position i wherever the hash of the trailing
+    8-char window is 0 mod 64 — so inserting or deleting text shifts only
+    the chunks it touches, and every other chunk keeps its md5. This is
+    the dedup unit that catches SHIFTED duplicate content, which
+    fixed-stride chunking (`doc_chunk_manifest`) structurally cannot.
+
+    Expected chunk length is geometric with mean 64; the doc end always
+    closes the last chunk. Boundary detection replays bit-for-bit in both
+    engines (md5 of the window, top 32 bits mod 64 — same split-md5
+    convention as the bloom/CMS hashes). Scale shape: the per-position
+    expansion is a map-side explode (cost O(bytes), the price any CDC
+    scanner pays), boundaries collapse to a tiny per-doc set, and the
+    chunk assembly is a per-doc lag window over boundary rows only —
+    document text never shuffles; at 100 TB this runs as a scan-speed
+    pass exactly like the fixed-stride manifest."""
+    docs = _fanout(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    pos = docs.select(
+        "doc_id",
+        "text",
+        F.length("text").alias("len"),
+        F.explode(F.sequence(F.lit(8), F.length("text"))).alias("i"),
+    )
+    win_hash = F.expr("cast(conv(substr(md5(substr(text, i - 7, 8)), 1, 8), 16, 10) as bigint)")
+    bounds = pos.filter(win_hash % 64 == 0).select("doc_id", "text", "len", "i")
+    doc_end = docs.select(
+        "doc_id", "text", F.length("text").alias("len"), F.length("text").alias("i")
+    )
+    all_bounds = bounds.unionByName(doc_end)
+    w = Window.partitionBy("doc_id").orderBy("i")
+    chunks = all_bounds.select(
+        "doc_id",
+        "text",
+        F.col("i").alias("chunk_end"),
+        F.coalesce(F.lag("i").over(w), F.lit(0)).alias("chunk_start"),
+    ).filter(F.col("chunk_end") > F.col("chunk_start"))
+    chunk_txt = F.expr("substr(text, chunk_start + 1, chunk_end - chunk_start)")
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_start").cast("bigint").alias("chunk_start"),
+        (F.col("chunk_end") - F.col("chunk_start")).cast("int").alias("chunk_len"),
+        F.md5(chunk_txt).alias("chunk_md5"),
+    )

@@ -59,6 +59,9 @@ ALLOWED: dict[str, dict[str, str]] = {
     "minhash_jaccard_calibration": {
         "exchange-storm": "certification runs BOTH the sketch (signatures+banding) and the ground truth (scored pair frame) — each is a session-shared/materialized intermediate in production, and every exchange ships int keys only"
     },
+    "source_boilerplate_fraction": {
+        "exchange-storm": "the shingle hub is recomputed inline under the gate (session-shared in production) and feeds TWO consumers — the (source, shingle) document-frequency table and the per-doc join-back; every exchange ships (doc_id|source, shingle-hash) pairs, never text"
+    },
     "substring_overlap_pairs": {
         "exchange-storm": "the winnow fingerprint frame is recomputed inline under the gate (session-shared / published in production); what remains is the inverted-index shape — dfp distinct, the fp self-join, the pair aggregate — and every exchange ships (doc_id, fp) int pairs, never text"
     },

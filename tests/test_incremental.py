@@ -171,3 +171,39 @@ def test_vacuum_after_incremental_keeps_linked_partitions_readable(spark, tmp_pa
     assert dropped == [1]
     got = {(r["k"], r["v"]) for r in read_published(spark, table).collect()}
     assert got == {("a", 2), ("b", 10)}
+
+
+def test_compaction_rewrites_only_fragmented_partitions(spark, tmp_path):
+    from harvester_database_and_automation_spark.operators.publish import (
+        compact_small_files,
+    )
+
+    table = str(tmp_path / "t")
+    # Partition a: fragmented into ~5 files; partition b: already 1 file.
+    frag = _rows(spark, [("a", i) for i in range(50)]).repartition(5)
+    one = _rows(spark, [("b", 100)]).coalesce(1)
+    publish_versioned(frag.unionByName(one), table, partition_by=["k"])
+
+    before = read_published(spark, table)
+    n_files_a = len(
+        [f for f in os.listdir(os.path.join(table, "v1", "k=a")) if not f.startswith(("_", "."))]
+    )
+    assert n_files_a >= 2
+    b_inodes = _inodes(table, 1, "k=b")
+    expect = {(r["k"], r["v"]) for r in before.collect()}
+
+    version, compacted = compact_small_files(spark, table, ["k"], target_bytes=1 << 30)
+    assert version == 2
+    assert compacted == ["k=a"]
+    after = read_published(spark, table)
+    assert {(r["k"], r["v"]) for r in after.collect()} == expect
+    # a is rewritten down to one file; b carried forward by hard link.
+    n_files_a2 = len(
+        [f for f in os.listdir(os.path.join(table, "v2", "k=a")) if not f.startswith(("_", "."))]
+    )
+    assert n_files_a2 == 1
+    assert _inodes(table, 2, "k=b") == b_inodes
+
+    # Idempotent: nothing left to compact, no new version published.
+    version3, compacted3 = compact_small_files(spark, table, ["k"], target_bytes=1 << 30)
+    assert (version3, compacted3) == (2, [])

@@ -252,3 +252,64 @@ def test_published_partitioned_table_prunes_partitions(spark, tmp_path):
     assert m and "lang" in m.group(0), f"predicate must prune partitions: {plan}"
     # And the pruning is effective: only 1 of the 7 leaf dirs feeds rows.
     assert got.count() == df.filter(F.col("lang") == "3").count()
+
+
+def test_chunk_manifest_is_shuffle_free(spark):
+    """RAG chunking is a pure map (sequence+explode+substr+md5): zero
+    exchanges of any kind — a 100 TB corpus chunks at scan speed."""
+    plan = fmt_plan(spark, "doc_chunk_manifest")
+    assert count_nodes(plan, "Exchange") == 0, plan
+    assert "Generate" in plan  # the explode
+
+
+def test_cooccurrence_lift_expands_pairs_map_side(spark):
+    """The word-pair counts must come from the per-doc higher-order
+    expansion, never a doc-keyed self-join of the incidence list — the
+    join form re-shuffles the corpus-sized (doc, word) table twice."""
+    plan = fmt_plan(spark, "word_cooccurrence_lift")
+    assert "SortMergeJoin" not in plan, plan
+    # Only broadcasts join the vocab marginals / doc-count scalar back on.
+    assert count_nodes(plan, "BroadcastHashJoin") >= 1, plan
+
+
+def test_zorder_cells_bound_both_dimensions(spark):
+    """The locality guarantee behind z-order writes: every 16-code z-cell
+    confines BOTH interleaved dimensions to a 4-wide range, so parquet
+    row-group min/max stats prune on either filter column."""
+    rows = QUERIES["zorder_cell_stats"].fn(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["max_x"] - r["min_x"] <= 3, r
+        assert r["max_y"] - r["min_y"] <= 3, r
+
+
+def test_drift_cdf_prefix_sum_is_over_binned_frame(spark):
+    """The KS prefix sum must run over the 256-row binned frame (broadcast
+    triangular join), never as a single-partition window over events."""
+    plan = fmt_plan(spark, "value_drift_cdf")
+    assert count_nodes(plan, "Window") == 0, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_prefix_filter_prunes_hot_shingles_from_candidates(spark):
+    """PPJoin completeness with a smaller candidate set: the prefix frame
+    must be strictly smaller than the full incidence list, and the
+    candidate pairs a superset of the verified >= 0.5 output."""
+    from harvester_database_and_automation_spark.plans.text import _shingles
+
+    sf = "/root/testdata/sf0.01"
+    full = _shingles(spark, sf).count()
+    out = QUERIES["prefix_filter_jaccard_pairs"].fn(spark, sf)
+    assert out.count() > 0
+    # Re-derive the prefix size the query uses: strictly under half + 1.
+    from pyspark.sql import Window as W
+
+    sh = _shingles(spark, sf)
+    df_tab = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    ranked = sh.join(df_tab, "shingle").withColumn(
+        "pos", F.row_number().over(W.partitionBy("doc_id").orderBy("df", "shingle"))
+    ).withColumn("sz", F.count(F.lit(1)).over(W.partitionBy("doc_id")))
+    prefix_n = ranked.filter(
+        F.col("pos") <= F.col("sz") - F.expr("(sz + 1) div 2") + 1
+    ).count()
+    assert prefix_n < full * 0.6, (prefix_n, full)
