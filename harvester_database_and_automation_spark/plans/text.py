@@ -1857,3 +1857,166 @@ def cdc_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("chunk_end") - F.col("chunk_start")).cast("int").alias("chunk_len"),
         F.md5(chunk_txt).alias("chunk_md5"),
     )
+
+
+# 3 unrolled fixed-point PageRank iterations for the DuckDB oracle.
+_PR_ITER_SQL = """
+r{n} AS (
+  SELECT e.dst AS part, 150000 + (85 * sum(r{p}.rank // d.deg)) // 100 AS rank
+  FROM edges e
+  JOIN r{p} ON r{p}.part = e.src
+  JOIN deg d ON d.part = e.src
+  GROUP BY e.dst
+)"""
+
+
+@register(
+    "part_copurchase_pagerank",
+    survey_ref="graph-pagerank,iterative,J1,A1",
+    oracle=f"""
+WITH baskets AS (
+  SELECT l_orderkey, list_sort(list(DISTINCT l_partkey)) AS parts
+  FROM lineitem GROUP BY l_orderkey
+),
+pairs AS (
+  SELECT u.a AS pa, v.b AS pb
+  FROM baskets, unnest(parts) AS u(a), unnest(parts) AS v(b)
+  WHERE u.a < v.b
+),
+wedges AS (
+  SELECT pa, pb, count(*) AS w FROM pairs GROUP BY pa, pb HAVING count(*) >= 2
+),
+edges AS (
+  SELECT pa AS src, pb AS dst FROM wedges
+  UNION ALL
+  SELECT pb AS src, pa AS dst FROM wedges
+),
+deg AS (SELECT src AS part, count(*) AS deg FROM edges GROUP BY src),
+r0 AS (SELECT part, CAST(1000000 AS BIGINT) AS rank FROM deg),
+{_PR_ITER_SQL.format(n=1, p=0)},
+{_PR_ITER_SQL.format(n=2, p=1)},
+{_PR_ITER_SQL.format(n=3, p=2)}
+SELECT r3.part, CAST(r3.rank AS BIGINT) AS rank, CAST(d.deg AS BIGINT) AS deg
+FROM r3 JOIN deg d USING (part)
+""",
+)
+def part_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the part co-purchase graph (parts are linked when
+    bought together in >= 2 orders) — the iterative-propagation family
+    beyond connected components: 3 damped rounds of rank flowing along
+    edges. All arithmetic is FIXED-POINT integer (ranks scaled by 1e6,
+    contribution = rank div degree, damping = 150000 + 85*sum div 100),
+    so the result is bit-exact on both engines — float PageRank would
+    hash-differently under Spark's nondeterministic partial-sum order.
+
+    Scale shape: basket pair expansion is map-side (per-order distinct
+    array, higher-order double transform — same pattern as
+    `word_cooccurrence_lift`); the weight-2 prune kills the hot-pair
+    tail before the graph materializes; each iteration is one join on
+    src plus one partial-agg groupBy on dst — the degree frame and edge
+    list are reused across rounds (at 100 TB: localCheckpoint the edge
+    frame once, as `operators/components.py` does per contraction
+    round). Cost per round ∝ edges, rounds fixed at 3."""
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("parts")
+    )
+    pair_structs = F.expr(
+        "flatten(transform(parts, (a, i) ->"
+        " transform(slice(parts, i + 2, size(parts)), b -> struct(a, b))))"
+    )
+    wedges = (
+        baskets.select(F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.a").alias("pa"), F.col("p.b").alias("pb"))
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 2)
+    )
+    edges = wedges.select(F.col("pa").alias("src"), F.col("pb").alias("dst")).unionByName(
+        wedges.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
+    ).localCheckpoint()
+    deg = edges.groupBy(F.col("src").alias("part")).agg(F.count(F.lit(1)).alias("deg")).localCheckpoint()
+    ranks = deg.select("part", F.lit(1000000).cast("bigint").alias("rank"))
+    esrc = edges.join(deg.select(F.col("part").alias("src"), "deg"), "src")
+    for _ in range(3):
+        contrib = esrc.join(
+            ranks.select(F.col("part").alias("src"), "rank"), "src"
+        ).select("dst", F.expr("rank div deg").alias("c"))
+        ranks = contrib.groupBy(F.col("dst").alias("part")).agg(
+            (F.lit(150000) + F.expr("(85 * sum(c)) div 100")).cast("bigint").alias("rank")
+        )
+    return ranks.join(deg, "part").select(
+        "part", F.col("rank").cast("bigint").alias("rank"), F.col("deg").cast("bigint").alias("deg")
+    )
+
+
+@register(
+    "part_copurchase_triangles",
+    survey_ref="graph-triangles,J1,A1",
+    oracle="""
+WITH baskets AS (
+  SELECT l_orderkey, list_sort(list(DISTINCT l_partkey)) AS parts
+  FROM lineitem GROUP BY l_orderkey
+),
+pairs AS (
+  SELECT u.a AS pa, v.b AS pb
+  FROM baskets, unnest(parts) AS u(a), unnest(parts) AS v(b)
+  WHERE u.a < v.b
+),
+edges AS (
+  SELECT pa, pb FROM pairs GROUP BY pa, pb HAVING count(*) >= 2
+),
+tris AS (
+  SELECT e1.pa AS a, e1.pb AS b, e2.pb AS c
+  FROM edges e1
+  JOIN edges e2 ON e2.pa = e1.pb
+  JOIN edges e3 ON e3.pa = e1.pa AND e3.pb = e2.pb
+),
+per_node AS (
+  SELECT part, count(*) AS n_triangles FROM (
+    SELECT a AS part FROM tris
+    UNION ALL SELECT b FROM tris
+    UNION ALL SELECT c FROM tris
+  ) GROUP BY part
+)
+SELECT part, CAST(n_triangles AS BIGINT) AS n_triangles FROM per_node
+""",
+)
+def part_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle participation counts on the co-purchase graph — the
+    clustering-structure metric (a node's triangles measure how
+    interconnected its neighborhood is; the basis of clustering
+    coefficients and spam/anomaly heuristics).
+
+    Uses the ORIENTED edge representation (a < b only): each triangle
+    {a<b<c} materializes exactly once as (a→b, b→c, a→c), so the count
+    needs no post-hoc dedup and the join never explodes around
+    high-degree hubs the way undirected wedge enumeration does — the
+    standard distributed-triangle trick. Two equi-joins on int pairs plus
+    one union-explode aggregation; the weight-2 prune bounds the edge
+    list before any join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("parts")
+    )
+    pair_structs = F.expr(
+        "flatten(transform(parts, (a, i) ->"
+        " transform(slice(parts, i + 2, size(parts)), b -> struct(a, b))))"
+    )
+    edges = (
+        baskets.select(F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.a").alias("pa"), F.col("p.b").alias("pb"))
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 2)
+        .select("pa", "pb")
+        .localCheckpoint()
+    )
+    e1 = edges.select(F.col("pa").alias("a"), F.col("pb").alias("b"))
+    e2 = edges.select(F.col("pa").alias("b"), F.col("pb").alias("c"))
+    e3 = edges.select(F.col("pa").alias("a"), F.col("pb").alias("c"))
+    tris = e1.join(e2, "b").join(e3, ["a", "c"])
+    nodes = (
+        tris.select(F.col("a").alias("part"))
+        .unionByName(tris.select(F.col("b").alias("part")))
+        .unionByName(tris.select(F.col("c").alias("part")))
+    )
+    return nodes.groupBy("part").agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
