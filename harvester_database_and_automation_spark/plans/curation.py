@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from harvester_database_and_automation_spark.catalog import load_table
 from harvester_database_and_automation_spark.operators.ids import add_running_total
 from harvester_database_and_automation_spark.plans.registry import register
+from harvester_database_and_automation_spark.plans.shared import fanout as _fanout
 from harvester_database_and_automation_spark.plans.text import _SHINGLES_SQL, _jaccard_pairs
 
 # Context-window budget for sequence packing (tokens per training sample).
@@ -546,5 +547,110 @@ def weighted_quality_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.col("n_chars").cast("bigint").alias("n_chars"),
             F.col("sample_rank").cast("int").alias("sample_rank"),
+        )
+    )
+
+
+@register(
+    "corpus_split_assignment",
+    survey_ref="pipeline-split,P4,A1,A2",
+    oracle="""
+WITH hashed AS (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 40 AS h
+  FROM documents
+),
+assigned AS (
+  SELECT doc_id, lang,
+         CASE WHEN h < 38 THEN 'train' WHEN h = 38 THEN 'val' ELSE 'test' END AS split
+  FROM hashed
+)
+SELECT lang, split, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(doc_id) AS BIGINT) AS min_doc_id,
+       CAST(max(doc_id) AS BIGINT) AS max_doc_id
+FROM assigned GROUP BY lang, split
+""",
+)
+def corpus_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment: hash the stable doc id
+    (top 32 md5 bits mod 40 → 95/2.5/2.5) so membership is a pure
+    function of identity — re-runs, backfills, and late-arriving shards
+    all route every document to the same split with no coordination and
+    no stored assignment table. Per-(lang, split) counts + id ranges
+    certify the routing. One map pass + one hash aggregation."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    h = (
+        F.expr("cast(conv(substr(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint)") % 40
+    )
+    split = (
+        F.when(h < 38, "train").when(h == 38, "val").otherwise("test")
+    )
+    return (
+        docs.withColumn("split", split)
+        .groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("doc_id").cast("bigint").alias("min_doc_id"),
+            F.max("doc_id").cast("bigint").alias("max_doc_id"),
+        )
+    )
+
+
+@register(
+    "oov_rate_by_source",
+    survey_ref="text-analysis,A1,A7,J6",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, source, w
+  FROM (SELECT doc_id, source, unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE w <> ''
+),
+vocab AS (
+  SELECT w FROM (
+    SELECT w, count(*) AS c, row_number() OVER (ORDER BY count(*) DESC, w) AS rk
+    FROM toks GROUP BY w
+  ) WHERE rk <= 20
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(count(*) FILTER (v.w IS NULL) AS BIGINT) AS n_oov,
+       round(count(*) FILTER (v.w IS NULL) * 1.0 / count(*), 6) AS oov_rate
+FROM toks LEFT JOIN vocab v USING (w)
+GROUP BY source
+""",
+)
+def oov_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate per feed: fix the vocabulary to the corpus
+    top-20 terms (deterministic (count desc, word) rank) and measure what
+    fraction of each source's token stream falls outside it — the
+    tokenizer-coverage monitor that flags a feed whose content the
+    training vocabulary won't represent well.
+
+    Scale shape: the vocabulary ranking aggregates the token stream
+    map-side then sorts the vocab-sized (word, count) frame — the top-k
+    window runs over word-level aggregates, not occurrences (no hot-word
+    skew); membership tagging is a broadcast left join; the per-source
+    rates are one more hash agg. Rates are exact-int ratios in double."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    toks = _fanout(docs).select(
+        "source", F.explode(F.split("text", " ")).alias("w")
+    ).filter(F.col("w") != "")
+    wc = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    # Top-20 via sort+limit (TakeOrderedAndProject over the vocab-sized
+    # aggregate) — no global ranking window anywhere in the plan.
+    vocab = (
+        wc.orderBy(F.col("c").desc(), F.col("w").asc())
+        .limit(20)
+        .select(F.col("w"), F.lit(1).alias("in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "w", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.count(F.when(F.col("in_vocab").isNull(), 1)).cast("bigint").alias("n_oov"),
+            F.round(
+                F.count(F.when(F.col("in_vocab").isNull(), 1)) * 1.0 / F.count(F.lit(1)), 6
+            ).alias("oov_rate"),
         )
     )
