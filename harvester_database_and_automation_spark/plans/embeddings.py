@@ -849,3 +849,184 @@ def kmeans_lloyd_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("d2"), 2).alias("sse"),
         )
     )
+
+
+_IVF_ASSIGN_SQL = f"""
+cents AS (
+  SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id < 8
+), vecs AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS vv FROM embeddings
+), vc AS (
+  SELECT vecs.vec_id, cents.cid,
+         {_COS_SQL.format(a='vecs.vv', b='cents.cv')} AS sim
+  FROM vecs CROSS JOIN cents
+), assign AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rk
+    FROM vc
+  ) t WHERE rk = 1
+)"""
+
+
+@register(
+    "ivf_cell_diverse_sample",
+    survey_ref="pipeline-sampling,similarity-ivf,W2,J8",
+    oracle=f"""
+WITH {_IVF_ASSIGN_SQL}
+SELECT cell, vec_id, CAST(sample_rank AS INT) AS sample_rank
+FROM (
+  SELECT a.cell, a.vec_id,
+         row_number() OVER (
+           PARTITION BY a.cell
+           ORDER BY ('0x' || substr(md5(CAST(a.vec_id AS VARCHAR)), 1, 15))::BIGINT,
+                    a.vec_id) AS sample_rank
+  FROM assign a
+) t WHERE sample_rank <= 3
+""",
+)
+def ivf_cell_diverse_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-aware coreset sampling: draw 3 vectors per IVF cell
+    (hash-jitter order, deterministic) instead of 3·k uniformly — the
+    cheap SemDeDup-era proxy for k-center selection: cells partition the
+    embedding space, so per-cell quotas cover every region including
+    sparse ones a uniform sample would miss.
+
+    Reuses the session-shared IVF index frame (`_ivf_ranked`) — sampling
+    rides the index a vector store already maintains; the per-cell
+    ranking window runs over (cell, vec_id, jitter) triples, vectors
+    never shuffle."""
+    assign = _ivf_ranked(spark, sf_dir).filter(F.col("rk") == 1).select(
+        "vec_id", F.col("cid").alias("cell")
+    )
+    jitter = F.expr("cast(conv(substr(md5(cast(vec_id as string)), 1, 15), 16, 10) as bigint)")
+    w = Window.partitionBy("cell").orderBy(jitter.asc(), F.col("vec_id").asc())
+    return (
+        assign.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= 3)
+        .select("cell", "vec_id", F.col("sample_rank").cast("int").alias("sample_rank"))
+    )
+
+
+@register(
+    "contrastive_negative_sample",
+    survey_ref="pipeline-sampling,J6,W2",
+    oracle="""
+WITH q AS (
+  SELECT vec_id AS query_id, label AS qlabel FROM embeddings WHERE vec_id % 13 = 0
+),
+cand AS (
+  SELECT q.query_id, e.vec_id AS neg_id,
+         ('0x' || substr(md5(CAST(q.query_id AS VARCHAR) || ':' || CAST(e.vec_id AS VARCHAR)), 1, 15))::BIGINT AS jit
+  FROM q JOIN embeddings e ON e.label <> q.qlabel
+  WHERE ('0x' || substr(md5(CAST(e.vec_id AS VARCHAR)), 1, 8))::BIGINT % 4 = 0
+)
+SELECT query_id, neg_id, CAST(neg_rank AS INT) AS neg_rank
+FROM (
+  SELECT query_id, neg_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY jit, neg_id) AS neg_rank
+  FROM cand
+) t WHERE neg_rank <= 4
+""",
+)
+def contrastive_negative_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative mining for contrastive training: for each
+    anchor (the % 13 query set), draw 4 pseudo-random different-label
+    negatives, ranked by a hash of (anchor, candidate) so every rerun —
+    and every backfill shard — picks the same negatives with no stored
+    state and no RNG seed plumbing.
+
+    The candidate pool is pre-thinned to a deterministic quarter of the
+    corpus (hash-gate on the candidate id alone) BEFORE the per-anchor
+    join: at 100 TB the anchor×corpus blow-up never materializes — the
+    gate is the sampling knob that bounds per-anchor candidates, the
+    same map-side trick as the split router. Integer-only output."""
+    e = _emb(spark, sf_dir)
+    q = F.broadcast(
+        e.filter(F.col("vec_id") % 13 == 0).select(
+            F.col("vec_id").alias("query_id"), F.col("label").alias("qlabel")
+        )
+    )
+    gate = F.expr("cast(conv(substr(md5(cast(vec_id as string)), 1, 8), 16, 10) as bigint) % 4 = 0")
+    pool = _fanout(e.filter(gate).select(F.col("vec_id").alias("neg_id"), "label"))
+    jit = F.expr(
+        "cast(conv(substr(md5(concat(cast(query_id as string), ':', cast(neg_id as string))), 1, 15), 16, 10) as bigint)"
+    )
+    cand = (
+        pool.join(q, pool["label"] != q["qlabel"])
+        .select("query_id", "neg_id", jit.alias("jit"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("jit").asc(), F.col("neg_id").asc())
+    return (
+        cand.withColumn("neg_rank", F.row_number().over(w))
+        .filter(F.col("neg_rank") <= 4)
+        .select("query_id", "neg_id", F.col("neg_rank").cast("int").alias("neg_rank"))
+    )
+
+
+@register(
+    "embedding_centroid_shift",
+    survey_ref="quality-drift,A1,J1",
+    oracle="""
+WITH halves AS (
+  SELECT label, vec_id % 2 AS half,
+         unnest(generate_series(1, len(embedding))) AS i,
+         unnest(embedding::DOUBLE[]) AS val
+  FROM embeddings
+),
+cents AS (
+  SELECT label, half, i, avg(val) AS m
+  FROM halves GROUP BY label, half, i
+),
+sizes AS (
+  SELECT label,
+         count(*) FILTER (vec_id % 2 = 0) AS n_a,
+         count(*) FILTER (vec_id % 2 = 1) AS n_b
+  FROM embeddings GROUP BY label
+)
+SELECT s.label,
+       CAST(s.n_a AS BIGINT) AS n_a,
+       CAST(s.n_b AS BIGINT) AS n_b,
+       round(sqrt(sum((a.m - b.m) * (a.m - b.m))), 6) AS centroid_shift
+FROM cents a
+JOIN cents b ON b.label = a.label AND b.i = a.i AND a.half = 0 AND b.half = 1
+JOIN sizes s ON s.label = a.label
+GROUP BY s.label, s.n_a, s.n_b
+""",
+)
+def embedding_centroid_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space drift monitor: split each label's vectors into two
+    deterministic halves (even/odd ids standing in for two ingest
+    batches), compute both per-dimension centroids, and report the L2
+    distance between them — the signal that an embedding model update or
+    feed change MOVED a class, before any downstream ANN index degrades.
+
+    Scale shape: vectors explode to (label, half, dim, value) narrow rows
+    that partial-aggregate map-side into per-dim means (64·labels·2 rows
+    total); the halves join on (label, dim) is over that tiny frame. The
+    1e-15 summation-order noise in the means sits 9 orders below the
+    6-decimal rounding."""
+    e = _emb(spark, sf_dir)
+    halves = _fanout(e).select(
+        "label",
+        (F.col("vec_id") % 2).alias("half"),
+        F.posexplode("vec").alias("i", "val"),
+    )
+    cents = halves.groupBy("label", "half", "i").agg(F.avg("val").alias("m"))
+    sizes = e.groupBy("label").agg(
+        F.count(F.when(F.col("vec_id") % 2 == 0, 1)).alias("n_a"),
+        F.count(F.when(F.col("vec_id") % 2 == 1, 1)).alias("n_b"),
+    )
+    a = cents.filter(F.col("half") == 0).select("label", "i", F.col("m").alias("ma"))
+    b = cents.filter(F.col("half") == 1).select("label", "i", F.col("m").alias("mb"))
+    shift = (
+        a.join(b, ["label", "i"])
+        .groupBy("label")
+        .agg(F.round(F.sqrt(F.sum((F.col("ma") - F.col("mb")) * (F.col("ma") - F.col("mb")))), 6).alias("centroid_shift"))
+    )
+    return shift.join(F.broadcast(sizes), "label").select(
+        "label",
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        "centroid_shift",
+    )
