@@ -654,3 +654,59 @@ def oov_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("oov_rate"),
         )
     )
+
+
+# Power-of-two padding buckets for inference batching.
+_PAD_BUCKETS = [8, 16, 32, 64, 128, 256]
+
+
+@register(
+    "padding_efficiency_manifest",
+    survey_ref="pipeline-batching,P4,A1",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS n_tok FROM documents
+),
+bucketed AS (
+  SELECT doc_id, n_tok,
+         CASE {' '.join(f'WHEN n_tok <= {b} THEN {b}' for b in _PAD_BUCKETS)}
+              ELSE {_PAD_BUCKETS[-1] * 2} END AS bucket
+  FROM toks
+)
+SELECT CAST(bucket AS INT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST((count(*) + 31) // 32 AS BIGINT) AS n_batches,
+       CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
+       round(sum(bucket - n_tok) * 1.0 / sum(bucket), 6) AS waste_frac
+FROM bucketed GROUP BY bucket
+""",
+)
+def padding_efficiency_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching manifest for inference/scoring passes:
+    route each document to the smallest power-of-two token bucket, then
+    report per bucket the batch count (batch size 32) and the padding
+    waste fraction — the planning table that decides whether bucketed
+    batching is worth it versus padding the whole corpus to max length
+    (where waste routinely exceeds 50%).
+
+    Pure map pass + one hash aggregation on a 7-value key; every number
+    but the waste ratio is an integer. The CASE bucket ladder is the
+    recode-table pattern (P4) pointed at batch geometry."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tok")
+    )
+    bucket = F.lit(_PAD_BUCKETS[-1] * 2)
+    for b in reversed(_PAD_BUCKETS):
+        bucket = F.when(F.col("n_tok") <= b, b).otherwise(bucket)
+    return (
+        docs.withColumn("bucket", bucket)
+        .groupBy(F.col("bucket").cast("int").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.expr("(count(1) + 31) div 32").cast("bigint").alias("n_batches"),
+            F.sum("n_tok").cast("bigint").alias("sum_tokens"),
+            F.round(
+                F.sum(F.col("bucket") - F.col("n_tok")) * 1.0 / F.sum("bucket"), 6
+            ).alias("waste_frac"),
+        )
+    )
