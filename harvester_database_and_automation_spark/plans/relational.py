@@ -2729,3 +2729,163 @@ def daily_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_active") - F.col("n_new")).cast("bigint").alias("n_returning"),
         F.col("n_cum").cast("bigint").alias("n_cum_users"),
     )
+
+
+@register(
+    "part_value_skyline",
+    survey_ref="skyline,W2,A1,J6",
+    oracle="""
+WITH pf AS (SELECT p_retailprice AS price, max(p_size) AS ms FROM part GROUP BY 1),
+r AS (
+  SELECT price, ms,
+         max(ms) OVER (ORDER BY price ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lt,
+         max(ms) OVER (ORDER BY price ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS le
+  FROM pf
+)
+SELECT p.p_partkey, CAST(p.p_size AS INT) AS p_size,
+       round(p.p_retailprice, 2) AS price
+FROM part p JOIN r ON r.price = p.p_retailprice
+WHERE NOT COALESCE(r.lt >= p.p_size, FALSE) AND NOT (r.le > p.p_size)
+""",
+)
+def part_value_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto frontier) operator: the parts not dominated on
+    (cheaper price, bigger size) — p is dominated iff some q is at most
+    its price AND at least its size, strictly better in one. The classic
+    multi-objective shortlist query relational engines lack as a
+    primitive.
+
+    Dominance reduces to two prefix maxima over the price axis:
+    max_size over strictly-cheaper prices (lt) and over
+    cheaper-or-equal (le); p survives iff lt < p.size and le <= p.size.
+    The DuckDB oracle computes them with a global ordered window; the
+    Spark plan CANNOT (single-partition window = banned), so it
+    decomposes: aggregate to one row per distinct price, window WITHIN
+    integer price buckets (partitioned, ordered, tie-free because rows
+    are distinct prices), and stitch buckets with a broadcast triangular
+    join over the ~100-row bucket-max frame — the two-level prefix-sum
+    pattern (`value_drift_cdf`, `daily_new_vs_returning`) applied to a
+    running max. Parts join back on price; everything that shuffles is
+    (price, size) pairs."""
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_size", "p_retailprice")
+    pf = (
+        p.groupBy(F.col("p_retailprice").alias("price"))
+        .agg(F.max("p_size").alias("ms"))
+        .withColumn("bucket", F.floor("price").cast("long"))
+    )
+    w = Window.partitionBy("bucket").orderBy("price")
+    in_bucket = pf.select(
+        "price",
+        "bucket",
+        "ms",
+        F.max("ms").over(w.rowsBetween(Window.unboundedPreceding, -1)).alias("lt_in"),
+        F.max("ms").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("le_in"),
+    )
+    bmax = pf.groupBy("bucket").agg(F.max("ms").alias("bms"))
+    below = (
+        bmax.select(F.col("bucket").alias("pb"), F.col("bms").alias("pms"))
+        .join(F.broadcast(bmax), F.col("pb") < F.col("bucket"))
+        .groupBy("bucket")
+        .agg(F.max("pms").alias("below"))
+    )
+    r = (
+        in_bucket.join(F.broadcast(below), "bucket", "left")
+        .select(
+            "price",
+            F.greatest(F.coalesce("lt_in", F.lit(-1)), F.coalesce("below", F.lit(-1))).alias("lt"),
+            F.greatest(F.col("le_in"), F.coalesce("below", F.lit(-1))).alias("le"),
+        )
+    )
+    return (
+        p.join(F.broadcast(r), p["p_retailprice"] == r["price"])
+        .filter((F.col("lt") < F.col("p_size")) & (F.col("le") <= F.col("p_size")))
+        .select(
+            "p_partkey",
+            F.col("p_size").cast("int").alias("p_size"),
+            F.round("p_retailprice", 2).alias("price"),
+        )
+    )
+
+
+@register(
+    "user_longest_streak",
+    survey_ref="gaps-islands,W2,A1",
+    oracle="""
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+),
+grouped AS (
+  SELECT user_id, day,
+         CAST(day - CAST('1970-01-01' AS DATE) AS BIGINT)
+           - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+  FROM ud
+),
+streaks AS (
+  SELECT user_id, grp, count(*) AS len FROM grouped GROUP BY user_id, grp
+)
+SELECT user_id,
+       CAST(max(len) AS BIGINT) AS longest_streak,
+       CAST(sum(len) AS BIGINT) AS n_active_days
+FROM streaks GROUP BY user_id
+""",
+)
+def user_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: each user's longest run of CONSECUTIVE active
+    days. The island key is the classic trick — epoch_day minus the
+    per-user day rank is constant exactly within a consecutive run — so
+    streaks fall out of two hash aggregations around one per-user ranking
+    window over (user, day) pairs; no self-join, no sequence explosion.
+    The engagement metric next to `daily_new_vs_returning`'s corpus view
+    and `event_sessionization`'s intra-day gaps."""
+    e = load_table(spark, sf_dir, "events")
+    ud = e.select("user_id", F.to_date("ts").alias("day")).distinct()
+    epoch = F.lit("1970-01-01").cast("date")
+    w = Window.partitionBy("user_id").orderBy("day")
+    grouped = ud.select(
+        "user_id",
+        (F.datediff(F.col("day"), epoch).cast("long") - F.row_number().over(w)).alias("grp"),
+    )
+    streaks = grouped.groupBy("user_id", "grp").agg(F.count(F.lit(1)).alias("len"))
+    return streaks.groupBy("user_id").agg(
+        F.max("len").cast("bigint").alias("longest_streak"),
+        F.sum("len").cast("bigint").alias("n_active_days"),
+    )
+
+
+@register(
+    "users_covering_all_event_types",
+    survey_ref="relational-division,A3,A8,J5",
+    oracle="""
+WITH types AS (SELECT count(DISTINCT event_type) AS n_types FROM events),
+per_user AS (
+  SELECT user_id, count(DISTINCT event_type) AS n_seen, count(*) AS n_events
+  FROM events GROUP BY user_id
+)
+SELECT u.user_id, CAST(u.n_seen AS BIGINT) AS n_seen,
+       CAST(u.n_events AS BIGINT) AS n_events
+FROM per_user u CROSS JOIN types t
+WHERE u.n_seen = t.n_types
+""",
+)
+def users_covering_all_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational division (the FOR ALL quantifier): users who have
+    performed EVERY event type the system knows — the 'suppliers who
+    stock all brands' query shape SQL lacks a primitive for. Expressed
+    as count-distinct-equality against a broadcast universe count, the
+    scale-stable form (the double-anti-join form re-shuffles the fact
+    twice; this is two partial-agg passes and a 1-row broadcast)."""
+    e = load_table(spark, sf_dir, "events")
+    types = e.agg(F.countDistinct("event_type").alias("n_types"))
+    per_user = e.groupBy("user_id").agg(
+        F.countDistinct("event_type").alias("n_seen"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return (
+        per_user.crossJoin(F.broadcast(types))
+        .filter(F.col("n_seen") == F.col("n_types"))
+        .select(
+            "user_id",
+            F.col("n_seen").cast("bigint").alias("n_seen"),
+            F.col("n_events").cast("bigint").alias("n_events"),
+        )
+    )
