@@ -2889,3 +2889,56 @@ def users_covering_all_event_types(spark: SparkSession, sf_dir: str) -> DataFram
             F.col("n_events").cast("bigint").alias("n_events"),
         )
     )
+
+
+@register(
+    "monthly_revenue_growth",
+    survey_ref="A1,J2,lag-shape,A7",
+    oracle="""
+WITH monthly AS (
+  SELECT CAST(extract(year FROM o_orderdate) AS INT) * 12
+           + CAST(extract(month FROM o_orderdate) AS INT) - 1 AS midx,
+         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS rev_cents,
+         count(*) AS n_orders
+  FROM orders GROUP BY midx
+)
+SELECT CAST(m.midx // 12 AS INT) AS year,
+       CAST(m.midx % 12 + 1 AS INT) AS month,
+       m.rev_cents,
+       CAST(m.n_orders AS BIGINT) AS n_orders,
+       p.rev_cents AS prev_rev_cents,
+       round((m.rev_cents - p.rev_cents) * 1.0 / p.rev_cents, 6) AS mom_growth
+FROM monthly m
+LEFT JOIN monthly p ON p.midx = m.midx - 1
+""",
+)
+def monthly_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth: the lag(1) analytic computed
+    WITHOUT a global ordered window — months flatten to an integer index
+    and the previous month attaches by a broadcast self-join on
+    midx−1 over the ~80-row monthly frame (the lag-via-join form every
+    calendar analytic can use once the fact is reduced to its period
+    grain). Revenue is summed in integer cents (the `_money2` discipline)
+    so the monthly totals are hash-exact; only the growth ratio is
+    float. First month reports NULL growth, preserved by the left join."""
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1).alias("midx")
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")).alias("rev_cents"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    prev = monthly.select((F.col("midx") + 1).alias("midx"), F.col("rev_cents").alias("prev_rev_cents"))
+    return (
+        monthly.join(F.broadcast(prev), "midx", "left")
+        .select(
+            F.expr("midx div 12").cast("int").alias("year"),
+            (F.col("midx") % 12 + 1).cast("int").alias("month"),
+            F.col("rev_cents").cast("bigint").alias("rev_cents"),
+            F.col("n_orders").cast("bigint").alias("n_orders"),
+            F.col("prev_rev_cents").cast("bigint").alias("prev_rev_cents"),
+            F.round(
+                (F.col("rev_cents") - F.col("prev_rev_cents")) * 1.0 / F.col("prev_rev_cents"), 6
+            ).alias("mom_growth"),
+        )
+    )
