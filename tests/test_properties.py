@@ -214,3 +214,87 @@ def test_mg_merge_never_overcounts(batch_seq, k):
         counters = merge_mg_summary(counters, dict(bc), cap)
         for v, c in counters.items():
             assert 0 < c <= truth[v]
+
+
+def test_cdc_chunks_tile_every_document(spark):
+    """CDC chunks must partition [0, len) exactly: sorted by start, each
+    chunk begins where the previous ended, the first begins at 0, the
+    last ends at the document length — no gaps, no overlaps, for every
+    document. (The oracle hash-checks values; this checks the geometric
+    invariant that makes the chunks a valid dedup unit.)"""
+    from harvester_database_and_automation_spark.catalog import load_table
+    from harvester_database_and_automation_spark.plans.registry import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    chunks = QUERIES["cdc_chunk_stats"].fn(spark, sf).collect()
+    lens = {
+        r["doc_id"]: r["len"]
+        for r in load_table(spark, sf, "documents")
+        .select("doc_id", F.length("text").alias("len"))
+        .collect()
+    }
+    by_doc: dict[int, list] = {}
+    for r in chunks:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == set(lens)
+    for doc_id, rows in by_doc.items():
+        rows.sort(key=lambda r: r["chunk_start"])
+        pos = 0
+        for r in rows:
+            assert r["chunk_start"] == pos, (doc_id, pos, r)
+            assert r["chunk_len"] > 0
+            pos += r["chunk_len"]
+        assert pos == lens[doc_id], (doc_id, pos, lens[doc_id])
+
+
+def test_fixed_chunks_cover_every_character(spark):
+    """Fixed-stride chunk manifest: chunks cover [0, len) with stride-90
+    starts and the advertised overlap; every character of every document
+    falls in at least one chunk."""
+    from harvester_database_and_automation_spark.catalog import load_table
+    from harvester_database_and_automation_spark.plans.registry import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    rows = QUERIES["doc_chunk_manifest"].fn(spark, sf).collect()
+    lens = {
+        r["doc_id"]: r["len"]
+        for r in load_table(spark, sf, "documents")
+        .select("doc_id", F.length("text").alias("len"))
+        .collect()
+    }
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == set(lens)
+    for doc_id, rs in by_doc.items():
+        rs.sort(key=lambda r: r["chunk_idx"])
+        covered = 0  # chunks start at idx*90 and are contiguous-or-overlapping
+        for r in rs:
+            assert r["start"] == r["chunk_idx"] * 90
+            assert r["start"] <= covered  # no gap before this chunk
+            covered = max(covered, r["start"] + r["chunk_chars"])
+        assert covered == lens[doc_id]
+
+
+def test_skyline_output_is_exactly_the_nondominated_set(spark):
+    """Every skyline row must be non-dominated and every excluded part
+    dominated by some part — checked against a direct quadratic model on
+    the collected sf0.001 frame."""
+    from harvester_database_and_automation_spark.catalog import load_table
+    from harvester_database_and_automation_spark.plans.registry import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    parts = [
+        (r["p_partkey"], r["p_retailprice"], r["p_size"])
+        for r in load_table(spark, sf, "part").collect()
+    ]
+    got = {r["p_partkey"] for r in QUERIES["part_value_skyline"].fn(spark, sf).collect()}
+
+    def dominated(p):
+        return any(
+            (q[1] <= p[1] and q[2] >= p[2] and (q[1] < p[1] or q[2] > p[2]))
+            for q in parts
+        )
+
+    expect = {k for (k, pr, sz) in parts if not dominated((k, pr, sz))}
+    assert got == expect
