@@ -710,3 +710,69 @@ def padding_efficiency_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("waste_frac"),
         )
     )
+
+
+@register(
+    "quality_vs_dup_calibration",
+    survey_ref="pipeline-calibration,A1,A7,J2",
+    oracle="""
+WITH q AS (
+  SELECT doc_id, text,
+         least(1.0, len(string_split(text, ' ')) / 100.0) * 0.6
+           + (len(list_filter(string_split(text, ' '), w -> w IN ('the', 'a')))
+              * 1.0 / len(string_split(text, ' '))) * 0.4 AS quality
+  FROM documents
+),
+dups AS (
+  SELECT doc_id, count(*) OVER (PARTITION BY md5(lower(text))) > 1 AS is_dup
+  FROM documents
+),
+banded AS (
+  SELECT least(9, greatest(0, CAST(floor(q.quality * 10) AS INT))) AS q_band,
+         d.is_dup
+  FROM q JOIN dups d USING (doc_id)
+)
+SELECT q_band,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(*) FILTER (is_dup) AS BIGINT) AS n_dup_members,
+       round(count(*) FILTER (is_dup) * 1.0 / count(*), 6) AS dup_rate
+FROM banded GROUP BY q_band
+""",
+)
+def quality_vs_dup_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-signal calibration: does the heuristic quality score predict
+    duplication? Band documents into quality deciles (fixed-width bands,
+    not ntile — no global window) and report each band's exact-duplicate
+    membership rate. A well-behaved curation stack expects low-quality
+    bands to carry more boilerplate/duplicates; a flat curve says the
+    quality filter and the deduper remove INDEPENDENT mass, a steep one
+    says they overlap — this table is how you decide filter order.
+
+    Scale shape: the dup flag is one hash aggregation keyed on the
+    content digest (never text); the quality score is a map pass; one
+    final 10-key rollup. The oracle's count-over-partition form is
+    replayed as groupBy + join on the digest."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    words = F.split("text", " ")
+    n_tokens = F.size(words)
+    n_stop = F.size(F.filter(words, lambda w: w.isin("the", "a")))
+    quality = F.least(F.lit(1.0), n_tokens / 100.0) * 0.6 + (n_stop * 1.0 / n_tokens) * 0.4
+    fp = F.md5(F.lower("text"))
+    fp_counts = (
+        docs.select(fp.alias("fp"))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_same"))
+    )
+    banded = (
+        docs.select(
+            F.least(F.lit(9), F.greatest(F.lit(0), F.floor(quality * 10).cast("int"))).alias("q_band"),
+            fp.alias("fp"),
+        )
+        .join(fp_counts, "fp")
+        .select("q_band", (F.col("n_same") > 1).alias("is_dup"))
+    )
+    return banded.groupBy("q_band").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.count(F.when(F.col("is_dup"), 1)).cast("bigint").alias("n_dup_members"),
+        F.round(F.count(F.when(F.col("is_dup"), 1)) * 1.0 / F.count(F.lit(1)), 6).alias("dup_rate"),
+    )

@@ -198,3 +198,48 @@ def retention_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("value_out"), 4).alias("value_retained"),
         F.sum(F.when(F.col("expired"), F.col("props_len")).otherwise(0)).cast("bigint").alias("bytes_freed"),
     )
+
+
+@register(
+    "ldiversity_audit",
+    survey_ref="governance,A1,A3,P4",
+    oracle="""
+WITH classes AS (
+  SELECT c_nationkey, c_mktsegment,
+         count(*) AS n,
+         count(DISTINCT CAST(floor(c_acctbal / 2000) AS BIGINT)) AS l
+  FROM customer GROUP BY 1, 2
+)
+SELECT CASE WHEN l < 2 THEN 'homogeneous' WHEN l < 3 THEN 'weak' ELSE 'ok' END AS l_band,
+       CAST(count(*) AS BIGINT) AS n_classes,
+       CAST(sum(n) AS BIGINT)   AS n_rows,
+       CAST(min(l) AS BIGINT)   AS min_diversity
+FROM classes GROUP BY 1
+""",
+)
+def ldiversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit — k-anonymity's necessary complement: a class
+    can be large (k-safe) yet expose everyone in it when the SENSITIVE
+    attribute (balance band here) is homogeneous within the class. Count
+    distinct sensitive values per quasi-identifier class and band the
+    classes: l<2 means an attacker who places a person in the class
+    learns their value with certainty.
+
+    Same two-cascaded-aggregation shape as `kanonymity_audit`; the
+    distinct count dedupes map-side on (class, sensitive) before the
+    class rollup, so no class's rows ever converge on one reducer."""
+    cust = load_table(spark, sf_dir, "customer")
+    classes = cust.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count("*").alias("n"),
+        F.countDistinct(F.floor(F.col("c_acctbal") / 2000).cast("bigint")).alias("l"),
+    )
+    band = (
+        F.when(F.col("l") < 2, "homogeneous")
+        .when(F.col("l") < 3, "weak")
+        .otherwise("ok")
+    )
+    return classes.groupBy(band.alias("l_band")).agg(
+        F.count("*").cast("bigint").alias("n_classes"),
+        F.sum("n").cast("bigint").alias("n_rows"),
+        F.min("l").cast("bigint").alias("min_diversity"),
+    )
