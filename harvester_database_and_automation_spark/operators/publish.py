@@ -260,3 +260,60 @@ def compact_small_files(
     )
     version = publish_incremental(df, table_dir, partition_by)
     return version, to_compact
+
+
+def publish_group(
+    tables: dict[str, DataFrame],
+    group_dir: str,
+    partition_by: dict[str, list[str]] | None = None,
+) -> int:
+    """Cross-table transactional publish: write EVERY table of a group
+    into one new version directory (``<group>/v<n>/<table>/``), then
+    swap the single group marker. Readers resolve the group version
+    first, so they always see a CONSISTENT SET — never table A from
+    this ingest joined to table B from the previous one.
+
+    This is the Spark stand-in for the reference's multi-table
+    transaction (one Postgres COMMIT covers the test + plate + sequence
+    tables of an import batch — database/R/utility.R's dbWithTransaction
+    wrapper); the per-table :func:`publish_versioned` protocol cannot
+    give that guarantee because each table swaps independently.
+    Failures before the marker swap leave the group on the old version
+    with a dead v-directory to vacuum."""
+    if not tables:
+        raise ValueError("publish_group needs at least one table")
+    prev = current_version(group_dir)
+    version = 1 if prev is None else prev + 1
+    vdir = os.path.join(group_dir, f"v{version}")
+    for name, df in tables.items():
+        writer = df.write.mode("errorifexists")
+        pb = (partition_by or {}).get(name)
+        if pb:
+            writer = writer.partitionBy(*pb)
+        writer.parquet(os.path.join(vdir, name))
+    _swap_marker(group_dir, version)
+    return version
+
+
+def read_group_table(spark: SparkSession, group_dir: str, table: str) -> DataFrame:
+    version = current_version(group_dir)
+    if version is None:
+        raise FileNotFoundError(f"no published version in {group_dir}")
+    return spark.read.parquet(os.path.join(group_dir, f"v{version}", table))
+
+
+def rollback(table_dir: str) -> int:
+    """Repoint the marker at the previous version (one marker write —
+    the whole point of the versioned-directory protocol). Raises if no
+    earlier version exists on disk. Works for single tables and groups."""
+    cur = current_version(table_dir)
+    if cur is None:
+        raise FileNotFoundError(f"no published version in {table_dir}")
+    versions = sorted(
+        int(d[1:]) for d in os.listdir(table_dir) if d.startswith("v") and d[1:].isdigit()
+    )
+    older = [v for v in versions if v < cur]
+    if not older:
+        raise ValueError(f"version {cur} has no predecessor to roll back to")
+    _swap_marker(table_dir, older[-1])
+    return older[-1]

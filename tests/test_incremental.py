@@ -207,3 +207,41 @@ def test_compaction_rewrites_only_fragmented_partitions(spark, tmp_path):
     # Idempotent: nothing left to compact, no new version published.
     version3, compacted3 = compact_small_files(spark, table, ["k"], target_bytes=1 << 30)
     assert (version3, compacted3) == (2, [])
+
+
+def test_publish_group_is_atomic_and_rollbackable(spark, tmp_path):
+    from harvester_database_and_automation_spark.operators.publish import (
+        publish_group,
+        read_group_table,
+        rollback,
+    )
+
+    group = str(tmp_path / "g")
+    a1 = _rows(spark, [("a", 1)])
+    b1 = _rows(spark, [("b", 10)])
+    assert publish_group({"t1": a1, "t2": b1}, group) == 1
+
+    a2 = _rows(spark, [("a", 2)])
+    b2 = _rows(spark, [("b", 20)])
+    assert publish_group({"t1": a2, "t2": b2}, group) == 2
+
+    # Both tables resolve through the same group version — consistent set.
+    assert [r["v"] for r in read_group_table(spark, group, "t1").collect()] == [2]
+    assert [r["v"] for r in read_group_table(spark, group, "t2").collect()] == [20]
+
+    # Rollback is one marker write and flips BOTH tables together.
+    assert rollback(group) == 1
+    assert [r["v"] for r in read_group_table(spark, group, "t1").collect()] == [1]
+    assert [r["v"] for r in read_group_table(spark, group, "t2").collect()] == [10]
+
+
+def test_rollback_requires_a_predecessor(spark, tmp_path):
+    from harvester_database_and_automation_spark.operators.publish import (
+        publish_group,
+        rollback,
+    )
+
+    group = str(tmp_path / "g")
+    publish_group({"t": _rows(spark, [("a", 1)])}, group)
+    with pytest.raises(ValueError):
+        rollback(group)
