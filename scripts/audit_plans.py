@@ -59,6 +59,9 @@ ALLOWED: dict[str, dict[str, str]] = {
     "minhash_jaccard_calibration": {
         "exchange-storm": "certification runs BOTH the sketch (signatures+banding) and the ground truth (scored pair frame) — each is a session-shared/materialized intermediate in production, and every exchange ships int keys only"
     },
+    "prefix_filter_jaccard_pairs": {
+        "exchange-storm": "certification recomputes BOTH the shingle hub (df rank + prefix frames) and the ground-truth scored pair frame inline (each session-shared / materialized in production); the candidate join itself touches only prefix rows and every exchange ships (doc_id, shingle-hash, df) triples, never text"
+    },
     "source_boilerplate_fraction": {
         "exchange-storm": "the shingle hub is recomputed inline under the gate (session-shared in production) and feeds TWO consumers — the (source, shingle) document-frequency table and the per-doc join-back; every exchange ships (doc_id|source, shingle-hash) pairs, never text"
     },
