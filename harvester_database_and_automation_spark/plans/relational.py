@@ -2942,3 +2942,122 @@ def monthly_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mom_growth"),
         )
     )
+
+
+@register(
+    "part_hierarchy_rollup",
+    survey_ref="hierarchy-closure,iterative,J1,A1",
+    oracle="""
+WITH RECURSIVE anc(part, ancestor, depth) AS (
+  SELECT p_partkey, p_partkey, 0 FROM part
+  UNION ALL
+  SELECT a.part, a.ancestor // 10, a.depth + 1
+  FROM anc a WHERE a.ancestor >= 10
+),
+roots AS (
+  SELECT part, ancestor AS root, depth
+  FROM anc
+  WHERE ancestor < 10
+),
+rev AS (
+  SELECT l_partkey AS part,
+         sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS cents
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT r.root,
+       CAST(count(DISTINCT r.part) AS BIGINT) AS n_parts,
+       CAST(max(r.depth) AS BIGINT) AS max_depth,
+       CAST(COALESCE(sum(v.cents), 0) AS BIGINT) AS rev_cents
+FROM roots r LEFT JOIN rev v ON v.part = r.part
+GROUP BY r.root
+""",
+)
+def part_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchy flattening + rollup (the bill-of-materials / org-chart
+    closure): each part's ancestor chain under the synthetic parent
+    relation parent = key div 10, walked to the root, then revenue rolled
+    up to the root with the chain depth — the DIRECTED transitive-closure
+    shape (`dup_connected_components` is the undirected one, and this one
+    carries path depth, which contraction deliberately destroys).
+
+    Spark walks the chain by pointer doubling-style iteration: a bounded
+    loop (log10 of the key space, 4 rounds here) of self-joins that
+    rewrite each node's current ancestor to its parent until every chain
+    hits a root — no recursion needed because depth is bounded by the
+    key width, the same bounded-iteration argument as the contraction
+    rounds. Revenue aggregates per part FIRST (integer cents), so the
+    closure join touches (part, root, depth) triples, never lineitem."""
+    p = load_table(spark, sf_dir, "part").select(F.col("p_partkey").alias("part"))
+    # Walk ancestor = part, then repeatedly div 10 until < 10 (root).
+    cur = p.select("part", F.col("part").alias("ancestor"), F.lit(0).alias("depth"))
+    for _ in range(4):  # 5-digit keys: at most 4 parent hops to a root
+        cur = cur.select(
+            "part",
+            F.when(F.col("ancestor") >= 10, F.expr("ancestor div 10")).otherwise(
+                F.col("ancestor")
+            ).alias("ancestor"),
+            F.when(F.col("ancestor") >= 10, F.col("depth") + 1).otherwise(F.col("depth")).alias(
+                "depth"
+            ),
+        )
+    roots = cur.select("part", F.col("ancestor").alias("root"), "depth")
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy(F.col("l_partkey").alias("part")).agg(
+        F.sum(F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")).alias("cents")
+    )
+    return (
+        roots.join(rev, "part", "left")
+        .groupBy("root")
+        .agg(
+            F.countDistinct("part").cast("bigint").alias("n_parts"),
+            F.max("depth").cast("bigint").alias("max_depth"),
+            F.coalesce(F.sum("cents"), F.lit(0)).cast("bigint").alias("rev_cents"),
+        )
+    )
+
+
+@register(
+    "event_transition_matrix",
+    survey_ref="W2,A1,A7,markov",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+  FROM events
+),
+trans AS (
+  SELECT event_type AS from_type, next_type AS to_type, count(*) AS n
+  FROM ordered WHERE next_type IS NOT NULL
+  GROUP BY 1, 2
+),
+tot AS (SELECT from_type, sum(n) AS n_from FROM trans GROUP BY from_type)
+SELECT t.from_type, t.to_type,
+       CAST(t.n AS BIGINT) AS n,
+       round(t.n * 1.0 / o.n_from, 6) AS p
+FROM trans t JOIN tot o USING (from_type)
+""",
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over each user's event
+    stream: for every consecutive (event, next-event) pair, the count and
+    the row-normalized transition probability — the clickstream model
+    behind funnel diagnostics and next-action prediction baselines.
+
+    One per-user `lead` window over (type, ts, id) triples — partitioned,
+    never global — then two hash aggregations; the 25-cell matrix and its
+    row totals broadcast. Probabilities are exact-int ratios."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    ordered = e.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    trans = ordered.groupBy(
+        F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tot = trans.groupBy("from_type").agg(F.sum("n").alias("n_from"))
+    return trans.join(F.broadcast(tot), "from_type").select(
+        "from_type",
+        "to_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(F.col("n") * 1.0 / F.col("n_from"), 6).alias("p"),
+    )
