@@ -3061,3 +3061,49 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n"),
         F.round(F.col("n") * 1.0 / F.col("n_from"), 6).alias("p"),
     )
+
+
+@register(
+    "rolling_7day_active_users",
+    survey_ref="A3,array-explode,A1,quality-drift",
+    oracle="""
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+),
+bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM ud),
+cover AS (
+  SELECT DISTINCT ud.user_id, ud.day + CAST(u.o AS INT) AS cov_day
+  FROM ud, unnest(generate_series(0, 6)) AS u(o)
+)
+SELECT CAST(c.cov_day AS VARCHAR) AS day,
+       CAST(count(*) AS BIGINT) AS wau
+FROM cover c, bounds b
+WHERE c.cov_day BETWEEN b.d0 AND b.d1
+GROUP BY c.cov_day
+""",
+)
+def rolling_7day_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct active users per day (WAU-by-day). COUNT
+    DISTINCT does not decompose over sliding windows, so the scalable
+    form inverts the problem: each (user, active-day) pair COVERS the 7
+    report days it contributes to — explode to (user, covered-day),
+    dedup, count. A bounded ×7 map-side expansion and two hash
+    aggregations replace either a per-day re-scan (7× the IO) or a
+    giant per-day distinct state. Report days clip to the observed
+    range (broadcast 1-row bounds); days render as ISO strings."""
+    e = load_table(spark, sf_dir, "events")
+    ud = e.select("user_id", F.to_date("ts").alias("day")).distinct()
+    bounds = ud.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    cover = (
+        ud.select(
+            "user_id", F.explode(F.sequence(F.lit(0), F.lit(6))).alias("o"), "day"
+        )
+        .select("user_id", F.date_add(F.col("day"), F.col("o")).alias("cov_day"))
+        .distinct()
+    )
+    return (
+        cover.crossJoin(F.broadcast(bounds))
+        .filter(F.col("cov_day").between(F.col("d0"), F.col("d1")))
+        .groupBy(F.col("cov_day").cast("string").alias("day"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("wau"))
+    )

