@@ -3107,3 +3107,66 @@ def rolling_7day_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("cov_day").cast("string").alias("day"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("wau"))
     )
+
+
+@register(
+    "user_clamped_balance",
+    survey_ref="W2,window-identity,A1",
+    oracle="""
+WITH flows AS (
+  SELECT user_id, ts, event_id,
+         CAST(floor(value * 100 + 0.5) AS BIGINT)
+           * CASE WHEN event_type = 'purchase' THEN 1 ELSE -1 END AS delta
+  FROM events
+  WHERE event_type IN ('purchase', 'error')
+),
+pre AS (
+  SELECT user_id, ts, event_id, delta,
+         sum(delta) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prefix
+  FROM flows
+),
+runmin AS (
+  SELECT user_id, delta, prefix,
+         min(prefix) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS minpfx
+  FROM pre
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_flows,
+       CAST(sum(delta) - least(CAST(0 AS BIGINT), min(prefix)) AS BIGINT) AS final_balance_cents,
+       CAST(max(prefix - least(CAST(0 AS BIGINT), minpfx)) AS BIGINT) AS peak_balance_cents
+FROM runmin GROUP BY user_id
+""",
+)
+def user_clamped_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running balance clamped at zero (a wallet that cannot go negative:
+    purchases credit, errors debit, shortfalls are forgiven, not owed).
+    Clamping looks inherently sequential -- each step depends on the
+    clamped previous -- but the closed form
+    ``clamped_t = prefix_t - min(0, min_{j<=t} prefix_j)`` turns it into
+    TWO ordinary per-user running aggregates (running sum, then running
+    min of it): the forgiven deficit is exactly the worst prefix low
+    point so far. The plan is two partitioned windows and a hash agg --
+    fully parallel across users -- where the naive formulation needs a
+    per-key sequential fold (`applyInPandasWithState` territory). Flows
+    are integer cents; everything is hash-exact."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "error")
+    )
+    delta = F.floor(F.col("value") * 100 + 0.5).cast("long") * F.when(
+        F.col("event_type") == "purchase", 1
+    ).otherwise(-1)
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    pre = e.select("user_id", "ts", "event_id", delta.alias("delta")).withColumn(
+        "prefix", F.sum("delta").over(w)
+    )
+    runmin = pre.withColumn("minpfx", F.min("prefix").over(w))
+    zero = F.lit(0).cast("long")
+    return runmin.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_flows"),
+        (F.sum("delta") - F.least(zero, F.min("prefix"))).cast("bigint").alias(
+            "final_balance_cents"
+        ),
+        F.max(F.col("prefix") - F.least(zero, F.col("minpfx"))).cast("bigint").alias(
+            "peak_balance_cents"
+        ),
+    )

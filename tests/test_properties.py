@@ -298,3 +298,40 @@ def test_skyline_output_is_exactly_the_nondominated_set(spark):
 
     expect = {k for (k, pr, sz) in parts if not dominated((k, pr, sz))}
     assert got == expect
+
+
+def test_clamped_balance_closed_form_equals_sequential_fold(spark):
+    """The window identity behind `user_clamped_balance`
+    (clamped_t = prefix_t − min(0, running-min prefix)) must agree with
+    the literal sequential fold max(0, b + d) for every user."""
+    from collections import defaultdict
+
+    from harvester_database_and_automation_spark.catalog import load_table
+    from harvester_database_and_automation_spark.plans.registry import QUERIES
+
+    sf = "/root/testdata/sf0.01"
+    flows = (
+        load_table(spark, sf, "events")
+        .filter(F.col("event_type").isin("purchase", "error"))
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            (
+                F.floor(F.col("value") * 100 + 0.5).cast("long")
+                * F.when(F.col("event_type") == "purchase", 1).otherwise(-1)
+            ).alias("d"),
+        )
+        .orderBy("user_id", "ts", "event_id")
+        .collect()
+    )
+    seq = defaultdict(lambda: [0, 0])
+    for r in flows:
+        b, p = seq[r["user_id"]]
+        b = max(0, b + r["d"])
+        seq[r["user_id"]] = [b, max(p, b)]
+    out = QUERIES["user_clamped_balance"].fn(spark, sf).collect()
+    assert len(out) == len(seq)
+    for r in out:
+        b, p = seq[r["user_id"]]
+        assert (r["final_balance_cents"], r["peak_balance_cents"]) == (b, p), r
