@@ -3170,3 +3170,76 @@ def user_clamped_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "peak_balance_cents"
         ),
     )
+
+
+@register(
+    "ab_arm_zscores",
+    survey_ref="A1,A2,stats,math",
+    oracle="""
+WITH arms AS (
+  SELECT DISTINCT user_id, user_id % 2 AS arm FROM events
+),
+sizes AS (
+  SELECT count(*) FILTER (arm = 0) AS n0, count(*) FILTER (arm = 1) AS n1 FROM arms
+),
+per_user AS (
+  SELECT event_type, user_id, count(*) AS n_ev FROM events GROUP BY 1, 2
+),
+conv AS (
+  SELECT p.event_type,
+         count(CASE WHEN a.arm = 0 AND p.n_ev >= 14 THEN 1 END) AS c0,
+         count(CASE WHEN a.arm = 1 AND p.n_ev >= 14 THEN 1 END) AS c1
+  FROM per_user p JOIN arms a USING (user_id)
+  GROUP BY p.event_type
+)
+SELECT event_type,
+       CAST(c0 AS BIGINT) AS conv_a, CAST(c1 AS BIGINT) AS conv_b,
+       round(c0 * 1.0 / n0, 6) AS rate_a,
+       round(c1 * 1.0 / n1, 6) AS rate_b,
+       round((c0 * 1.0 / n0 - c1 * 1.0 / n1)
+             / sqrt(((c0 + c1) * 1.0 / (n0 + n1)) * (1 - (c0 + c1) * 1.0 / (n0 + n1))
+                    * (1.0 / n0 + 1.0 / n1)), 6) AS z
+FROM conv CROSS JOIN sizes
+""",
+)
+def ab_arm_zscores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test per event type between deterministic
+    experiment arms (user_id parity standing in for the assignment the
+    split router produces): conversion = the user performed the event
+    type at least 14 times (a heavy-usage conversion bar that keeps
+    rates off the 0/1 boundary on the synthetic feed). The
+    pooled-variance z statistic is the first gate
+    an experimentation pipeline applies before shipping a treatment.
+
+    Shape: the arm roster is a distinct-reduce of (user, arm); per-type
+    converter counts dedupe map-side on (type, arm, user); arm sizes are
+    a broadcast 1-row frame. The z formula is a fixed arithmetic tree
+    over exact integers — sqrt is IEEE-exact, so both engines emit the
+    identical double before the 6-decimal round."""
+    e = load_table(spark, sf_dir, "events")
+    arms = e.select("user_id", (F.col("user_id") % 2).alias("arm")).distinct()
+    sizes = arms.agg(
+        F.count(F.when(F.col("arm") == 0, 1)).alias("n0"),
+        F.count(F.when(F.col("arm") == 1, 1)).alias("n1"),
+    )
+    per_user = e.groupBy("event_type", "user_id").agg(F.count(F.lit(1)).alias("n_ev"))
+    conv = (
+        per_user.join(arms, "user_id")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.when((F.col("arm") == 0) & (F.col("n_ev") >= 14), 1)).alias("c0"),
+            F.count(F.when((F.col("arm") == 1) & (F.col("n_ev") >= 14), 1)).alias("c1"),
+        )
+    )
+    p0 = F.col("c0") * 1.0 / F.col("n0")
+    p1 = F.col("c1") * 1.0 / F.col("n1")
+    pp = (F.col("c0") + F.col("c1")) * 1.0 / (F.col("n0") + F.col("n1"))
+    z = (p0 - p1) / F.sqrt(pp * (1 - pp) * (1.0 / F.col("n0") + 1.0 / F.col("n1")))
+    return conv.crossJoin(F.broadcast(sizes)).select(
+        "event_type",
+        F.col("c0").cast("bigint").alias("conv_a"),
+        F.col("c1").cast("bigint").alias("conv_b"),
+        F.round(p0, 6).alias("rate_a"),
+        F.round(p1, 6).alias("rate_b"),
+        F.round(z, 6).alias("z"),
+    )
