@@ -61,6 +61,8 @@ def main() -> None:
         "metric": "total warm wall-clock over registered query inventory",
         "value": total,
         "unit": "sec",
+        "n_queries": n,
+        "sec_per_query": round(total / n, 4),
         "queries": slowest_first,
         "sf": sf,
     }
@@ -74,6 +76,7 @@ def main() -> None:
         "unit": "sec",
         "sf": sf,
         "n_queries": n,
+        "sec_per_query": round(total / n, 4),
         "median_sec": round(times[n // 2], 3),
         "p90_sec": round(times[(9 * n) // 10], 3),
         "queries": {},
