@@ -1831,7 +1831,10 @@ def cdc_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     document text never shuffles; at 100 TB this runs as a scan-speed
     pass exactly like the fixed-stride manifest."""
     docs = _fanout(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
-    pos = docs.select(
+    # Guard len >= 8 before the sequence: Spark's sequence(8, stop) runs
+    # DESCENDING when stop < 8 (DuckDB's generate_series is empty), which
+    # would invent boundaries for sub-window documents.
+    pos = docs.filter(F.length("text") >= 8).select(
         "doc_id",
         "text",
         F.length("text").alias("len"),
