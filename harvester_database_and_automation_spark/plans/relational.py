@@ -2990,7 +2990,11 @@ def part_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load_table(spark, sf_dir, "part").select(F.col("p_partkey").alias("part"))
     # Walk ancestor = part, then repeatedly div 10 until < 10 (root).
     cur = p.select("part", F.col("part").alias("ancestor"), F.lit(0).alias("depth"))
-    for _ in range(4):  # 5-digit keys: at most 4 parent hops to a root
+    # Rounds bound the walk at 10^9 keys (9 hops); converged rows are
+    # no-ops, so over-provisioning costs a few cheap map stages, while
+    # under-provisioning (e.g. 4 rounds on 6-digit sf>=1 keys) would
+    # silently leave chains un-rooted.
+    for _ in range(9):
         cur = cur.select(
             "part",
             F.when(F.col("ancestor") >= 10, F.expr("ancestor div 10")).otherwise(
