@@ -209,3 +209,39 @@ def test_export_chunked_csv_and_upload(spark, tmp_path):
         payload = received[("dav://export", m.file_name)]
         assert m.n_bytes == len(payload)
         assert m.sha256 == hashlib.sha256(payload).hexdigest()
+
+
+def test_read_gzip_csv_transparently(spark, tmp_path):
+    """Hadoop's codec layer decompresses .gz CSVs transparently — the
+    compressed-feed path (the reference's xz feed is the only codec that
+    needs the explicit spool in sources/jsonl.py)."""
+    import gzip
+
+    p = tmp_path / "feed.csv.gz"
+    with gzip.open(p, "wt") as fh:
+        fh.write("sample;clade;score\ns1;20A;0.5\ns2;20B;1.5\n")
+    schema = T.StructType(
+        [
+            T.StructField("sample", T.StringType()),
+            T.StructField("clade", T.StringType()),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+    good, corrupt = read_csv(spark, str(p), schema, sep=";")
+    assert {r["sample"] for r in good.collect()} == {"s1", "s2"}
+    assert corrupt.count() == 0
+
+
+def test_orc_roundtrip_with_predicate_pushdown(spark, tmp_path):
+    """ORC sits next to parquet as a first-class columnar sink: write,
+    read back identical, and confirm the filter reaches the ORC scan
+    (searchArgument/pushed filters) so row-group skipping works."""
+    path = str(tmp_path / "t.orc")
+    df = spark.range(1000).selectExpr("id", "id % 7 AS k", "cast(id * 1.5 as double) AS v")
+    df.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    assert back.count() == 1000
+    filtered = back.filter("k = 3")
+    assert filtered.count() == df.filter("k = 3").count()
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "k" in plan.split("PushedFilters:")[1][:80]
