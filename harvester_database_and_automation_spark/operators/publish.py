@@ -29,6 +29,24 @@ def current_version(table_dir: str) -> int | None:
         return int(fh.read().strip())
 
 
+def _on_disk_versions(table_dir: str) -> list[int]:
+    try:
+        return sorted(
+            int(d[1:]) for d in os.listdir(table_dir) if d.startswith("v") and d[1:].isdigit()
+        )
+    except FileNotFoundError:
+        return []
+
+
+def _next_version(table_dir: str) -> int:
+    """One past the max of (marker, any v-directory on disk) — a crashed
+    earlier attempt leaves an orphan v-dir above the marker, and naively
+    reusing marker+1 would collide with it forever (`errorifexists`).
+    Orphans are skipped here and reclaimed by ``vacuum(drop_failed=True)``."""
+    versions = _on_disk_versions(table_dir)
+    return max(current_version(table_dir) or 0, versions[-1] if versions else 0) + 1
+
+
 def publish_versioned(
     df: DataFrame,
     table_dir: str,
@@ -44,7 +62,7 @@ def publish_versioned(
     contract, pangolin_lineage_exporter.py:26 generalized); combine with
     operators.layout.cluster_for_write for index-like clustering."""
     os.makedirs(table_dir, exist_ok=True)
-    version = (current_version(table_dir) or 0) + 1
+    version = _next_version(table_dir)
     writer = df.write.mode("errorifexists")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
@@ -162,7 +180,7 @@ def publish_incremental(
         return publish_versioned(
             df_partial, table_dir, partition_by=partition_by, max_records_per_file=max_records_per_file
         )
-    version = prev + 1
+    version = _next_version(table_dir)
     new_dir = os.path.join(table_dir, f"v{version}")
     writer = df_partial.write.mode("errorifexists").partitionBy(*partition_by)
     if max_records_per_file is not None:
@@ -192,16 +210,21 @@ def read_published(spark: SparkSession, table_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(table_dir, f"v{version}"))
 
 
-def vacuum(table_dir: str, keep: int = 2) -> list[int]:
+def vacuum(table_dir: str, keep: int = 2, drop_failed: bool = False) -> list[int]:
     """Delete all but the newest ``keep`` published versions (never the
-    current one). Returns the versions removed."""
+    current one). With ``drop_failed`` also remove v-directories NEWER
+    than the current marker — the debris of crashed publish attempts
+    (safe under the protocol's single-writer assumption; leave False if
+    another writer may be mid-publish). Returns the versions removed."""
     import shutil
 
     cur = current_version(table_dir)
-    versions = sorted(
-        int(d[1:]) for d in os.listdir(table_dir) if d.startswith("v") and d[1:].isdigit()
-    )
-    to_drop = [v for v in versions[:-keep] if v != cur] if keep else [v for v in versions if v != cur]
+    versions = _on_disk_versions(table_dir)
+    published = [v for v in versions if cur is None or v <= cur]
+    orphans = [v for v in versions if cur is not None and v > cur]
+    to_drop = [v for v in published[:-keep] if v != cur] if keep else [v for v in published if v != cur]
+    if drop_failed:
+        to_drop += orphans
     for v in to_drop:
         shutil.rmtree(os.path.join(table_dir, f"v{v}"))
     return to_drop
@@ -282,8 +305,8 @@ def publish_group(
     with a dead v-directory to vacuum."""
     if not tables:
         raise ValueError("publish_group needs at least one table")
-    prev = current_version(group_dir)
-    version = 1 if prev is None else prev + 1
+    os.makedirs(group_dir, exist_ok=True)
+    version = _next_version(group_dir)
     vdir = os.path.join(group_dir, f"v{version}")
     for name, df in tables.items():
         writer = df.write.mode("errorifexists")

@@ -245,3 +245,34 @@ def test_rollback_requires_a_predecessor(spark, tmp_path):
     publish_group({"t": _rows(spark, [("a", 1)])}, group)
     with pytest.raises(ValueError):
         rollback(group)
+
+
+def test_crashed_publish_attempt_does_not_block_the_next(spark, tmp_path):
+    """A writer that died after creating its v-directory but before the
+    marker swap must not wedge the table: the next publish skips the
+    orphan, readers never see it, and vacuum(drop_failed=True) reclaims it."""
+    from harvester_database_and_automation_spark.operators.publish import (
+        current_version,
+        publish_versioned,
+        read_published,
+        vacuum,
+    )
+
+    table = str(tmp_path / "t")
+    publish_versioned(_rows(spark, [("a", 1)]), table)
+    # Simulate a crashed attempt: v2 exists on disk, marker still at v1.
+    os.makedirs(os.path.join(table, "v2"))
+    with open(os.path.join(table, "v2", "part-junk"), "w") as fh:
+        fh.write("incomplete")
+
+    v = publish_versioned(_rows(spark, [("a", 2)]), table)
+    assert v == 3  # orphan v2 skipped, not collided with
+    assert current_version(table) == 3
+    assert [r["v"] for r in read_published(spark, table).collect()] == [2]
+
+    dropped = vacuum(table, keep=10, drop_failed=False)
+    assert dropped == []  # conservative default keeps the orphan
+    # Roll the marker forward then reclaim debris newer than current.
+    os.makedirs(os.path.join(table, "v9"))
+    assert 9 in vacuum(table, keep=10, drop_failed=True)
+    assert not os.path.exists(os.path.join(table, "v9"))
