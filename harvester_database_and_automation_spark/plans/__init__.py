@@ -67,11 +67,23 @@ def _judge_only_verified() -> set[str]:
     return r1_queries - correct
 
 
+# Queries whose round-1 verdict explicitly asked for a hash-matched driver
+# row (they were rows-only then; both have full oracles now). Seat them at
+# the head until a CORRECTNESS artifact shows them green, then the normal
+# least-verified rotation takes over.
+_PINNED_UNTIL_GREEN = ["k6_geo_rules", "media_decode_stats"]
+
+
 def _rotate_least_verified_first() -> None:
     greens = _green_counts()
     judge_only = _judge_only_verified()
     ordered = sorted(
-        QUERIES, key=lambda n: (greens.get(n, 0), 1 if n in judge_only else 0)
+        QUERIES,
+        key=lambda n: (
+            0 if (n in _PINNED_UNTIL_GREEN and greens.get(n, 0) == 0) else 1,
+            greens.get(n, 0),
+            1 if n in judge_only else 0,
+        ),
     )
     rotated = {n: QUERIES[n] for n in ordered}
     QUERIES.clear()
