@@ -776,3 +776,62 @@ def quality_vs_dup_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("is_dup"), 1)).cast("bigint").alias("n_dup_members"),
         F.round(F.count(F.when(F.col("is_dup"), 1)) * 1.0 / F.count(F.lit(1)), 6).alias("dup_rate"),
     )
+
+
+@register(
+    "neyman_allocation",
+    survey_ref="pipeline-sampling,A1,A8,stats",
+    oracle="""
+WITH strata AS (
+  SELECT lang,
+         count(*) AS n_h,
+         CAST(sum(n_chars) AS BIGINT) AS s1,
+         CAST(sum(n_chars * n_chars) AS BIGINT) AS s2
+  FROM documents GROUP BY lang
+),
+scored AS (
+  SELECT lang, n_h,
+         n_h * sqrt((n_h * s2 - s1 * s1) * 1.0 / (n_h * (n_h - 1))) AS a_h
+  FROM strata WHERE n_h > 1
+),
+tot AS (SELECT sum(a_h) AS a_tot FROM scored)
+SELECT lang,
+       CAST(n_h AS BIGINT) AS n_h,
+       round(a_h / a_tot, 6) AS share,
+       CAST(floor(a_h / a_tot * 1000 + 0.5) AS BIGINT) AS n_alloc
+FROM scored CROSS JOIN tot
+""",
+)
+def neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman (optimal) allocation for stratified sampling: a 1000-doc
+    evaluation sample should draw from each language in proportion to
+    n_h·S_h (stratum size × stratum standard deviation of document
+    length), not n_h alone — high-variance strata need more samples for
+    the same estimator precision. This is the sample-design table that
+    `stratified_sample_per_nation` (equal quotas) and
+    `weighted_quality_sample` (per-item weights) don't provide.
+
+    The variance comes from integer moments ((n·Σx² − (Σx)²)/(n(n−1)))
+    so only the final sqrt/ratio is float (IEEE-identical); strata with
+    one document drop (undefined variance). One hash aggregation plus a
+    broadcast scalar — the design table is strata-sized at any corpus
+    scale."""
+    docs = load_table(spark, sf_dir, "documents").select("lang", "n_chars")
+    strata = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_h"),
+        F.sum("n_chars").cast("long").alias("s1"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).cast("long").alias("s2"),
+    )
+    a_h = F.col("n_h") * F.sqrt(
+        (F.col("n_h") * F.col("s2") - F.col("s1") * F.col("s1"))
+        * 1.0
+        / (F.col("n_h") * (F.col("n_h") - 1))
+    )
+    scored = strata.filter(F.col("n_h") > 1).withColumn("a_h", a_h)
+    tot = scored.agg(F.sum("a_h").alias("a_tot"))
+    return scored.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        F.col("n_h").cast("bigint").alias("n_h"),
+        F.round(F.col("a_h") / F.col("a_tot"), 6).alias("share"),
+        F.floor(F.col("a_h") / F.col("a_tot") * 1000 + 0.5).cast("bigint").alias("n_alloc"),
+    )
