@@ -3247,3 +3247,64 @@ def ab_arm_zscores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(p1, 6).alias("rate_b"),
         F.round(z, 6).alias("z"),
     )
+
+
+@register(
+    "event_value_trend",
+    survey_ref="A1,stats,math",
+    oracle="""
+WITH base AS (SELECT min(CAST(ts AS DATE)) AS d0 FROM events),
+pts AS (
+  SELECT event_type,
+         CAST(CAST(ts AS DATE) - d0 AS BIGINT) AS x,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS y
+  FROM events CROSS JOIN base
+),
+m AS (
+  SELECT event_type,
+         count(*) AS n,
+         CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx
+  FROM pts GROUP BY event_type
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n,
+       round((n * sxy - sx * sy) * 1.0 / (n * sxx - sx * sx), 6) AS slope_cents_per_day,
+       round((sy - (n * sxy - sx * sy) * 1.0 / (n * sxx - sx * sx) * sx) / n, 6)
+         AS intercept_cents
+FROM m
+""",
+)
+def event_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type least-squares trend of event value over time (cents/day
+    slope + intercept) from INTEGER moments: x is rebased to
+    days-since-corpus-start (small ints, no overflow at any scale) and y
+    to cents, so n, Σx, Σy, Σxy, Σxx are exact and the only float ops
+    are the two final divisions — both engines emit identical doubles.
+    `order_price_date_correlation`'s Pearson r answers "is there a
+    relationship"; this answers "how steep". One hash aggregation."""
+    e = load_table(spark, sf_dir, "events")
+    base = e.agg(F.min(F.to_date("ts")).alias("d0"))
+    pts = e.crossJoin(F.broadcast(base)).select(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.col("d0")).cast("long").alias("x"),
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("y"),
+    )
+    m = pts.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) * 1.0 / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return m.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(slope, 6).alias("slope_cents_per_day"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias("intercept_cents"),
+    )
