@@ -2028,3 +2028,47 @@ def part_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(tris.select(F.col("c").alias("part")))
     )
     return nodes.groupBy("part").agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+
+
+@register(
+    "bpe_first_merges",
+    survey_ref="text-analysis,tokenizer-prep,A1,O1",
+    oracle="""
+WITH words AS (
+  SELECT unnest(string_split(text, ' ')) AS w FROM documents
+),
+bigrams AS (
+  SELECT substr(w, u.i, 2) AS pair
+  FROM words, unnest(generate_series(1, length(w) - 1)) AS u(i)
+  WHERE length(w) >= 2
+)
+SELECT pair, CAST(count(*) AS BIGINT) AS n
+FROM bigrams GROUP BY pair
+ORDER BY n DESC, pair
+LIMIT 10
+""",
+)
+def bpe_first_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-training prep: the corpus's most frequent adjacent
+    character pairs inside words — exactly the candidates byte-pair
+    encoding would merge first. `bpe_token_stats` counts tokens under a
+    FIXED tokenizer; this is the first step of TRAINING one, and at a
+    real corpus scale it is the iteration bottleneck BPE trainers
+    distribute (count pairs → merge → recount).
+
+    Plan: per-word position explode (map-side, bounded by corpus bytes),
+    one hash aggregation on the tiny pair space, top-10 via sort+limit —
+    `TakeOrderedAndProject`, no global window."""
+    docs = _fanout(load_table(spark, sf_dir, "documents").select("text"))
+    words = docs.select(F.explode(F.split("text", " ")).alias("w")).filter(
+        F.length("w") >= 2
+    )
+    bigrams = words.select(
+        F.explode(F.sequence(F.lit(1), F.length("w") - 1)).alias("i"), "w"
+    ).select(F.expr("substr(w, i, 2)").alias("pair"))
+    return (
+        bigrams.groupBy("pair")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("pair").asc())
+        .limit(10)
+    )

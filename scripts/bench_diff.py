@@ -1,0 +1,50 @@
+#!/usr/bin/env python
+"""Compare the current BENCH_FULL.json against a previous bench artifact
+and print per-query regressions — the local feedback loop between bench
+refreshes (the driver only records per-round snapshots).
+
+Usage: python scripts/bench_diff.py [old.json] [threshold_ratio=1.5]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+from pathlib import Path
+
+
+def main() -> int:
+    repo = Path(__file__).resolve().parent.parent
+    old_path = Path(sys.argv[1]) if len(sys.argv) > 1 else repo / "BENCH_r01.json"
+    threshold = float(sys.argv[2]) if len(sys.argv) > 2 else 1.5
+    cur = json.loads((repo / "BENCH_FULL.json").read_text())
+
+    try:
+        old = json.loads(old_path.read_text())
+        old_q = old.get("queries") or {}
+    except (OSError, ValueError):
+        print(f"no readable previous bench at {old_path}")
+        return 0
+
+    cur_q = cur["queries"]
+    regressions, improved, added = [], [], []
+    for name, t in sorted(cur_q.items()):
+        if name not in old_q:
+            added.append(name)
+        elif old_q[name] > 0 and t / old_q[name] >= threshold and t - old_q[name] > 0.3:
+            regressions.append((name, old_q[name], t))
+        elif t > 0 and old_q[name] / t >= threshold and old_q[name] - t > 0.3:
+            improved.append((name, old_q[name], t))
+    print(
+        f"{len(cur_q)} queries now ({cur.get('sec_per_query', '?')} s/q) vs "
+        f"{len(old_q)} before; {len(added)} new"
+    )
+    for name, a, b in sorted(regressions, key=lambda r: -(r[2] - r[1])):
+        print(f"[SLOWER] {name}: {a}s -> {b}s")
+    for name, a, b in sorted(improved, key=lambda r: -(r[1] - r[2]))[:10]:
+        print(f"[faster] {name}: {a}s -> {b}s")
+    return 1 if regressions else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
