@@ -317,3 +317,27 @@ def dup_components(spark: SparkSession, sf_dir: str, deps) -> DataFrame:
     return docs.join(labels, docs.doc_id == labels.node, "left").select(
         "doc_id", F.coalesce("component_id", "doc_id").alias("component_id")
     )
+
+
+@LAYER.register("copurchase_edges")
+def copurchase_edges(spark: SparkSession, sf_dir: str, deps) -> DataFrame:
+    """Layer 6 — the weighted part co-purchase edge list (pa < pb, weight
+    = co-occurring orders, pruned at weight >= 2): the graph hub that
+    `part_copurchase_pagerank` and `part_copurchase_triangles` derive
+    inline under the oracle gate. Published, the basket pair expansion
+    (the expensive map-side step) runs once per ingest; rank/triangle
+    jobs read int pairs."""
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("parts")
+    )
+    pair_structs = F.expr(
+        "flatten(transform(parts, (a, i) ->"
+        " transform(slice(parts, i + 2, size(parts)), b -> struct(a, b))))"
+    )
+    return (
+        baskets.select(F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.a").alias("pa"), F.col("p.b").alias("pb"))
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 2)
+    )

@@ -271,3 +271,29 @@ def test_dedup_hub_tables_match_query_plans(spark, tmp_path):
         for r in QUERIES["incremental_dup_components"].fn(spark, sf).collect()
     }
     assert comp_tbl == comp_qry
+
+
+def test_copurchase_edges_table_feeds_graph_queries(spark, tmp_path):
+    """The published edge table must equal the edge frame the graph
+    queries derive inline (same prune), so production jobs can swap the
+    recompute for a read."""
+    from harvester_database_and_automation_spark.operators.publish import read_published
+    from harvester_database_and_automation_spark.pipelines.derived import LAYER
+
+    out = str(tmp_path / "derived")
+    LAYER.rebuild(spark, "/root/testdata/sf0.001", out)
+    edges = read_published(spark, f"{out}/copurchase_edges")
+    assert edges.filter("pa >= pb").count() == 0
+    assert edges.filter("w < 2").count() == 0
+    # Triangle counts from the published table match the inline query.
+    from pyspark.sql import functions as F
+
+    from harvester_database_and_automation_spark.plans.registry import QUERIES
+
+    e1 = edges.select(F.col("pa").alias("a"), F.col("pb").alias("b"))
+    e2 = edges.select(F.col("pa").alias("b"), F.col("pb").alias("c"))
+    e3 = edges.select(F.col("pa").alias("a"), F.col("pb").alias("c"))
+    tris = e1.join(e2, "b").join(e3, ["a", "c"]).count()
+    inline = QUERIES["part_copurchase_triangles"].fn(spark, "/root/testdata/sf0.001")
+    inline_total = inline.agg(F.sum("n_triangles")).collect()[0][0] or 0
+    assert inline_total == 3 * tris  # each triangle counted once per vertex
