@@ -220,8 +220,10 @@ def vacuum(table_dir: str, keep: int = 2, drop_failed: bool = False) -> list[int
 
     cur = current_version(table_dir)
     versions = _on_disk_versions(table_dir)
-    published = [v for v in versions if cur is None or v <= cur]
-    orphans = [v for v in versions if cur is not None and v > cur]
+    # No marker => NOTHING is published: every directory is a potential
+    # in-flight first write and must be protected by the default.
+    published = [] if cur is None else [v for v in versions if v <= cur]
+    orphans = versions if cur is None else [v for v in versions if v > cur]
     to_drop = [v for v in published[:-keep] if v != cur] if keep else [v for v in published if v != cur]
     if drop_failed:
         to_drop += orphans
@@ -332,10 +334,7 @@ def rollback(table_dir: str) -> int:
     cur = current_version(table_dir)
     if cur is None:
         raise FileNotFoundError(f"no published version in {table_dir}")
-    versions = sorted(
-        int(d[1:]) for d in os.listdir(table_dir) if d.startswith("v") and d[1:].isdigit()
-    )
-    older = [v for v in versions if v < cur]
+    older = [v for v in _on_disk_versions(table_dir) if v < cur]
     if not older:
         raise ValueError(f"version {cur} has no predecessor to roll back to")
     _swap_marker(table_dir, older[-1])

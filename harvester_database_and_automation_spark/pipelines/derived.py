@@ -327,17 +327,6 @@ def copurchase_edges(spark: SparkSession, sf_dir: str, deps) -> DataFrame:
     inline under the oracle gate. Published, the basket pair expansion
     (the expensive map-side step) runs once per ingest; rank/triangle
     jobs read int pairs."""
-    li = load_table(spark, sf_dir, "lineitem")
-    baskets = li.groupBy("l_orderkey").agg(
-        F.array_sort(F.collect_set("l_partkey")).alias("parts")
-    )
-    pair_structs = F.expr(
-        "flatten(transform(parts, (a, i) ->"
-        " transform(slice(parts, i + 2, size(parts)), b -> struct(a, b))))"
-    )
-    return (
-        baskets.select(F.explode(pair_structs).alias("p"))
-        .groupBy(F.col("p.a").alias("pa"), F.col("p.b").alias("pb"))
-        .agg(F.count(F.lit(1)).alias("w"))
-        .filter(F.col("w") >= 2)
-    )
+    from harvester_database_and_automation_spark.plans.text import _copurchase_edges
+
+    return _copurchase_edges(spark, sf_dir)

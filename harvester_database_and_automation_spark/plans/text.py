@@ -1862,6 +1862,35 @@ def cdc_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted oriented co-purchase edges (pa < pb, w = co-occurring
+    orders, pruned at w >= 2) — the ONE definition of the graph that
+    PageRank, triangle counting, and the published derived table all
+    consume (session-shared here; `pipelines/derived.py` materializes it).
+    Basket pair expansion is map-side (per-order distinct array, double
+    higher-order transform); the prune kills hot-pair tails before the
+    graph exists."""
+
+    def build() -> DataFrame:
+        li = load_table(spark, sf_dir, "lineitem")
+        baskets = li.groupBy("l_orderkey").agg(
+            F.array_sort(F.collect_set("l_partkey")).alias("parts")
+        )
+        pair_structs = F.expr(
+            "flatten(transform(parts, (a, i) ->"
+            " transform(slice(parts, i + 2, size(parts)), b -> struct(a, b))))"
+        )
+        return (
+            baskets.select(F.explode(pair_structs).alias("p"))
+            .groupBy(F.col("p.a").alias("pa"), F.col("p.b").alias("pb"))
+            .agg(F.count(F.lit(1)).alias("w"))
+            .filter(F.col("w") >= 2)
+        )
+
+    return shared_df(spark, ("copurchase_edges", sf_dir), build)
+
+
 # 3 unrolled fixed-point PageRank iterations for the DuckDB oracle.
 _PR_ITER_SQL = """
 r{n} AS (
@@ -1920,20 +1949,7 @@ def part_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     list are reused across rounds (at 100 TB: localCheckpoint the edge
     frame once, as `operators/components.py` does per contraction
     round). Cost per round ∝ edges, rounds fixed at 3."""
-    li = load_table(spark, sf_dir, "lineitem")
-    baskets = li.groupBy("l_orderkey").agg(
-        F.array_sort(F.collect_set("l_partkey")).alias("parts")
-    )
-    pair_structs = F.expr(
-        "flatten(transform(parts, (a, i) ->"
-        " transform(slice(parts, i + 2, size(parts)), b -> struct(a, b))))"
-    )
-    wedges = (
-        baskets.select(F.explode(pair_structs).alias("p"))
-        .groupBy(F.col("p.a").alias("pa"), F.col("p.b").alias("pb"))
-        .agg(F.count(F.lit(1)).alias("w"))
-        .filter(F.col("w") >= 2)
-    )
+    wedges = _copurchase_edges(spark, sf_dir)
     edges = wedges.select(F.col("pa").alias("src"), F.col("pb").alias("dst")).unionByName(
         wedges.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
     ).localCheckpoint()
@@ -2002,22 +2018,7 @@ def part_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     standard distributed-triangle trick. Two equi-joins on int pairs plus
     one union-explode aggregation; the weight-2 prune bounds the edge
     list before any join."""
-    li = load_table(spark, sf_dir, "lineitem")
-    baskets = li.groupBy("l_orderkey").agg(
-        F.array_sort(F.collect_set("l_partkey")).alias("parts")
-    )
-    pair_structs = F.expr(
-        "flatten(transform(parts, (a, i) ->"
-        " transform(slice(parts, i + 2, size(parts)), b -> struct(a, b))))"
-    )
-    edges = (
-        baskets.select(F.explode(pair_structs).alias("p"))
-        .groupBy(F.col("p.a").alias("pa"), F.col("p.b").alias("pb"))
-        .agg(F.count(F.lit(1)).alias("w"))
-        .filter(F.col("w") >= 2)
-        .select("pa", "pb")
-        .localCheckpoint()
-    )
+    edges = _copurchase_edges(spark, sf_dir).select("pa", "pb").localCheckpoint()
     e1 = edges.select(F.col("pa").alias("a"), F.col("pb").alias("b"))
     e2 = edges.select(F.col("pa").alias("b"), F.col("pb").alias("c"))
     e3 = edges.select(F.col("pa").alias("a"), F.col("pb").alias("c"))

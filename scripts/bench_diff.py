@@ -4,26 +4,42 @@ and print per-query regressions — the local feedback loop between bench
 refreshes (the driver only records per-round snapshots).
 
 Usage: python scripts/bench_diff.py [old.json] [threshold_ratio=1.5]
+
+With no old.json argument the previous snapshot is the committed
+BENCH_FULL.json (``git show HEAD:BENCH_FULL.json``) — the natural
+before/after pair around a bench refresh. (BENCH_r0N.json artifacts hold
+a truncated stdout tail, not a per-query map, and cannot be compared.)
 """
 
 from __future__ import annotations
 
 import json
+import subprocess
 import sys
 from pathlib import Path
 
 
 def main() -> int:
     repo = Path(__file__).resolve().parent.parent
-    old_path = Path(sys.argv[1]) if len(sys.argv) > 1 else repo / "BENCH_r01.json"
     threshold = float(sys.argv[2]) if len(sys.argv) > 2 else 1.5
     cur = json.loads((repo / "BENCH_FULL.json").read_text())
 
     try:
-        old = json.loads(old_path.read_text())
+        if len(sys.argv) > 1:
+            old = json.loads(Path(sys.argv[1]).read_text())
+        else:
+            old = json.loads(
+                subprocess.run(
+                    ["git", "show", "HEAD:BENCH_FULL.json"],
+                    cwd=repo, capture_output=True, text=True, check=True,
+                ).stdout
+            )
         old_q = old.get("queries") or {}
-    except (OSError, ValueError):
-        print(f"no readable previous bench at {old_path}")
+    except (OSError, ValueError, subprocess.CalledProcessError):
+        print("no readable previous bench snapshot")
+        return 0
+    if not old_q:
+        print("previous snapshot has no per-query map; nothing to compare")
         return 0
 
     cur_q = cur["queries"]

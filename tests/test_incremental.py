@@ -276,3 +276,16 @@ def test_crashed_publish_attempt_does_not_block_the_next(spark, tmp_path):
     os.makedirs(os.path.join(table, "v9"))
     assert 9 in vacuum(table, keep=10, drop_failed=True)
     assert not os.path.exists(os.path.join(table, "v9"))
+
+
+def test_vacuum_protects_unmarked_tables(spark, tmp_path):
+    """With no _CURRENT marker nothing is published — every v-directory
+    may be an in-flight first write, so the conservative default must not
+    touch it; drop_failed opts into reclaiming."""
+    from harvester_database_and_automation_spark.operators.publish import vacuum
+
+    table = str(tmp_path / "t")
+    os.makedirs(os.path.join(table, "v1"))
+    assert vacuum(table, keep=0) == []
+    assert os.path.exists(os.path.join(table, "v1"))
+    assert vacuum(table, keep=0, drop_failed=True) == [1]
