@@ -131,11 +131,13 @@ def bloom_semi_join(
     surviving candidates — true hits plus the small fp fraction — enter
     the real semi-join. Same rows as ``probe.join(keys, ..., 'left_semi')``,
     a fraction of the shuffle."""
-    bloom = build_bloom(keys, key_col, m_bits, k)
+    if "_bloom_bits" in probe.columns:
+        raise ValueError("probe frame already has a _bloom_bits column; rename it")
+    bloom = build_bloom(keys, key_col, m_bits, k).select(F.col("bits").alias("_bloom_bits"))
     thinned = (
         probe.crossJoin(F.broadcast(bloom))
-        .filter(bloom_might_contain(F.col("bits"), probe_col, m_bits, k))
-        .drop("bits")
+        .filter(bloom_might_contain(F.col("_bloom_bits"), probe_col, m_bits, k))
+        .drop("_bloom_bits")
     )
     # left_semi ignores duplicate build-side keys by itself — a distinct
     # here would re-shuffle the whole key set for nothing.

@@ -91,12 +91,20 @@ def fuzzy_join(
     overlap = set(left.columns) & set(right.columns)
     if overlap:
         raise ValueError(f"rename overlapping columns first: {sorted(overlap)}")
-    l = left.withColumn("_fz_key", F.explode(_deletion_neighborhood(left_col, max_dist)))
-    r = right.withColumn("_fz_key", F.explode(_deletion_neighborhood(right_col, max_dist)))
+    l = left.withColumn("_fz_lid", F.monotonically_increasing_id()).withColumn(
+        "_fz_key", F.explode(_deletion_neighborhood(left_col, max_dist))
+    )
+    r = right.withColumn("_fz_rid", F.monotonically_increasing_id()).withColumn(
+        "_fz_key", F.explode(_deletion_neighborhood(right_col, max_dist))
+    )
     return (
         l.join(r, "_fz_key")
         .drop("_fz_key")
-        .distinct()  # a pair can collide on several keys; emit once
+        # a ROW pair can collide on several keys; emit once per pair of
+        # input rows (value-level distinct would collapse duplicate rows
+        # and diverge from the naive join)
+        .dropDuplicates(["_fz_lid", "_fz_rid"])
+        .drop("_fz_lid", "_fz_rid")
         .withColumn("dist", F.levenshtein(left_col, right_col).cast("int"))
         .filter(F.col("dist") <= max_dist)
     )

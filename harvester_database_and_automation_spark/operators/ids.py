@@ -17,6 +17,7 @@ order (include a unique tie-break column).
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import types as T
 
@@ -32,8 +33,11 @@ def assign_global_ids(
     sorted_df = df.repartitionByRange(*order_cols).sortWithinPartitions(*order_cols)
     # Pin the partitioned data before the two passes: without this, a
     # nondeterministic upstream expression could re-evaluate between the
-    # count pass and the id pass and silently duplicate ids.
-    rdd = sorted_df.rdd.persist()
+    # count pass and the id pass and silently duplicate ids. MEMORY_AND_DISK,
+    # not the MEMORY_ONLY default — an evicted partition would be recomputed
+    # (possibly with different content), which the partition-count guard
+    # below cannot detect.
+    rdd = sorted_df.rdd.persist(StorageLevel.MEMORY_AND_DISK)
     counts = rdd.mapPartitions(lambda it: [sum(1 for _ in it)]).collect()
     offsets: list[int] = [start]
     for c in counts[:-1]:
@@ -70,9 +74,16 @@ def add_running_total(
     places its boundaries, so results are deterministic for any
     deterministic total order (include a unique tie-break column)."""
     sorted_df = df.repartitionByRange(*order_cols).sortWithinPartitions(*order_cols)
-    rdd = sorted_df.rdd.persist()
-    sums = rdd.mapPartitions(lambda it: [sum(r[value_col] for r in it)]).collect()
-    offsets: list[int] = [0]
+    rdd = sorted_df.rdd.persist(StorageLevel.MEMORY_AND_DISK)
+    # NULL values contribute 0 (SQL sum semantics); the output type follows
+    # the value column (long stays long, fractional widens to double).
+    sums = rdd.mapPartitions(
+        lambda it: [sum(r[value_col] for r in it if r[value_col] is not None)]
+    ).collect()
+    fractional = isinstance(
+        df.schema[value_col].dataType, (T.DoubleType, T.FloatType, T.DecimalType)
+    )
+    offsets: list = [0.0 if fractional else 0]
     for s in sums[:-1]:
         offsets.append(offsets[-1] + s)
 
@@ -85,7 +96,12 @@ def add_running_total(
         run = offsets[idx]
         for row in it:
             yield (*row, run)
-            run += row[value_col]
+            if row[value_col] is not None:
+                run += row[value_col]
 
-    schema = T.StructType(sorted_df.schema.fields + [T.StructField(out_col, T.LongType(), False)])
+    value_type = sorted_df.schema[value_col].dataType
+    out_type = value_type if isinstance(value_type, (T.DoubleType, T.FloatType, T.DecimalType)) else T.LongType()
+    if isinstance(out_type, T.FloatType):
+        out_type = T.DoubleType()
+    schema = T.StructType(sorted_df.schema.fields + [T.StructField(out_col, out_type, False)])
     return sorted_df.sparkSession.createDataFrame(rdd.mapPartitionsWithIndex(add_running), schema)

@@ -83,17 +83,23 @@ def publish_versioned(
 
 
 def published_metadata(table_dir: str) -> dict:
-    """The metadata dict published with the CURRENT version ({} if none)."""
+    """The metadata dict published with the CURRENT version; {} when the
+    version was published WITHOUT metadata. A present-but-unreadable
+    _meta.json raises: consumers (the sketch sink's checkpoint and
+    batch-id guards) rely on metadata to prevent double-merges, and
+    treating corruption as absence would silently disable exactly those
+    guards."""
     version = current_version(table_dir)
     if version is None:
         return {}
-    try:
-        with open(
-            os.path.join(table_dir, f"v{version}", "_meta.json"), encoding="utf-8"
-        ) as fh:
-            return json.load(fh)
-    except (OSError, ValueError):
+    path = os.path.join(table_dir, f"v{version}", "_meta.json")
+    if not os.path.exists(path):
         return {}
+    with open(path, encoding="utf-8") as fh:
+        try:
+            return json.load(fh)
+        except ValueError as exc:
+            raise ValueError(f"corrupt metadata at {path}: {exc}") from exc
 
 
 def _swap_marker(table_dir: str, version: int) -> None:
@@ -283,7 +289,25 @@ def compact_small_files(
         .parquet(*(os.path.join(cur_dir, leaf) for leaf in to_compact))
         .repartition(*partition_by)
     )
-    version = publish_incremental(df, table_dir, partition_by)
+    # Honor target_bytes on the write side: repartition(partition_by)
+    # funnels each partition key into ONE task, so without a record cap a
+    # big leaf would compact into a single target-busting file. Estimate
+    # records-per-target from the leaves' own bytes/row ratio.
+    total_bytes = 0
+    for leaf in to_compact:
+        leaf_dir = os.path.join(cur_dir, leaf)
+        total_bytes += sum(
+            os.path.getsize(os.path.join(leaf_dir, f))
+            for f in os.listdir(leaf_dir)
+            if not f.startswith(("_", ".")) and os.path.isfile(os.path.join(leaf_dir, f))
+        )
+    total_rows = df.count()
+    max_records = None
+    if total_rows and total_bytes:
+        max_records = max(1, int(target_bytes * total_rows / total_bytes))
+    version = publish_incremental(
+        df, table_dir, partition_by, max_records_per_file=max_records
+    )
     return version, to_compact
 
 

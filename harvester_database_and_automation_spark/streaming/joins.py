@@ -42,4 +42,14 @@ def interval_join(
         & (F.col(right_ts) <= F.col(left_ts))
         & (F.col(right_ts) >= F.col(left_ts) - F.expr(f"INTERVAL {max_lag}"))
     )
-    return l.join(r, cond, how).drop(r[on])
+    joined = l.join(r, cond, how)
+    # Surviving join key: an unmatched outer row has NULLs on the other
+    # side, so keeping only one side's key would emit key=NULL for every
+    # watermark-expired right row (or left row, for left_outer) — coalesce
+    # both sides into the single output key instead.
+    cols = (
+        [F.coalesce(l[on], r[on]).alias(on)]
+        + [l[c] for c in l.columns if c != on]
+        + [r[c] for c in r.columns if c != on]
+    )
+    return joined.select(*cols)

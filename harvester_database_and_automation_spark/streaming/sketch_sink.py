@@ -65,6 +65,17 @@ def stream_cms_into_published(
             f"feeding it from {checkpoint_dir!r} would restart batch ids and "
             "corrupt idempotence — reuse the original checkpoint or reset the table"
         )
+    # Grid geometry (and the sketched column) must also match: cells are
+    # position-addressed, so summing a width-2048 delta into a width-1024
+    # grid silently destroys the no-undercount guarantee.
+    if prior_meta:
+        for key, val in (("width", width), ("depth", depth), ("col", col)):
+            stored = prior_meta.get(key)
+            if stored is not None and stored != val:
+                raise ValueError(
+                    f"{table_dir} holds a {key}={stored!r} sketch; merging "
+                    f"{key}={val!r} deltas would corrupt the counts"
+                )
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         meta = published_metadata(table_dir)
@@ -81,7 +92,15 @@ def stream_cms_into_published(
         else:
             merged = delta
         publish_versioned(
-            merged, table_dir, metadata={"batch_id": batch_id, "checkpoint": checkpoint_dir}
+            merged,
+            table_dir,
+            metadata={
+                "batch_id": batch_id,
+                "checkpoint": checkpoint_dir,
+                "width": width,
+                "depth": depth,
+                "col": col,
+            },
         )
 
     (

@@ -18,20 +18,25 @@ def windowed_event_counts(
     key_col: str = "event_type",
     window: str = "1 hour",
     watermark: str = "2 hours",
+    value_col: str | None = "value",
 ) -> DataFrame:
-    """Counts and value sums per (event-time window, key), tolerating late
-    arrivals up to ``watermark``. Works on both a streaming and a batch
-    DataFrame (batch ignores the watermark) — handy for oracle testing."""
+    """Counts (and, when ``value_col`` names a column, value sums) per
+    (event-time window, key), tolerating late arrivals up to
+    ``watermark``. Works on both a streaming and a batch DataFrame (batch
+    ignores the watermark) — handy for oracle testing."""
     df = events.withWatermark(ts_col, watermark) if events.isStreaming else events
+    aggs = [F.count(F.lit(1)).alias("n_events")]
+    if value_col is not None:
+        aggs.append(F.sum(value_col).alias("total_value"))
     return (
         df.groupBy(F.window(F.col(ts_col), window).alias("win"), F.col(key_col))
-        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
+        .agg(*aggs)
         .select(
             F.col("win.start").alias("window_start"),
             F.col("win.end").alias("window_end"),
             key_col,
             "n_events",
-            "total_value",
+            *(["total_value"] if value_col is not None else []),
         )
     )
 
@@ -42,6 +47,7 @@ def session_windowed_counts(
     key_col: str = "user_id",
     gap: str = "30 minutes",
     watermark: str = "2 hours",
+    value_col: str | None = "value",
 ) -> DataFrame:
     """Gap-based session windows per key (``F.session_window``): a session
     closes after ``gap`` of inactivity, and the watermark lets the engine
@@ -49,14 +55,17 @@ def session_windowed_counts(
     ``event_sessionization`` query (lag + cumulative-sum). Works on both a
     streaming and a batch DataFrame."""
     df = events.withWatermark(ts_col, watermark) if events.isStreaming else events
+    aggs = [F.count(F.lit(1)).alias("n_events")]
+    if value_col is not None:
+        aggs.append(F.sum(value_col).alias("total_value"))
     return (
         df.groupBy(F.session_window(F.col(ts_col), gap).alias("win"), F.col(key_col))
-        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
+        .agg(*aggs)
         .select(
             F.col("win.start").alias("session_start"),
             F.col("win.end").alias("session_end"),
             key_col,
             "n_events",
-            "total_value",
+            *(["total_value"] if value_col is not None else []),
         )
     )

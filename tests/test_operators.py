@@ -778,3 +778,64 @@ def test_add_running_total_matches_window(spark):
     total = df.agg(F.sum("w")).collect()[0][0]
     last = got.orderBy(F.col("k").desc()).limit(1).collect()[0]
     assert last["start"] + last["w"] == total
+
+
+def test_cascade_month_folds_from_day_not_week(spark):
+    """A week spanning a month boundary must not drag its cross-month days
+    into the wrong month: month folds from day even with week in between."""
+    import datetime as dt
+
+    from harvester_database_and_automation_spark.operators.rollup_cascade import (
+        cascade_rollup,
+    )
+
+    rows = [
+        # ISO week Mon 2026-06-29 .. Sun 2026-07-05 crosses the boundary.
+        (dt.datetime(2026, 6, 29, 10), "k", 1.0),
+        (dt.datetime(2026, 6, 30, 10), "k", 2.0),
+        (dt.datetime(2026, 7, 1, 10), "k", 4.0),
+        (dt.datetime(2026, 7, 4, 10), "k", 8.0),
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp_ntz, key string, value double")
+    out = cascade_rollup(df, "ts", ["key"], "value", ["day", "week", "month"])
+    months = {r["bucket"].month: r["value_sum"] for r in out["month"].collect()}
+    assert months == {6: 3.0, 7: 12.0}
+    # the week level itself still aggregates the full cross-month week
+    weeks = out["week"].collect()
+    assert len(weeks) == 1 and weeks[0]["value_sum"] == 15.0
+    # week-then-month without a nesting finer level is rejected
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        cascade_rollup(df, "ts", ["key"], "value", ["week", "month"])
+
+
+def test_running_total_handles_floats_and_nulls(spark):
+    from harvester_database_and_automation_spark.operators.ids import add_running_total
+
+    df = spark.createDataFrame(
+        [(1, 0.5), (2, None), (3, 1.25), (4, 2.0)], "ord int, weight double"
+    )
+    out = add_running_total(df, ["ord"], "weight", "before").orderBy("ord").collect()
+    assert [r["before"] for r in out] == [0.0, 0.5, 0.5, 1.75]
+
+
+def test_fuzzy_join_preserves_duplicate_input_rows(spark):
+    """Two identical left rows must each match — equivalence with the
+    naive levenshtein join, which a value-level distinct would break."""
+    from harvester_database_and_automation_spark.operators.fuzzy import fuzzy_join
+
+    left = spark.createDataFrame([("abc",), ("abc",)], "lname string")
+    right = spark.createDataFrame([("abd",)], "rname string")
+    out = fuzzy_join(left, right, "lname", "rname", max_dist=1)
+    assert out.count() == 2
+
+
+def test_bloom_semi_join_tolerates_probe_bits_column(spark):
+    from harvester_database_and_automation_spark.operators.bloom import bloom_semi_join
+
+    probe = spark.createDataFrame([(1, "x"), (2, "y")], "bits int, k string")
+    keys = spark.createDataFrame([("x",)], "key string")
+    out = bloom_semi_join(probe, keys, "k", "key")
+    rows = out.collect()
+    assert [(r["bits"], r["k"]) for r in rows] == [(1, "x")]

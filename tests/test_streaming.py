@@ -521,3 +521,53 @@ def test_streaming_cms_rejects_foreign_checkpoint(spark, tmp_path):
     stream_cms_into_published(spark, str(src), schema, str(tmp_path / "ck1"), table, "word")
     with pytest.raises(ValueError, match="checkpoint"):
         stream_cms_into_published(spark, str(src), schema, str(tmp_path / "ck2"), table, "word")
+
+
+def test_interval_join_right_outer_keeps_unmatched_key(spark):
+    """An unmatched right row must come back with ITS key, not NULL
+    (batch replay of the streaming plan; watermarks are no-ops)."""
+    import datetime as dt
+
+    from harvester_database_and_automation_spark.streaming.joins import interval_join
+
+    l = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1, 10), "seq1")], "id bigint, lts timestamp_ntz, seq string"
+    )
+    r = spark.createDataFrame(
+        [
+            (1, dt.datetime(2024, 1, 1, 9, 30), "meta1"),
+            (2, dt.datetime(2024, 1, 1, 9, 45), "meta2"),
+        ],
+        "id bigint, rts timestamp_ntz, meta string",
+    )
+    out = interval_join(l, r, on="id", left_ts="lts", right_ts="rts", how="right_outer")
+    rows = {r_["meta"]: r_["id"] for r_ in out.collect()}
+    assert rows == {"meta1": 1, "meta2": 2}, rows
+
+
+def test_streaming_cms_rejects_geometry_change(spark, tmp_path):
+    """Merging deltas of a different grid geometry into a published sketch
+    must be refused — cell positions are width/depth-addressed."""
+    import pytest as _pytest
+
+    from pyspark.sql import types as T
+
+    from harvester_database_and_automation_spark.streaming.sketch_sink import (
+        stream_cms_into_published,
+    )
+
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "a.csv").write_text("w\nfoo\nbar\n")
+    schema = T.StructType([T.StructField("w", T.StringType())])
+    ckpt = str(tmp_path / "ckpt")
+    table = str(tmp_path / "grid")
+    stream_cms_into_published(
+        spark, str(src), schema, ckpt, table, col="w", width=64, depth=2,
+        reader_options={"header": "true"},
+    )
+    with _pytest.raises(ValueError, match="width"):
+        stream_cms_into_published(
+            spark, str(src), schema, ckpt, table, col="w", width=128, depth=2,
+            reader_options={"header": "true"},
+        )
