@@ -91,6 +91,10 @@ def fuzzy_join(
     overlap = set(left.columns) & set(right.columns)
     if overlap:
         raise ValueError(f"rename overlapping columns first: {sorted(overlap)}")
+    reserved = {"_fz_key", "_fz_lid", "_fz_rid"}
+    taken = reserved & (set(left.columns) | set(right.columns))
+    if taken:
+        raise ValueError(f"rename columns clashing with fuzzy_join internals: {sorted(taken)}")
     l = left.withColumn("_fz_lid", F.monotonically_increasing_id()).withColumn(
         "_fz_key", F.explode(_deletion_neighborhood(left_col, max_dist))
     )

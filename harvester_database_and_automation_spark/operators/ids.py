@@ -33,7 +33,9 @@ def assign_global_ids(
     sorted_df = df.repartitionByRange(*order_cols).sortWithinPartitions(*order_cols)
     # Pin the partitioned data before the two passes: without this, a
     # nondeterministic upstream expression could re-evaluate between the
-    # count pass and the id pass and silently duplicate ids. MEMORY_AND_DISK,
+    # count pass and the id pass and silently duplicate ids. (The pinned
+    # blocks are reclaimed by Spark's ContextCleaner once the returned
+    # frame is no longer referenced.) MEMORY_AND_DISK,
     # not the MEMORY_ONLY default — an evicted partition would be recomputed
     # (possibly with different content), which the partition-count guard
     # below cannot detect.
@@ -80,10 +82,19 @@ def add_running_total(
     sums = rdd.mapPartitions(
         lambda it: [sum(r[value_col] for r in it if r[value_col] is not None)]
     ).collect()
-    fractional = isinstance(
-        df.schema[value_col].dataType, (T.DoubleType, T.FloatType, T.DecimalType)
-    )
-    offsets: list = [0.0 if fractional else 0]
+    # Seed the prefix with the value type's own zero: float for
+    # double/float columns, Decimal for decimal columns (float + Decimal
+    # raises TypeError), int otherwise.
+    vtype = df.schema[value_col].dataType
+    if isinstance(vtype, (T.DoubleType, T.FloatType)):
+        zero = 0.0
+    elif isinstance(vtype, T.DecimalType):
+        from decimal import Decimal
+
+        zero = Decimal(0)
+    else:
+        zero = 0
+    offsets: list = [zero]
     for s in sums[:-1]:
         offsets.append(offsets[-1] + s)
 
@@ -99,9 +110,13 @@ def add_running_total(
             if row[value_col] is not None:
                 run += row[value_col]
 
-    value_type = sorted_df.schema[value_col].dataType
-    out_type = value_type if isinstance(value_type, (T.DoubleType, T.FloatType, T.DecimalType)) else T.LongType()
-    if isinstance(out_type, T.FloatType):
-        out_type = T.DoubleType()
+    # Output type follows the value column: double/float -> double,
+    # decimal -> a wider decimal (sums need headroom), integral -> long.
+    if isinstance(vtype, (T.DoubleType, T.FloatType)):
+        out_type: T.DataType = T.DoubleType()
+    elif isinstance(vtype, T.DecimalType):
+        out_type = T.DecimalType(min(38, vtype.precision + 10), vtype.scale)
+    else:
+        out_type = T.LongType()
     schema = T.StructType(sorted_df.schema.fields + [T.StructField(out_col, out_type, False)])
     return sorted_df.sparkSession.createDataFrame(rdd.mapPartitionsWithIndex(add_running), schema)

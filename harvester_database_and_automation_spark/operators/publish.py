@@ -93,13 +93,15 @@ def published_metadata(table_dir: str) -> dict:
     if version is None:
         return {}
     path = os.path.join(table_dir, f"v{version}", "_meta.json")
-    if not os.path.exists(path):
-        return {}
-    with open(path, encoding="utf-8") as fh:
-        try:
+    try:
+        with open(path, encoding="utf-8") as fh:
             return json.load(fh)
-        except ValueError as exc:
-            raise ValueError(f"corrupt metadata at {path}: {exc}") from exc
+    except FileNotFoundError:
+        # no metadata published (or the version was vacuumed between the
+        # marker read and here) — absence, not corruption
+        return {}
+    except (OSError, ValueError) as exc:
+        raise ValueError(f"unreadable metadata at {path}: {exc}") from exc
 
 
 def _swap_marker(table_dir: str, version: int) -> None:
@@ -270,6 +272,7 @@ def compact_small_files(
     cur_dir = os.path.join(table_dir, f"v{cur}")
 
     to_compact: list[str] = []
+    leaf_bytes: dict[str, int] = {}
     for leaf in _leaf_partition_dirs(cur_dir, len(partition_by)):
         leaf_dir = os.path.join(cur_dir, leaf)
         sizes = [
@@ -277,6 +280,7 @@ def compact_small_files(
             for f in os.listdir(leaf_dir)
             if not f.startswith(("_", ".")) and os.path.isfile(os.path.join(leaf_dir, f))
         ]
+        leaf_bytes[leaf] = sum(sizes)
         needed = max(1, math.ceil(sum(sizes) / target_bytes))
         if len(sizes) >= min_files and len(sizes) > needed:
             to_compact.append(leaf)
@@ -292,15 +296,10 @@ def compact_small_files(
     # Honor target_bytes on the write side: repartition(partition_by)
     # funnels each partition key into ONE task, so without a record cap a
     # big leaf would compact into a single target-busting file. Estimate
-    # records-per-target from the leaves' own bytes/row ratio.
-    total_bytes = 0
-    for leaf in to_compact:
-        leaf_dir = os.path.join(cur_dir, leaf)
-        total_bytes += sum(
-            os.path.getsize(os.path.join(leaf_dir, f))
-            for f in os.listdir(leaf_dir)
-            if not f.startswith(("_", ".")) and os.path.isfile(os.path.join(leaf_dir, f))
-        )
+    # records-per-target from the leaves' own bytes/row ratio (sizes were
+    # collected by the selection pass; count() reads parquet footers, not
+    # data pages).
+    total_bytes = sum(leaf_bytes[leaf] for leaf in to_compact)
     total_rows = df.count()
     max_records = None
     if total_rows and total_bytes:

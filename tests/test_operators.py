@@ -839,3 +839,26 @@ def test_bloom_semi_join_tolerates_probe_bits_column(spark):
     out = bloom_semi_join(probe, keys, "k", "key")
     rows = out.collect()
     assert [(r["bits"], r["k"]) for r in rows] == [(1, "x")]
+
+
+def test_running_total_decimal_column(spark):
+    from decimal import Decimal
+
+    from harvester_database_and_automation_spark.operators.ids import add_running_total
+
+    df = spark.createDataFrame(
+        [(1, Decimal("1.10")), (2, Decimal("2.20")), (3, None)], "ord int, amt decimal(10,2)"
+    )
+    out = add_running_total(df, ["ord"], "amt", "before").orderBy("ord").collect()
+    assert [r["before"] for r in out] == [Decimal("0.00"), Decimal("1.10"), Decimal("3.30")]
+
+
+def test_fuzzy_join_rejects_reserved_columns(spark):
+    import pytest as _pytest
+
+    from harvester_database_and_automation_spark.operators.fuzzy import fuzzy_join
+
+    left = spark.createDataFrame([("abc", 1)], "lname string, _fz_rid int")
+    right = spark.createDataFrame([("abd",)], "rname string")
+    with _pytest.raises(ValueError, match="_fz_rid"):
+        fuzzy_join(left, right, "lname", "rname")
