@@ -83,6 +83,13 @@ class DerivedLayer:
 
         Tables absent from ``predicates`` are untouched; listed tables must
         have been registered with ``partition_by`` and published before.
+
+        The predicate SELECTS DIRTY PARTITIONS, it does not filter rows:
+        the rebuilt partitions always contain every row the full build
+        would put there (the predicate's matching rows pick the partition
+        keys, then the unfiltered build is semi-joined to those keys), so
+        a row-level churn predicate can never silently drop the
+        non-matching rows of a touched partition.
         """
         versions: dict[str, int] = {}
         for name, spec in self.tables.items():
@@ -91,7 +98,10 @@ class DerivedLayer:
             if not spec.partition_by:
                 raise ValueError(f"{name!r} has no partition_by; register one to rebuild incrementally")
             deps = {d: read_published(spark, os.path.join(out_root, d)) for d in spec.depends_on}
-            df = spec.build(spark, sf_dir, deps).filter(predicates[name])
+            full = spec.build(spark, sf_dir, deps)
+            pcols = list(spec.partition_by)
+            dirty_keys = full.filter(predicates[name]).select(*pcols).distinct()
+            df = full.join(dirty_keys, pcols, "left_semi")
             # Every previous-version partition the predicate matches is up
             # for replacement: the ones the new build still produces get
             # written fresh, and the ones whose keys vanished from the
@@ -154,10 +164,11 @@ def lang_term_intensity(spark: SparkSession, sf_dir: str, deps) -> DataFrame:
     """Layer 3 — rollup counts per (lang, term) with totals row (the
     date-spine × country intensity rollup analog)."""
     terms = deps["doc_term_projection"]
-    return (
-        terms.rollup("lang", "term")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("lang").isNotNull() | F.col("term").isNull())  # drop (null, term) holes
+    # grouping_id (0=detail, 1=lang subtotal, 3=grand total) distinguishes
+    # subtotal markers from genuinely-null group values — a null-lang data
+    # row must neither be dropped nor collide with the grand-total row.
+    return terms.rollup("lang", "term").agg(
+        F.count(F.lit(1)).alias("n"), F.grouping_id().cast("int").alias("gid")
     )
 
 
@@ -220,7 +231,9 @@ def daily_event_intensity(spark: SparkSession, sf_dir: str, deps) -> DataFrame:
         .join(daily, ["day", "event_type"], "left")
         .select("day", "event_type", F.coalesce("n", F.lit(0)).alias("n"))
     )
-    return filled.rollup("day", "event_type").agg(F.sum("n").alias("n_events"))
+    return filled.rollup("day", "event_type").agg(
+        F.sum("n").alias("n_events"), F.grouping_id().cast("int").alias("gid")
+    )
 
 
 @LAYER.register("lineage_mutation_counts", partition_by=("lang",))

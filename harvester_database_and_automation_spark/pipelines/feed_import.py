@@ -111,7 +111,10 @@ def run_feed_import(
         CHANGE_COL
     )
     if annotate is not None:
-        to_process = annotate(to_process)
+        # Cache the annotated frame: the count below would otherwise run
+        # the expensive annotation once, and the merge/publish a second
+        # time — doubling exactly the stage this route exists to minimize.
+        to_process = annotate(to_process).cache()
     n_annotated = to_process.count()
 
     # Metadata-only changes take metadata from the feed but KEEP the stored
@@ -131,6 +134,9 @@ def run_feed_import(
     final = apply_deletes(merged, deletes, keys)
     version = publish_versioned(final, table_dir)
     classified.unpersist()
+    if annotate is not None:
+        to_process.unpersist()
+    good.unpersist()  # releases the shared read_jsonl parse cache
 
     return FeedImportReport(
         version=version,

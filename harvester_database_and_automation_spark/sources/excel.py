@@ -61,8 +61,14 @@ def _iter_rows(zf: zipfile.ZipFile, sheet: int, shared: list[str]):
             if el.tag != f"{_NS}row":
                 continue
             row: dict[int, object] = {}
+            next_idx = 0  # implied position when a cell omits its r= ref
             for cell in el.iter(f"{_NS}c"):
                 ref = cell.get("r", "")
+                # The OOXML r attribute is optional; position is implied by
+                # document order when absent. Without this, every ref-less
+                # cell would land on index -1 and overwrite its siblings.
+                idx = _col_index(ref) if ref else next_idx
+                next_idx = idx + 1
                 ctype = cell.get("t", "n")
                 if ctype == "inlineStr":
                     value = "".join(t.text or "" for t in cell.iter(f"{_NS}t"))
@@ -78,7 +84,7 @@ def _iter_rows(zf: zipfile.ZipFile, sheet: int, shared: list[str]):
                         value = v.text
                     else:  # numeric
                         value = float(v.text)
-                row[_col_index(ref)] = value
+                row[idx] = value
             el.clear()
             yield row
 
@@ -128,6 +134,9 @@ def read_xlsx(
 ) -> DataFrame:
     """Read one worksheet into a typed DataFrame.
 
+    Unsupported schema dtypes raise immediately (a silent reject-to-null
+    of a whole column would be indistinguishable from missing data).
+
     With ``header=True`` the first row maps workbook columns to schema
     fields by NAME (extra workbook columns are dropped, schema fields
     missing from the workbook are null) — the reference selects its
@@ -136,6 +145,13 @@ def read_xlsx(
     import_bag_meldeformular.R:144).
     """
     fields = schema.fields
+    supported = (
+        T.StringType, T.IntegerType, T.LongType, T.DoubleType, T.FloatType,
+        T.BooleanType, T.DateType, T.TimestampNTZType, T.TimestampType,
+    )
+    bad = [f"{f.name}: {f.dataType}" for f in fields if not isinstance(f.dataType, supported)]
+    if bad:
+        raise ValueError(f"unsupported xlsx schema dtypes (would silently null): {bad}")
     chunks: list[DataFrame] = []
     buf: list[tuple] = []
 

@@ -25,7 +25,12 @@ def read_fasta(spark: SparkSession, path: str) -> DataFrame:
     the reference's reader.
     """
     raw = spark.read.option("lineSep", ">").text(path)
-    rec = raw.select(F.col("value").alias("rec")).filter(F.trim("rec") != "")
+    # Normalize CRLF before any header parsing: trim() strips spaces only,
+    # so a Windows-format file would otherwise leave '\r' glued onto
+    # name/description (invisible when printed, fatal in joins).
+    rec = raw.select(F.regexp_replace(F.col("value"), "\r", "").alias("rec")).filter(
+        F.trim("rec") != ""
+    )
     header = F.substring_index("rec", "\n", 1)
     body = F.expr("substr(rec, length(substring_index(rec, '\\n', 1)) + 2)")
     return rec.select(

@@ -138,21 +138,28 @@ def fetch_if_changed(
     *,
     state_key: str | None = None,
     transport: Transport = urllib_transport,
+    commit: bool = True,
     **kwargs,
 ) -> tuple[FetchResult, bool]:
     """Fetch, then report whether the content changed since the last run.
 
     Returns ``(result, changed)``. The caller re-imports only when
     ``changed`` — the content-hash variant of the reference's file-count
-    state gate (import_bag_meldeformular.R:106-113). The hash is recorded
-    unconditionally so a later identical fetch is recognized even if the
-    downstream import failed and was re-run separately via
-    ``JobState.run_if_changed``.
+    state gate (import_bag_meldeformular.R:106-113).
+
+    With ``commit=True`` (default) the hash is recorded immediately, which
+    is correct only when the import is itself retry-safe under a separate
+    ``JobState.run_if_changed`` key. When the fetch's ``changed`` flag IS
+    the import gate, pass ``commit=False`` and call the returned result's
+    hash into ``state.set`` after the import succeeds — otherwise a crash
+    between fetch and import would skip the feed forever (the state would
+    already claim this content was handled).
     """
     res = fetch_to_file(url, dest, transport=transport, **kwargs)
     key = state_key or f"fetch::{url}"
     changed = state.get(key) != res.sha256
-    state.set(key, res.sha256)
+    if commit:
+        state.set(key, res.sha256)
     return res, changed
 
 
@@ -176,4 +183,7 @@ def iter_pages(
         payload = transport(url, headers or {})
         yield payload
         url = next_url(payload)
+    if url is None:
+        # the cursor legitimately terminated on exactly the max_pages-th page
+        return
     raise RuntimeError(f"pagination did not terminate within {max_pages} pages")

@@ -119,6 +119,12 @@ def read_jsonl(
     are handled by Spark's codec inference from the file extension; xz
     feeds go through ``read_jsonl_xz`` (streaming spool) since Spark
     ships no xz codec.
+
+    The parsed frame is cached so the good/corrupt split is one parse, not
+    two; ownership passes to the caller — unpersist either returned frame
+    (they share the cache) once both are consumed, as the feed-import
+    pipeline does. Long-lived sessions that skip this accumulate one
+    full-feed cache per call.
     """
     full = T.StructType(schema.fields + [T.StructField(CORRUPT_COL, T.StringType())])
     df = (
@@ -126,7 +132,7 @@ def read_jsonl(
         .option("columnNameOfCorruptRecord", CORRUPT_COL)
         .schema(full)
         .json(path)
-        .cache()  # one pass feeding two outputs; tiny metadata-only reuse
+        .cache()  # one parse feeding two outputs; caller unpersists
     )
     good = df.filter(df[CORRUPT_COL].isNull()).drop(CORRUPT_COL)
     corrupt = df.filter(df[CORRUPT_COL].isNotNull()).select(CORRUPT_COL)

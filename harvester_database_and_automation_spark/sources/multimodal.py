@@ -69,7 +69,9 @@ def decode_media(df: DataFrame, fake: bool = False) -> DataFrame:
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            content = pdf["content"]
+            # a null payload is a dirty row, not a stage-killer: decode it
+            # to empty-content stats (schema columns stay non-null)
+            content = pdf["content"].map(lambda b: b if b is not None else b"")
             # byte_sum is the exact integer; mean_byte the derived double —
             # exact ints let downstream aggregates stay drift-free
             yield pd.DataFrame(
@@ -96,7 +98,7 @@ def extract_features(df: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
     def _features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = [
-                [b / 255.0 for b in hashlib.sha256(content).digest()[:dim]]
+                [b / 255.0 for b in hashlib.sha256(content or b"").digest()[:dim]]
                 for content in pdf["content"]
             ]
             yield pd.DataFrame({"media_id": pdf["media_id"], "features": feats})
@@ -151,11 +153,11 @@ def resize_images(df: DataFrame, width: int, height: int, fake: bool = False) ->
         for pdf in batches:
             is_img = pdf["kind"] == "image"
             content = [
-                _stride_sample(b) if img else b
+                _stride_sample(b or b"") if img else b
                 for img, b in zip(is_img, pdf["content"])
             ]
             meta = [
-                {**m, "width": width, "height": height} if img else m
+                {**m, "width": width, "height": height} if (img and m is not None) else m
                 for img, m in zip(is_img, pdf["meta"])
             ]
             yield pd.DataFrame(

@@ -99,3 +99,14 @@ def test_read_xlsx_empty_sheet(spark, tmp_path):
         )
     df = read_xlsx(spark, path, SCHEMA)
     assert df.count() == 0 and df.schema == SCHEMA
+
+
+def test_read_xlsx_rejects_unsupported_dtype(spark, tmp_path):
+    import pytest as _pytest
+    from pyspark.sql import types as T
+
+    from harvester_database_and_automation_spark.sources.excel import read_xlsx
+
+    schema = T.StructType([T.StructField("price", T.DecimalType(10, 2))])
+    with _pytest.raises(ValueError, match="unsupported"):
+        read_xlsx(spark, "/nonexistent.xlsx", schema)

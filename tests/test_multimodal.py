@@ -95,3 +95,25 @@ def test_fake_resize_updates_images_only(media):
     # deterministic: second run produces identical bytes
     again = {r["media_id"]: r["content"] for r in resize_images(media, 4, 4, fake=True).collect()}
     assert again[1] == img["content"]
+
+
+def test_media_stages_tolerate_null_payload_and_meta(spark):
+    """One dirty row (null content/meta) must not kill the stage."""
+    from harvester_database_and_automation_spark.sources.multimodal import (
+        MEDIA_SCHEMA,
+        decode_media,
+        extract_features,
+        resize_images,
+    )
+
+    rows = [
+        (1, "image", b"abc", {"format": "f", "width": 2, "height": 2, "sample_rate": 0, "n_frames": 0}),
+        (2, "image", None, None),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    decoded = {r["media_id"]: r["n_bytes"] for r in decode_media(df, fake=True).collect()}
+    assert decoded == {1: 3, 2: 0}
+    feats = extract_features(df).collect()
+    assert len(feats) == 2 and all(len(r["features"]) > 0 for r in feats)
+    resized = {r["media_id"]: r["meta"] for r in resize_images(df, 2, 2, fake=True).collect()}
+    assert resized[1]["width"] == 2 and resized[2] is None

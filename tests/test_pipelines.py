@@ -153,7 +153,7 @@ def test_derived_layer_rebuild_dependency_order(spark, tmp_path):
     n_best = meta.filter("is_best").count()
     assert proj.select("doc_id").distinct().count() <= n_best
     # Rollup grand-total row equals the projection row count.
-    total = inten.filter("lang is null and term is null").collect()[0]["n"]
+    total = inten.filter("gid = 3").collect()[0]["n"]
     assert total == proj.count()
 
     # Spine table: grand total equals the event count; no gaps in the spine.
@@ -161,7 +161,7 @@ def test_derived_layer_rebuild_dependency_order(spark, tmp_path):
     from harvester_database_and_automation_spark.catalog import load_table
 
     n_events = load_table(spark, "/root/testdata/sf0.001", "events").count()
-    grand = intensity.filter("day is null and event_type is null").collect()[0]["n_events"]
+    grand = intensity.filter("gid = 3").collect()[0]["n_events"]
     assert grand == n_events
     n_days = intensity.filter("day is not null and event_type is null").count()
     n_types = intensity.filter("day is not null and event_type is not null").select("event_type").distinct().count()

@@ -245,3 +245,12 @@ def test_orc_roundtrip_with_predicate_pushdown(spark, tmp_path):
     assert filtered.count() == df.filter("k = 3").count()
     plan = filtered._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [" in plan and "k" in plan.split("PushedFilters:")[1][:80]
+
+
+def test_read_fasta_crlf(spark, tmp_path):
+    p = tmp_path / "win.fasta"
+    p.write_bytes(b">seq1 first desc\r\nACGT\r\nTTAA\r\n>seq2\r\nGGCC\r\n")
+    from harvester_database_and_automation_spark.sources.fasta import read_fasta
+
+    rows = {r["name"]: (r["description"], r["sequence"]) for r in read_fasta(spark, str(p)).collect()}
+    assert rows == {"seq1": ("first desc", "ACGTTTAA"), "seq2": ("", "GGCC")}
