@@ -134,8 +134,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         from pyspark.sql import functions as F
         from pyspark.sql import types as T_
 
+        # Scope the legacy-nanos conf to this read: the parquet-to-catalyst
+        # schema conversion happens at analysis (now), and leaving the conf
+        # set would silently turn every LATER nanos read in the session
+        # into longs.
+        prior = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        try:
+            df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        finally:
+            if prior is None:
+                spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+            else:
+                spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prior)
         ts_type = df.schema["ts"].dataType
         if isinstance(ts_type, T_.LongType):
             # Rebuild as TIMESTAMP_NTZ straight from epoch micros — no LTZ
@@ -149,8 +160,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 ),
             )
         if isinstance(ts_type, T_.TimestampType):
-            # MICROS read as LTZ under some configs — pin to NTZ wall-clock.
-            return df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+            # MICROS read as LTZ under some configs — pin to the UTC
+            # wall-clock NTZ value. A bare cast extracts SESSION-local
+            # wall-clock (timezone-dependent); declaring the cast's zone
+            # and converting to UTC makes the result session-invariant.
+            return df.withColumn(
+                "ts",
+                F.convert_timezone(
+                    F.expr("current_timezone()"),
+                    F.lit("UTC"),
+                    F.col("ts").cast("timestamp_ntz"),
+                ),
+            )
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 

@@ -12,8 +12,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from harvester_database_and_automation_spark.catalog import load_table
+from harvester_database_and_automation_spark.functions.genomics import pseudo_sequence
 from harvester_database_and_automation_spark.plans.registry import register
-from harvester_database_and_automation_spark.plans.shared import shared_df
+from harvester_database_and_automation_spark.plans.shared import fanout, shared_df
 
 # Pseudo-genome: the document's ACGT letters, uppercased (deterministic,
 # same expression both engines).
@@ -73,9 +74,8 @@ def _mutations(spark: SparkSession, sf_dir: str):
     explode(sequence) + filters — pure codegen, no UDF.
     """
     docs = load_table(spark, sf_dir, "documents")
-    n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    seqs = docs.repartition(n).select(
-        "doc_id", F.upper(F.regexp_replace("text", "[^acgt]", "")).alias("seq")
+    seqs = fanout(docs.select("doc_id", "text")).select(
+        "doc_id", pseudo_sequence("text").alias("seq")
     )
 
     def build_muts() -> DataFrame:
@@ -128,11 +128,8 @@ def _pair_distances(spark: SparkSession, sf_dir: str, q_cond, r_cols):
         "mset", F.coalesce(F.col("mset"), F.array().cast("array<int>"))
     )
     q = base.filter(q_cond).select(F.col("doc_id").alias("qid"), F.col("mset").alias("qset"))
-    n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    r = (
-        base.filter(~q_cond)
-        .select(F.col("doc_id").alias("rid"), *r_cols, F.col("mset").alias("rset"))
-        .repartition(n)
+    r = fanout(
+        base.filter(~q_cond).select(F.col("doc_id").alias("rid"), *r_cols, F.col("mset").alias("rset"))
     )
     return (
         F.broadcast(q)
@@ -380,7 +377,7 @@ def k11_read_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-position A/C/G/T counts across the corpus, as a conditional-agg
     pivot over the first 20 sites."""
     docs = load_table(spark, sf_dir, "documents")
-    seqs = docs.select(F.upper(F.regexp_replace("text", "[^acgt]", "")).alias("seq"))
+    seqs = docs.select(pseudo_sequence("text").alias("seq"))
     by_pos = (
         seqs.select(F.explode(F.sequence(F.lit(1), F.lit(20))).alias("pos"), "seq")
         .filter(F.col("pos") <= F.length("seq"))
@@ -421,7 +418,7 @@ def a11_mean_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     within lang, per-pair distance via a higher-order count over the first
     30 sites, then group mean."""
     docs = load_table(spark, sf_dir, "documents")
-    seq = F.upper(F.regexp_replace("text", "[^acgt]", ""))
+    seq = pseudo_sequence("text")
     seqs = (
         docs.filter(F.col("doc_id") % 17 == 0)
         .select("doc_id", "lang", F.substring(seq, 1, 30).alias("s"))
@@ -447,9 +444,8 @@ def _variant_calls(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def build() -> DataFrame:
         docs = load_table(spark, sf_dir, "documents")
-        n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-        seqs = docs.select("doc_id", "text").repartition(n).select(
-            "doc_id", F.upper(F.regexp_replace("text", "[^acgt]", "")).alias("seq")
+        seqs = fanout(docs.select("doc_id", "text")).select(
+            "doc_id", pseudo_sequence("text").alias("seq")
         )
         defs = spark.createDataFrame(_VARIANT_DEFS, "variant string, pos int, base string")
         site = F.substring(F.col("seq"), F.col("pos"), 1)
@@ -686,9 +682,10 @@ def k10_base_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     sequences (database/sql/gisaid.sql:160-166) via explode of the
     character array."""
     docs = load_table(spark, sf_dir, "documents")
-    seq = F.upper(F.regexp_replace("text", "[^acgt]", ""))
     return (
-        docs.select(F.explode(F.expr("regexp_extract_all(upper(regexp_replace(text, '[^acgt]', '')), '(.)', 1)")).alias("base"))
+        docs.select(
+            F.explode(F.expr("regexp_extract_all(upper(regexp_replace(text, '[^acgt]', '')), '(.)', 1)")).alias("base")
+        )
         .groupBy("base")
         .agg(F.count(F.lit(1)).alias("n"))
     )
@@ -817,9 +814,9 @@ def feed_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
     the reconciliation shape — not a by-construction row identity.
     """
     docs = load_table(spark, sf_dir, "documents")
-    n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    raw = F.upper(F.regexp_replace("text", "[^acgt]", ""))
-    seqs = docs.repartition(n).select("doc_id", "lang", raw.alias("seq"))
+    seqs = fanout(docs.select("doc_id", "lang", "text")).select(
+        "doc_id", "lang", pseudo_sequence("text").alias("seq")
+    )
     masked = F.when(
         F.length("seq") >= 8,
         F.expr("concat(substr(seq, 1, 2), 'N', substr(seq, 4, 3), 'N', substr(seq, 8))"),

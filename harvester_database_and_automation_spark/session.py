@@ -49,7 +49,11 @@ def get_spark(
         "spark.sql.parquet.filterPushdown": "true",
         # Deterministic timestamp behavior across engines.
         "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
-        "spark.ui.enabled": os.environ.get("SPARK_UI", "false"),
+        "spark.ui.enabled": (
+            "true"
+            if os.environ.get("SPARK_UI", "false").strip().lower() in ("1", "true", "yes", "on")
+            else "false"
+        ),
         "spark.driver.memory": os.environ.get("SPARK_DRIVER_MEMORY", "16g"),
     }
     if extra_conf:

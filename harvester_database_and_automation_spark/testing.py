@@ -12,6 +12,7 @@ import math
 from dataclasses import dataclass, field
 
 import duckdb
+import numpy as np
 import pandas as pd
 
 from harvester_database_and_automation_spark.catalog import TABLES
@@ -29,7 +30,7 @@ def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def _normalize_cell(v):
-    if v is None:
+    if v is None or v is pd.NaT:  # NaT != NaT, so it must map to None
         return None
     if isinstance(v, float):
         if math.isnan(v):
@@ -38,6 +39,8 @@ def _normalize_cell(v):
         return v + 0.0
     if isinstance(v, pd.Timestamp):
         return v.to_pydatetime().replace(tzinfo=None)
+    if isinstance(v, np.ndarray):  # array cells: before .item() (size!=1 raises)
+        return tuple(_normalize_cell(x) for x in v.tolist())
     if hasattr(v, "item"):  # numpy scalar
         return v.item()
     if isinstance(v, (list, tuple)):

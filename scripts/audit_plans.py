@@ -114,7 +114,15 @@ def audit_one(spark, name: str, sf_dir: str) -> list[str]:
         if first.endswith(("ASC NULLS FIRST", "ASC NULLS LAST", "DESC NULLS FIRST", "DESC NULLS LAST")):
             flags.append("single-partition-window")
             break
-    # A query that filters (post-scan Filter node exists) but pushes nothing.
+    # A query that filters (post-scan Filter node exists) but pushes
+    # nothing at all. Known limitation: join planning auto-pushes
+    # IsNotNull on every equi-join key, so for multi-table queries this
+    # only fires when EVERY scan (dims included) pushes nothing — an
+    # unpushed fact predicate behind pushed dimension scans is not
+    # caught here (a stricter IsNotNull-discounting variant flagged 40
+    # legitimate join plans whose only pushable predicates ARE the
+    # inferred null checks, so per-query pushdown expectations live in
+    # tests/test_physical_plans.py instead).
     has_filter = "Filter" in nodes
     pushes = re.findall(r"PushedFilters: \[([^\n]*)", plan)
     if has_filter and pushes and all(p.strip().startswith("]") for p in pushes):

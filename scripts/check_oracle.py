@@ -21,8 +21,16 @@ def main() -> int:
     args = sys.argv[1:]
     vanilla = "--vanilla" in args
     args = [a for a in args if a != "--vanilla"]
-    sf_dir = args[0] if args and "/" in args[0] else "/root/testdata/sf0.01"
+    paths = [a for a in args if "/" in a]
+    if len(paths) > 1:
+        print(f"multiple sf_dir arguments: {paths}", file=sys.stderr)
+        return 2
+    sf_dir = paths[0] if paths else "/root/testdata/sf0.01"
     names = [a for a in args if "/" not in a] or list(QUERIES)
+    unknown = [n for n in names if n not in QUERIES]
+    if unknown:
+        print(f"unknown queries (did you mean an sf_dir path?): {unknown}", file=sys.stderr)
+        return 2
 
     if vanilla:
         # Simulate the external driver: its session has NONE of our confs —
