@@ -150,13 +150,13 @@ q AS (
   FROM d
 ),
 keepers AS (
-  SELECT md5(lower(text)) AS fp, min(doc_id) AS keep_id
+  SELECT md5(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')) AS fp, min(doc_id) AS keep_id
   FROM q WHERE is_q GROUP BY 1
 ),
 ex AS (
   SELECT q.doc_id, q.lang, q.n_tok, q.is_q,
          COALESCE(q.is_q AND k.keep_id = q.doc_id, FALSE) AS is_e
-  FROM q LEFT JOIN keepers k ON k.fp = md5(lower(q.text))
+  FROM q LEFT JOIN keepers k ON k.fp = md5(translate(q.text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'))
 ),
 sh AS ({_SHINGLES_SQL}),
 sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
@@ -215,7 +215,7 @@ def curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = docs.select(
         "doc_id",
         "lang",
-        F.md5(F.lower("text")).alias("fp"),
+        F.md5(F.translate("text", "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz")).alias("fp"),
         F.size(words).cast("bigint").alias("n_tok"),
         is_q.alias("is_q"),
     )
@@ -724,7 +724,7 @@ WITH q AS (
   FROM documents
 ),
 dups AS (
-  SELECT doc_id, count(*) OVER (PARTITION BY md5(lower(text))) > 1 AS is_dup
+  SELECT doc_id, count(*) OVER (PARTITION BY md5(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'))) > 1 AS is_dup
   FROM documents
 ),
 banded AS (
@@ -757,7 +757,7 @@ def quality_vs_dup_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_tokens = F.size(words)
     n_stop = F.size(F.filter(words, lambda w: w.isin("the", "a")))
     quality = F.least(F.lit(1.0), n_tokens / 100.0) * 0.6 + (n_stop * 1.0 / n_tokens) * 0.4
-    fp = F.md5(F.lower("text"))
+    fp = F.md5(F.translate("text", "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz"))
     fp_counts = (
         docs.select(fp.alias("fp"))
         .groupBy("fp")

@@ -354,11 +354,14 @@ def lsh_sign_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket; ANN then probes only the query's bucket. The grouped members
     string documents bucket composition for the oracle."""
     e = load_table(spark, sf_dir, "embeddings")
-    dims = F.broadcast(spark.range(8).select(F.col("id").cast("int").alias("d")))
-    bucket = F.sum(
-        F.when(F.expr("embedding[d * 8] >= 0"), F.expr("shiftleft(1, d)")).otherwise(0)
-    ).cast("int")
-    buckets = e.crossJoin(dims).groupBy("vec_id").agg(bucket.alias("bucket"))
+    # Pure per-row fold (the simhash zero-shuffle pattern): the bucket is a
+    # function of one row's array, so no dim crossJoin + vec_id re-shuffle
+    # is needed — the only exchange left is the bucket groupBy itself.
+    bucket = F.expr(
+        "cast(aggregate(sequence(0, 7), 0,"
+        " (acc, d) -> acc + if(embedding[d * 8] >= 0, shiftleft(1, d), 0)) as int)"
+    )
+    buckets = e.select("vec_id", bucket.alias("bucket"))
     return buckets.groupBy("bucket").agg(
         F.count(F.lit(1)).alias("n_vectors"),
         F.array_join(F.transform(F.array_sort(F.collect_list("vec_id")), lambda v: v.cast("string")), ",").alias(
@@ -463,7 +466,7 @@ vc AS (
   SELECT query_id, neighbor_id FROM (
     SELECT q.query_id, v.vec_id AS neighbor_id,
            row_number() OVER (PARTITION BY q.query_id
-                              ORDER BY {_COS_SQL.format(a='q.qv', b='v.vv')} DESC,
+                              ORDER BY round({_COS_SQL.format(a='q.qv', b='v.vv')}, 9) DESC,
                                        v.vec_id) AS rk
     FROM queries q JOIN vecs v ON v.vec_id <> q.query_id
   ) t WHERE rk <= 3
@@ -808,18 +811,27 @@ def kmeans_lloyd_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     same two iterations as CTEs."""
     k = 8
     emb = _fanout(_emb(spark, sf_dir).select("vec_id", "vec"))
-    centroids = [list(r["vec"]) for r in emb.orderBy("vec_id").limit(k).select("vec").collect()]
+    # Centroids carry their cluster id EXPLICITLY (cid, vector): if a seed
+    # cluster empties after an iteration (duplicate seed vectors make all
+    # tied points pick the lower cid), positional renumbering would shift
+    # every later cluster's label relative to the oracle, which keeps
+    # original cids. Carrying cids makes empty clusters drop out with
+    # labels intact on both engines.
+    centroids: list[tuple[int, list[float]]] = [
+        (i, list(r["vec"]))
+        for i, r in enumerate(emb.orderBy("vec_id").limit(k).select("vec").collect())
+    ]
 
-    def assign(cents: list[list[float]]) -> DataFrame:
+    def assign(cents: list[tuple[int, list[float]]]) -> DataFrame:
         entries = []
-        for i, c in enumerate(cents):
+        for cid, c in cents:
             lit = F.array(*[F.lit(float(x)) for x in c])
             d2 = F.aggregate(
                 F.zip_with(F.col("vec"), lit, lambda a, b: (a - b) * (a - b)),
                 F.lit(0.0),
                 lambda acc, v: acc + v,
             )
-            entries.append(F.struct(d2.alias("d"), F.lit(i).alias("c")))
+            entries.append(F.struct(d2.alias("d"), F.lit(cid).alias("c")))
         best = F.array_min(F.array(*entries))
         return emb.select("vec_id", "vec", best["c"].alias("cluster_id"), best["d"].alias("d2"))
 
@@ -834,10 +846,8 @@ def kmeans_lloyd_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     updated: dict[int, dict[int, float]] = {}
     for r in means:
         updated.setdefault(r["cluster_id"], {})[r["i"]] = r["mv"]
-    # Every seed cluster keeps at least its seed vector at this scale; a
-    # production loop would re-seed empty clusters here.
     centroids = [
-        [updated[cid][i] for i in sorted(updated[cid])] for cid in sorted(updated)
+        (cid, [updated[cid][i] for i in sorted(updated[cid])]) for cid in sorted(updated)
     ]
 
     # Iteration 2: final assignment against the updated centroids.

@@ -40,8 +40,14 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def build() -> DataFrame:
         docs = _fanout(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+        # Guard sub-shingle documents BEFORE the sequence: Spark's
+        # sequence(0, n-3) runs DESCENDING for n < 3 and the resulting
+        # slice(words, 0, 3) is a runtime error — a 2-token document
+        # would kill the whole dedup family, where the oracle's
+        # generate_series is simply empty (same trap as cdc_chunk_stats).
         return (
-            docs.select(
+            docs.filter(F.size(F.split("text", " ")) >= 3)
+            .select(
                 "doc_id",
                 F.explode(
                     F.expr(
@@ -180,7 +186,7 @@ def doc_top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     "doc_fingerprint_exact_dedup",
     survey_ref="dedup-exact,A10",
     oracle="""
-SELECT md5(lower(text)) AS fingerprint,
+SELECT md5(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')) AS fingerprint,
        min(doc_id)      AS keep_doc_id,
        count(*)         AS n_copies
 FROM documents
@@ -192,8 +198,12 @@ def doc_fingerprint_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     content-hash change-detection family (BatchProcessingWorker.java:214-297)
     applied as dedup. Scales as a single hash aggregation."""
     docs = load_table(spark, sf_dir, "documents")
+    # ASCII-only case fold via translate: Unicode lower() diverges between
+    # engines on full-vs-simple case mappings (Spark lower('\u0130') is a
+    # 2-codepoint string, DuckDB's is 1), which would split/merge different
+    # duplicate groups per engine on non-ASCII text.
     return (
-        docs.groupBy(F.md5(F.lower("text")).alias("fingerprint"))
+        docs.groupBy(F.md5(F.translate("text", "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz")).alias("fingerprint"))
         .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies"))
     )
 
@@ -202,7 +212,11 @@ def doc_fingerprint_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # digit runs, space-prefixed punctuation runs, residual whitespace. Kept to
 # the syntax subset Java regex (Spark) and RE2 (DuckDB) tokenize
 # IDENTICALLY — no lookahead, no \p classes ('' doubles the quote for SQL).
-_BPE_PAT = r"'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+# \s is spelled out as an explicit class: Java's \s includes vertical tab
+# \x0B, RE2's does not - the explicit [ \t\n\v\f\r] (identical in both
+# syntaxes) removes the one divergence in this otherwise-common subset.
+_BPE_WS = r" \t\n\v\f\r"
+_BPE_PAT = rf"'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9{_BPE_WS}]+|[{_BPE_WS}]+"
 
 
 @register(
@@ -400,14 +414,19 @@ WHERE s.n_shared >= 3 AND s.n_shared * 2 >= least(sa.n_fps, sb.n_fps)
 def substring_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Verbatim substring-overlap candidates across documents — the
     ExactSubstr-style dedup signal ("Deduplicating Training Data Makes
-    Language Models Better", Lee et al. 2022) at winnowing cost: the MOSS
-    guarantee says any shared run of at least w+k-1 = 23 characters shares
-    at least one selected fingerprint, so pairs of documents with >= 3
-    shared fingerprints AND containment >= 0.5 of the smaller document's
-    fingerprint set are the candidates for copied passages; fingerprints
+    Language Models Better", Lee et al. 2022) at fingerprinting cost.
+    Selection here is BLOCK-MIN fingerprinting (the min-hash window per
+    fixed 16-window block), a probabilistic relative of MOSS winnowing,
+    NOT the sliding-window scheme — so the classic "any shared run of
+    w+k-1 chars shares a fingerprint" guarantee does not strictly hold
+    when the copies are aligned differently mod the block size (a
+    non-passage window can win a straddled block's min). In exchange the
+    selection is a pure map (no sliding self-comparison), and a copied
+    passage spanning B blocks still collides with probability rising
+    rapidly in B; pairs with >= 3 shared fingerprints AND containment
+    >= 0.5 of the smaller document's set are the candidates. Fingerprints
     in more than 64 documents are df-pruned before pairing (stop-phrase
-    windows — no dedup signal, unbounded join buckets) and the raw
-    >= 3-shared cut plus the containment gate keep only real overlaps.
+    windows — no dedup signal, unbounded join buckets).
 
     Scale shape: an inverted-index equi-join on the fingerprint value over
     the session-shared winnow frame — cost tracks fingerprint-bucket
@@ -439,9 +458,12 @@ def substring_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_fps").alias("n_fps_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_fps").alias("n_fps_b"))
+    # sizes is one row per corpus DOCUMENT — linear in the corpus, so it
+    # must NOT be broadcast-hinted (unlike vocab/dim-sized frames); the
+    # surviving pair set is small, so AQE picks the right strategy.
     return (
-        shared.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        shared.join(sa, "doc_a")
+        .join(sb, "doc_b")
         # containment >= 0.5, evaluated in integer arithmetic (2*shared >=
         # min fp count) so no float boundary separates the engines; common
         # stop-phrase fingerprints make low-containment pairs ubiquitous
@@ -1222,12 +1244,20 @@ def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Spark operator builds (operators/bloom.py): double hashing from the two
 # md5 halves, h2 forced odd; word w = p // 32, mask = 1 << (p % 32)
 # (32-bit words in BIGINT slots: DuckDB rejects 1::BIGINT << 63 as overflow).
-_BLOOM_HASH_SQL = """
-  SELECT {cols} shingle,
-         ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h1,
-         (('0x' || substr(md5(shingle), 17, 15))::BIGINT | 1) AS h2
+# The split-md5 double-hash convention shared by operators/bloom.py and
+# operators/sketches.py (h1 = first 15 hex chars, h2 = chars 17-31 forced
+# odd). ONE template, parameterized by key column — the bloom and CMS
+# oracles both instantiate it, so a change here cannot leave one stale.
+_SPLIT_MD5_HASH_SQL = """
+  SELECT {cols} {key},
+         ('0x' || substr(md5({key}), 1, 15))::BIGINT AS h1,
+         (('0x' || substr(md5({key}), 17, 15))::BIGINT | 1) AS h2
   FROM {src}
 """
+
+
+def _split_md5_sql(key: str, cols: str, src: str) -> str:
+    return _SPLIT_MD5_HASH_SQL.format(key=key, cols=cols, src=src)
 
 
 @register(
@@ -1236,7 +1266,7 @@ _BLOOM_HASH_SQL = """
     oracle=f"""
 WITH sh AS ({_SHINGLES_SQL}),
 eval_grams AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 41 = 0),
-hp AS ({_BLOOM_HASH_SQL.format(cols="", src="eval_grams")}),
+hp AS ({_split_md5_sql("shingle", cols="", src="eval_grams")}),
 pos AS (
   SELECT DISTINCT (h1 + i * h2) % 4096 AS p
   FROM hp CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i)
@@ -1250,7 +1280,7 @@ probes AS (
   FROM sh s JOIN documents d ON d.doc_id = s.doc_id
   WHERE s.doc_id % 41 <> 0
 ),
-pp AS ({_BLOOM_HASH_SQL.format(cols="source,", src="probes")}),
+pp AS ({_split_md5_sql("shingle", cols="source,", src="probes")}),
 probed AS (
   SELECT source, shingle,
          bool_and(COALESCE(w.bits, 0) & (1::BIGINT << CAST(q.p % 32 AS INT)) <> 0) AS candidate
@@ -1342,7 +1372,7 @@ WITH targets AS (
 ),
 hashed AS (
   SELECT d.doc_id, d.lang, t.quota,
-         (d.doc_id * 2654435761) % 1000003 AS h
+         ((d.doc_id % 1000003) * (2654435761 % 1000003)) % 1000003 AS h
   FROM documents d JOIN targets t ON d.lang = t.lang
 ),
 ranked AS (
@@ -1371,7 +1401,7 @@ def corpus_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang string, quota int",
     )
     hashed = docs.join(F.broadcast(targets), "lang").select(
-        "doc_id", "lang", "quota", ((F.col("doc_id") * 2654435761) % 1000003).alias("h")
+        "doc_id", "lang", "quota", (((F.col("doc_id") % 1000003) * (2654435761 % 1000003)) % 1000003).alias("h")
     )
     w = Window.partitionBy("lang").orderBy("h", "doc_id")
     return (
@@ -1410,14 +1440,6 @@ def word_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Count-Min oracle rebuilds the exact (4 x 1024) counter grid the Spark
 # operator builds (operators/sketches.py): same split-md5 double hash as
 # the Bloom filter, counters summed per (row j, column pos).
-_CMS_HASH_SQL = """
-  SELECT {cols} word,
-         ('0x' || substr(md5(word), 1, 15))::BIGINT AS h1,
-         (('0x' || substr(md5(word), 17, 15))::BIGINT | 1) AS h2
-  FROM {src}
-"""
-
-
 @register(
     "cms_word_frequency",
     survey_ref="sketch-frequency,A1,O1",
@@ -1427,13 +1449,13 @@ top AS (
   SELECT word, count(*) AS true_count FROM words
   GROUP BY word ORDER BY true_count DESC, word LIMIT 20
 ),
-wh AS ({_CMS_HASH_SQL.format(cols="", src="words")}),
+wh AS ({_split_md5_sql("word", cols="", src="words")}),
 cells AS (
   SELECT j, (h1 + j * h2) % 1024 AS pos, count(*) AS c
   FROM wh CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS j)
   GROUP BY 1, 2
 ),
-ph AS ({_CMS_HASH_SQL.format(cols="true_count,", src="top")}),
+ph AS ({_split_md5_sql("word", cols="true_count,", src="top")}),
 est AS (
   SELECT word, true_count, min(COALESCE(c.c, 0)) AS cms_estimate
   FROM (
@@ -1523,7 +1545,9 @@ def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     cardinality grows with the corpus, not with any hot key, so the plan
     has no skew at 100 TB; bigram generation itself is a pure HOF map."""
     docs = _fanout(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
-    bigrams = docs.select(
+    # size >= 2 guard: sequence(0, n-2) runs DESCENDING for 1-token docs
+    # (the _shingles trap); the oracle's generate_series is empty there.
+    bigrams = docs.filter(F.size(F.split("text", " ")) >= 2).select(
         "doc_id",
         F.explode(
             F.expr(
@@ -1558,7 +1582,7 @@ def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH hashed AS (
   SELECT doc_id,
-         (doc_id * 2654435761) % 4294967296 AS h,
+         ((((doc_id % 4294967296) // 65536) * 2654435761 % 4294967296) * 65536 + (doc_id % 65536) * 2654435761) % 4294967296 AS h,
          len(string_split(text, ' '))       AS n_tokens
   FROM documents
 )
@@ -1584,7 +1608,10 @@ def train_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     hashed = docs.select(
         "doc_id",
-        ((F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)).alias("h"),
+        F.expr(
+            "((((doc_id % 4294967296) div 65536) * 2654435761 % 4294967296) * 65536"
+            " + (doc_id % 65536) * 2654435761) % 4294967296"
+        ).alias("h"),
         F.size(F.split("text", " ")).alias("n_tokens"),
     )
     return (
