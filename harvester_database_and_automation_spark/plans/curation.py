@@ -118,16 +118,18 @@ def unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     model-based quality filter.
 
     Scale shape: token frequencies are a map-side-combined groupBy whose
-    output is vocab-sized, so it BROADCASTS back onto the token stream —
-    the per-token table never re-shuffles by word (hot "the"-class words
-    never converge on one reducer), and the per-doc average is a second
-    partial aggregate. Two small shuffles total at any corpus size."""
+    vocab-sized output joins back onto the token stream — broadcast while
+    small (AQE decides), shuffle-join once the vocabulary outgrows the
+    broadcast limit; the per-doc average is a second partial aggregate."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
     freq = tok.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
     total = tok.agg(F.count(F.lit(1)).alias("n"))
     return (
-        tok.join(F.broadcast(freq), "word")
+        # freq is vocabulary-sized — unbounded at corpus scale (ids,
+        # numerals, typos), so no broadcast hint: AQE broadcasts it while
+        # it is small and falls back to a shuffle join when it is not.
+        tok.join(freq, "word")
         .crossJoin(F.broadcast(total))
         .groupBy("doc_id")
         .agg(
@@ -282,8 +284,8 @@ stats AS (
 )
 SELECT t.lang, t.source,
        CAST(st.n AS BIGINT) AS n_docs,
-       CAST(sum(CASE WHEN (t.x * st.n - st.s) * (t.x * st.n - st.s)
-                          > 4 * (st.n * st.ss - st.s * st.s)
+       CAST(sum(CASE WHEN (t.x::HUGEINT * st.n - st.s) * (t.x::HUGEINT * st.n - st.s)
+                          > 4 * (st.n::HUGEINT * st.ss - st.s::HUGEINT * st.s)
                      THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
        round(st.s * 1.0 / st.n, 6) AS mean_tokens
 FROM toks t JOIN stats st USING (lang, source)
@@ -300,9 +302,10 @@ def token_length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     (x*n - S)^2 > 4*(n*SS - S^2) is z^2 > 4 with both sides multiplied by
     n^2*sigma^2 — so the cut is exact in both engines with no float
     boundary to disagree on (a float z-score at 1.9999999 vs 2.0000001
-    would flip rows between engines). Magnitudes stay far inside int64 at
-    bench scale; a production run at corpus n where x*n approaches 2^63
-    would evaluate the same predicate in decimal.
+    would flip rows between engines). The products are evaluated at
+    128-bit (decimal(38,0) / HUGEINT): the squared terms leave int64
+    around 10M docs per stratum (n*SS ~ E[x^2]*n^2), far below the 100 TB
+    posture, while 38 digits cover n up to ~10^15.
 
     Scale shape: stratum moments are one partial-agg groupBy whose output
     is stratum-sized, broadcast back onto the scan — two small shuffles
@@ -315,8 +318,9 @@ def token_length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("x").cast("bigint").alias("s"),
         F.sum(F.col("x") * F.col("x")).cast("bigint").alias("ss"),
     )
-    dev = F.col("x") * F.col("n") - F.col("s")
-    is_outlier = dev * dev > 4 * (F.col("n") * F.col("ss") - F.col("s") * F.col("s"))
+    d38 = lambda c: F.col(c).cast("decimal(38,0)")
+    dev = d38("x") * F.col("n") - F.col("s")
+    is_outlier = dev * dev > 4 * (d38("n") * F.col("ss") - d38("s") * F.col("s"))
     return (
         toks.join(F.broadcast(stats), ["lang", "source"])
         .groupBy("lang", "source", "n", "s")
@@ -791,7 +795,7 @@ WITH strata AS (
 ),
 scored AS (
   SELECT lang, n_h,
-         n_h * sqrt((n_h * s2 - s1 * s1) * 1.0 / (n_h * (n_h - 1))) AS a_h
+         n_h * sqrt((n_h::HUGEINT * s2 - s1::HUGEINT * s1) * 1.0 / (n_h::HUGEINT * (n_h - 1))) AS a_h
   FROM strata WHERE n_h > 1
 ),
 tot AS (SELECT sum(a_h) AS a_tot FROM scored)
@@ -811,8 +815,10 @@ def neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     `stratified_sample_per_nation` (equal quotas) and
     `weighted_quality_sample` (per-item weights) don't provide.
 
-    The variance comes from integer moments ((n·Σx² − (Σx)²)/(n(n−1)))
-    so only the final sqrt/ratio is float (IEEE-identical); strata with
+    The variance comes from integer moments ((n·Σx² − (Σx)²)/(n(n−1))),
+    with the products at 128-bit (decimal(38,0) / HUGEINT — s1² overflows
+    int64 at only ~3M docs per stratum) so only the final sqrt/ratio is
+    float (IEEE-identical); strata with
     one document drop (undefined variance). One hash aggregation plus a
     broadcast scalar — the design table is strata-sized at any corpus
     scale."""
@@ -822,10 +828,13 @@ def neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").cast("long").alias("s1"),
         F.sum(F.col("n_chars") * F.col("n_chars")).cast("long").alias("s2"),
     )
+    # 128-bit moment products: s1^2 leaves int64 at ~3M docs/stratum.
     a_h = F.col("n_h") * F.sqrt(
-        (F.col("n_h") * F.col("s2") - F.col("s1") * F.col("s1"))
-        * 1.0
-        / (F.col("n_h") * (F.col("n_h") - 1))
+        (
+            F.col("n_h").cast("decimal(38,0)") * F.col("s2")
+            - F.col("s1").cast("decimal(38,0)") * F.col("s1")
+        ).cast("double")
+        / (F.col("n_h").cast("double") * (F.col("n_h") - 1))
     )
     scored = strata.filter(F.col("n_h") > 1).withColumn("a_h", a_h)
     tot = scored.agg(F.sum("a_h").alias("a_tot"))

@@ -184,7 +184,10 @@ def retention_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     the parquet rewrite at scale is a partition-overwrite of only the
     partitions holding expired rows."""
     events = load_table(spark, sf_dir, "events")
-    expired = F.col("ts") < F.lit("2024-01-15").cast("timestamp")
+    # NTZ literal, not cast("timestamp"): the bare cast builds a
+    # session-zone LTZ and couples the cutoff comparison to the session
+    # timezone (the _ntz discipline from plans/relational.py).
+    expired = F.col("ts") < F.lit("2024-01-15").cast("timestamp_ntz")
     erased = events.select(
         "event_type",
         expired.alias("expired"),

@@ -60,7 +60,7 @@ WITH media AS (
 ),
 feat AS (
   SELECT media_id, kind,
-         octet_length(text::BLOB) AS n_bytes,
+         octet_length(encode(text)) AS n_bytes,
          sqrt(CAST(list_sum(list_transform(generate_series(0, 15), i ->
              CAST(({_HEXPOS.format(c='i*2+1')}) * 16
                   + {_HEXPOS.format(c='i*2+2')} AS BIGINT)
@@ -157,8 +157,12 @@ WITH media AS (
 ),
 decoded AS (
   SELECT media_id, kind,
-         octet_length(text::BLOB) AS n_bytes,
-         coalesce((SELECT sum(ascii(c)) FROM unnest(string_split(text, '')) AS t(c)), 0)
+         octet_length(encode(text)) AS n_bytes,
+         -- UTF-8 BYTE sum from the hex of the encoded payload: ascii(c)
+         -- would sum CODEPOINTS, diverging from the Spark stage's byte
+         -- sum on any non-ASCII text (and text::BLOB errors outright).
+         coalesce((SELECT sum(('0x' || substr(hex(encode(media.text)), 2 * u.i - 1, 2))::BIGINT)
+                   FROM unnest(generate_series(1, octet_length(encode(media.text)))) AS u(i)), 0)
            AS byte_sum,
          sha256(text) AS content_sha256
   FROM media
@@ -177,9 +181,11 @@ def media_decode_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Value-checked twin of media_decode_stats: the Arrow-batched fake
     decode stage (byte length / exact byte sum / sha256 per item) rolled up
     per kind, against a DuckDB oracle that recomputes the identical
-    statistics from the same ASCII payloads (sha256 on both sides hashes
+    statistics from the same payloads (sha256 on both sides hashes
     the same utf-8 bytes). This puts the mapInPandas decode path itself
-    under the hash gate — only the codec call remains faked, as declared in
+    under the hash gate (byte sums computed from the UTF-8 encoding on
+    both sides, so non-ASCII payloads stay in parity) — only the codec
+    call remains faked, as declared in
     sources/multimodal.py. Aggregates stay on exact integers; the single
     double division happens once per group on both sides."""
     from harvester_database_and_automation_spark.sources.multimodal import decode_media

@@ -450,7 +450,7 @@ def intensity_spine_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT c_mktsegment, count(*) AS n_orders
 FROM orders
-JOIN customer ON CAST(split_part(c_name, '#', 2) AS BIGINT) = o_custkey
+JOIN customer ON TRY_CAST(split_part(c_name, '#', 2) AS BIGINT) = o_custkey
 GROUP BY c_mktsegment
 """,
 )
@@ -460,7 +460,7 @@ def expression_join_name_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     (database/sql/bag_sequence_report.sql:36-43)."""
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer").withColumn(
-        "parsed_key", F.split_part(F.col("c_name"), F.lit("#"), F.lit(2)).cast("bigint")
+        "parsed_key", F.split_part(F.col("c_name"), F.lit("#"), F.lit(2)).try_cast("bigint")
     )
     return (
         o.join(c, F.col("parsed_key") == F.col("o_custkey"))
@@ -939,18 +939,25 @@ def nation_share_of_region_revenue(spark: SparkSession, sf_dir: str) -> DataFram
     oracle="""
 SELECT p_brand, count(*) AS n_premium
 FROM part
-WHERE p_retailprice > 1.02 * (SELECT avg(p_retailprice) FROM part)
+-- threshold rounded to the price grain (2 decimals): the raw double avg
+-- depends on summation order, and an unrounded threshold within 1 ulp of
+-- a price would flip row membership between engines
+WHERE p_retailprice > round(1.02 * (SELECT avg(p_retailprice) FROM part), 2)
 GROUP BY p_brand
 """,
 )
 def parts_above_avg_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar subquery as threshold — computed once and broadcast instead
-    of per-row (database/sql/consensus_sequence.sql:6,82-90)."""
+    of per-row (database/sql/consensus_sequence.sql:6,82-90). The
+    threshold rounds to the 2-decimal price grain before the comparison:
+    avg() is an order-dependent double sum, and an unrounded cut within
+    an ulp of an actual price would include the row on one engine and
+    exclude it on the other."""
     p = load_table(spark, sf_dir, "part")
     avg_df = p.agg(F.avg("p_retailprice").alias("_avg_price"))
     return (
         p.crossJoin(F.broadcast(avg_df))
-        .filter(F.col("p_retailprice") > 1.02 * F.col("_avg_price"))
+        .filter(F.col("p_retailprice") > F.round(1.02 * F.col("_avg_price"), 2))
         .groupBy("p_brand")
         .agg(F.count(F.lit(1)).alias("n_premium"))
     )
@@ -1416,10 +1423,10 @@ def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     "part_name_regex",
     survey_ref="regex,P3",
     oracle="""
-SELECT regexp_extract(p_name, '([a-z]+)$', 1) AS last_word,
+SELECT regexp_extract(p_name, '([a-z]+)\\z', 1) AS last_word,
        count(*) AS n
 FROM part
-WHERE p_name ~ '^[a-z]+ [a-z]+$' AND p_brand NOT LIKE 'Brand#1%'
+WHERE p_name ~ '^[a-z]+ [a-z]+\\z' AND p_brand NOT LIKE 'Brand#1%'
 GROUP BY 1
 """,
 )
@@ -1428,8 +1435,8 @@ def part_name_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
     (database/sql/viollier_plate.sql:34-35, gisaid_our_sequences.sql:3-8)."""
     p = load_table(spark, sf_dir, "part")
     return (
-        p.filter(F.col("p_name").rlike("^[a-z]+ [a-z]+$") & ~F.col("p_brand").like("Brand#1%"))
-        .groupBy(F.regexp_extract("p_name", "([a-z]+)$", 1).alias("last_word"))
+        p.filter(F.col("p_name").rlike("^[a-z]+ [a-z]+\\z") & ~F.col("p_brand").like("Brand#1%"))
+        .groupBy(F.regexp_extract("p_name", "([a-z]+)\\z", 1).alias("last_word"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
 
@@ -1442,7 +1449,7 @@ def part_name_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey_ref="W2,streaming,A1",
     oracle="""
 WITH gaps AS (
-  SELECT user_id, ts,
+  SELECT user_id, ts, event_id,
          CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                    > INTERVAL 30 MINUTE OR
                    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
@@ -1451,7 +1458,10 @@ WITH gaps AS (
 ),
 sessions AS (
   SELECT user_id,
-         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+         -- same (ts, event_id) total order as the lag window: an
+         -- order-by-ts-only ROWS frame is nondeterministic on tied
+         -- timestamps and could split/merge sessions differently per run
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                 ROWS UNBOUNDED PRECEDING) AS session_id
   FROM gaps
 )
@@ -1468,7 +1478,9 @@ def event_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     session_window(ts, gap) in Structured Streaming."""
     e = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
-    wsum = Window.partitionBy("user_id").orderBy("ts").rowsBetween(Window.unboundedPreceding, 0)
+    # the cumulative frame must use the SAME deterministic total order as
+    # the lag window — ts alone is ambiguous on tied timestamps
+    wsum = w.rowsBetween(Window.unboundedPreceding, 0)
     prev_ts = F.lag("ts").over(w)
     new_session = F.when(
         prev_ts.isNull() | ((F.col("ts") - prev_ts) > F.expr("INTERVAL 30 MINUTES")), 1
@@ -1762,7 +1774,7 @@ SELECT s_name, CAST(n AS INT) AS num,
        CAST(n % 7 AS INT)  AS grid_col,
        CAST(n // 7 AS INT) AS grid_row
 FROM (
-  SELECT s_name, CAST(regexp_extract(s_name, '([0-9]+)$', 1) AS BIGINT) AS n
+  SELECT s_name, TRY_CAST(regexp_extract(s_name, '([0-9]+)\\z', 1) AS BIGINT) AS n
   FROM supplier
 ) t
 ORDER BY grid_col, grid_row, s_name
@@ -1773,7 +1785,7 @@ def supplier_plate_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     end of their name — `substring(name,'[0-9]*$')::int % 7` (0-based ids) with the
     derived row index, exactly the 96-well plate layout ordering."""
     s = load_table(spark, sf_dir, "supplier")
-    n = F.regexp_extract("s_name", r"([0-9]+)$", 1).cast("bigint")
+    n = F.regexp_extract("s_name", r"([0-9]+)\z", 1).try_cast("bigint")
     out = s.select(
         "s_name",
         n.cast("int").alias("num"),
@@ -2241,8 +2253,10 @@ WITH d AS (
 s AS (
   SELECT o_orderpriority, count(*) AS n,
          CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
-         CAST(sum(x * y) AS BIGINT) AS sxy,
-         CAST(sum(x * x) AS BIGINT) AS sx2, CAST(sum(y * y) AS BIGINT) AS sy2
+         -- keep the squared-moment sums in HUGEINT: sum(y*y) leaves
+         -- int64 at ~3e7 rows per priority (y^2 ~ 3e11)
+         sum(x::HUGEINT * y) AS sxy,
+         sum(x::HUGEINT * x) AS sx2, sum(y::HUGEINT * y) AS sy2
   FROM d GROUP BY 1
 )
 SELECT o_orderpriority, n,
@@ -2258,9 +2272,11 @@ def order_price_date_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     method-comparison/QC-correlation study shape (SURVEY §5.5,
     investigate_qc_by_ct_value.R). Built-in corr() sums doubles in
     engine-specific order (ulp drift across engines); instead the five
-    moments accumulate as EXACT integers (map-side partial agg) and one
-    final double expression computes r identically on both sides — also
-    the formulation that distributes: no second pass, no centering scan."""
+    moments accumulate as EXACT integers (map-side partial agg; the
+    squared-moment sums at 128-bit — decimal(38,0) / HUGEINT — since
+    sum(y^2) leaves int64 around 3e7 rows per group) and one final double
+    expression computes r identically on both sides — also the
+    formulation that distributes: no second pass, no centering scan."""
     o = load_table(spark, sf_dir, "orders")
     x = F.expr("timestampdiff(DAY, TIMESTAMP_NTZ'1990-01-01 00:00:00', o_orderdate)").cast("bigint")
     y = F.floor(F.col("o_totalprice")).cast("bigint")
@@ -2271,9 +2287,9 @@ def order_price_date_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
             F.sum("x").cast("bigint").alias("sx"),
             F.sum("y").cast("bigint").alias("sy"),
-            F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
-            F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sx2"),
-            F.sum(F.col("y") * F.col("y")).cast("bigint").alias("sy2"),
+            F.sum((F.col("x") * F.col("y")).cast("decimal(38,0)")).alias("sxy"),
+            F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)")).alias("sx2"),
+            F.sum((F.col("y") * F.col("y")).cast("decimal(38,0)")).alias("sy2"),
         )
     )
     nd = F.col("n").cast("double")
