@@ -20,6 +20,18 @@ def exact_rank(vs, value):
     return sum(1 for v in vs if v <= value)
 
 
+def assert_quantile_within(vs, v, target, bound):
+    """Tie-aware quantile assertion: a returned value v summarizes SOME
+    instance of v, whose sorted position lies anywhere in the interval
+    [count(<v)+1, count(<=v)] — with duplicates that interval is wide and
+    a scalar count(<=v) rank is the wrong error metric (e.g. values
+    [0,0,0], q=0: the only possible answer 0 has ranks {1,2,3}).
+    Valid iff the interval intersects [target-bound, target+bound]."""
+    lt = sum(1 for x in vs if x < v)
+    le = sum(1 for x in vs if x <= v)
+    assert lt + 1 <= target + bound and le >= target - bound, (v, lt + 1, le, target, bound)
+
+
 def assert_bounds_valid(summary, all_values):
     """Every stored entry summarizes some INSTANCE of its value, whose
     sorted position lies in [count(<v)+1, count(<=v)] — the entry's
@@ -49,7 +61,7 @@ def test_fresh_summary_rank_error_within_k(values, k):
     for q in (0.0, 0.01, 0.25, 0.5, 0.75, 0.99, 1.0):
         v = s.quantile(q)
         target = max(1, min(len(vs), round(q * len(vs))))
-        assert abs(exact_rank(vs, v) - target) <= k, (q, k)
+        assert_quantile_within(vs, v, target, k)
 
 
 @settings(max_examples=25, deadline=None)
@@ -75,7 +87,7 @@ def test_multiway_merge_bounds_stay_valid(partitions, k):
     for q in (0.1, 0.5, 0.9):
         v = merged.quantile(q)
         target = max(1, min(len(allv), round(q * len(allv))))
-        assert abs(exact_rank(sorted(allv), v) - target) <= (m + 1) * k
+        assert_quantile_within(sorted(allv), v, target, (m + 1) * k)
 
 
 def test_review_repro_five_partition_merge():
@@ -127,7 +139,7 @@ def test_compress_keeps_bounds_valid_and_shrinks():
     for q in (0.05, 0.5, 0.95):
         v = c.quantile(q)
         target = max(1, round(q * 1000))
-        assert abs(exact_rank(sorted(vs), v) - target) <= 8 * 4 + 8
+        assert_quantile_within(sorted(vs), v, target, 8 * 4 + 8)
 
 
 def test_distributed_build_matches_exact_within_bound(spark):
@@ -145,4 +157,4 @@ def test_distributed_build_matches_exact_within_bound(spark):
     for q in (0.25, 0.5, 0.75):
         v = s.quantile(q)
         target = max(1, min(n, round(q * n)))
-        assert abs(exact_rank(exact, v) - target) <= (n_parts + 1) * k
+        assert_quantile_within(exact, v, target, (n_parts + 1) * k)
