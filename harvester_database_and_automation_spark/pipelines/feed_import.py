@@ -90,9 +90,9 @@ def run_feed_import(
         if not drift.ok:
             raise ValueError(f"feed schema drift: missing required {sorted(drift.missing_required)}")
 
-    good, corrupt = read_jsonl(spark, feed_path, schema)
-    clean, quarantined = validate(good, checks)
-    n_corrupt = corrupt.count()
+    scan = read_jsonl(spark, feed_path, schema)
+    clean, quarantined = validate(scan.good, checks)
+    n_corrupt = scan.corrupt.count()
     n_quarantined = quarantined.count()
 
     first_run = current_version(table_dir) is None
@@ -136,7 +136,9 @@ def run_feed_import(
     classified.unpersist()
     if annotate is not None:
         to_process.unpersist()
-    good.unpersist()  # releases the shared read_jsonl parse cache
+    scan.release()  # drops the cached PARENT parse frame (unpersisting
+    # the filtered `good` view would be a CacheManager no-op and leak
+    # one full-feed cache per import cycle)
 
     return FeedImportReport(
         version=version,

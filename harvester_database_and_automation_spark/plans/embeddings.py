@@ -61,6 +61,41 @@ def _emb_with_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.withColumn("norm", F.sqrt(_dot(F.col("vec"), F.col("vec"))))
 
 
+# Portable multiplicative hash (Knuth constant, mod a prime): identical
+# 64-bit integer arithmetic on both engines, no overflow for any vec_id
+# (operands stay below 1e9 * 2.7e9 < 2^63). Used to draw FIXED-SIZE
+# pseudo-random samples — `vec_id % m` samples are corpus-PROPORTIONAL,
+# which turns any per-query linear scan into O(N^2) and any driver-side
+# query block into O(N) driver memory.
+_QHASH_SQL = "((({id}) % 1000000007) * 2654435761) % 1000000007"
+
+
+def _qhash(col):
+    return ((col % F.lit(1_000_000_007)) * F.lit(2_654_435_761)) % F.lit(1_000_000_007)
+
+
+def _query_sample(e: DataFrame, n: int) -> DataFrame:
+    """The ``n`` vectors with the smallest portable hash of their id — a
+    deterministic fixed-size query set. orderBy+limit compiles to
+    TakeOrderedAndProject (distributed partial top-k), so no global sort
+    and constant driver state at any corpus size."""
+    return (
+        e.withColumn("qh", _qhash(F.col("vec_id")))
+        .orderBy("qh", "vec_id")
+        .limit(n)
+        .drop("qh")
+    )
+
+
+def _query_sample_sql(n: int, cols: str = "vec_id AS query_id, vv AS qv") -> str:
+    """DuckDB CTE body replaying `_query_sample` (same hash, same order)."""
+    return f"""
+  SELECT {cols} FROM (
+    SELECT *, row_number() OVER (ORDER BY {_QHASH_SQL.format(id='vec_id')}, vec_id) AS qrk
+    FROM vecs
+  ) t WHERE qrk <= {n}"""
+
+
 @register(
     "embedding_norm_stats",
     survey_ref="similarity,A1",
@@ -297,14 +332,27 @@ def ivf_topk_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     (`cosine_topk_bruteforce`) exists to measure that recall trade.
     """
     e = _emb_with_norm(spark, sf_dir)
-    ranked = _ivf_ranked(spark, sf_dir)
-    assign = ranked.filter(F.col("rk") == 1).select("vec_id", F.col("cid").alias("cell"))
     queries = e.filter(F.col("vec_id") % 13 == 0).select(
         F.col("vec_id").alias("query_id"), F.col("vec").alias("qv"), F.col("norm").alias("qn")
     )
+    topk = _ivf_probe(spark, sf_dir, queries, n_probe=2, k=3)
+    return topk.select("query_id", "neighbor_id", "rk", F.round("sim", 6).alias("sim"))
+
+
+def _ivf_probe(
+    spark: SparkSession, sf_dir: str, queries: DataFrame, n_probe: int = 2, k: int = 3
+) -> DataFrame:
+    """IVF probe over an arbitrary query frame (query_id, qv, qn):
+    probe each query's top-``n_probe`` cells from the session-shared
+    inverted file, exact-rerank the cell members, return
+    (query_id, neighbor_id, rk, sim) for rk <= k. Both the registered
+    probe query and the recall certification route through this."""
+    e = _emb_with_norm(spark, sf_dir)
+    ranked = _ivf_ranked(spark, sf_dir)
+    assign = ranked.filter(F.col("rk") == 1).select("vec_id", F.col("cid").alias("cell"))
     probe = (
         ranked.join(queries.select(F.col("query_id").alias("vec_id")), "vec_id", "inner")
-        .filter(F.col("rk") <= 2)
+        .filter(F.col("rk") <= n_probe)
         .select(F.col("vec_id").alias("query_id"), F.col("cid").alias("cell"))
     )
     cand = (
@@ -325,11 +373,7 @@ def ivf_topk_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     w_final = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
-    return (
-        sims.withColumn("rk", F.row_number().over(w_final))
-        .filter(F.col("rk") <= 3)
-        .select("query_id", "neighbor_id", "rk", F.round("sim", 6).alias("sim"))
-    )
+    return sims.withColumn("rk", F.row_number().over(w_final)).filter(F.col("rk") <= k)
 
 
 @register(
@@ -440,8 +484,7 @@ vc AS (
            row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rk
     FROM vc
   ) t WHERE rk = 1
-), queries AS (
-  SELECT vec_id AS query_id, vv AS qv FROM vecs WHERE vec_id % 13 = 0
+), queries AS ({_query_sample_sql(100)}
 ), probe AS (
   SELECT query_id, cid AS cell FROM (
     SELECT q.query_id, vc.cid,
@@ -483,27 +526,36 @@ def ivf_recall_at_3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@3 of the IVF probe against exact brute force, as a
     distribution (n_hits in 0..3 -> how many queries) — the measurement
     that justifies shipping the bucketed ANN path at scale. The IVF side
-    IS the registered ivf_topk_probe plan (reusing the session-shared
-    inverted-file frame); the ground-truth side is an Arrow-batched
-    mapInPandas GEMM — the query block rides the closure, each reference
-    partition computes its exact top-3 per query with one numpy
-    matrix-product, and only |parts| x |queries| x 3 candidate rows reach
-    the final window (the per-partition top-k union provably contains the
-    global top-k). The final comparison joins int ids only, so no float
-    crosses the recall arithmetic."""
+    routes through the same `_ivf_probe` plan as the registered
+    ivf_topk_probe (reusing the session-shared inverted-file frame); the
+    ground-truth side is an Arrow-batched mapInPandas GEMM — the query
+    block rides the closure, each reference partition computes its exact
+    top-3 per query with one numpy matrix-product, and only
+    |parts| x |queries| x 3 candidate rows reach the final window (the
+    per-partition top-k union provably contains the global top-k).
+
+    The query set is a FIXED-size 100-vector hash sample (`_query_sample`),
+    not a `vec_id % m` slice: a modulus sample is corpus-proportional,
+    which made the ground truth O(N^2/m) work and the collected query
+    block O(N) driver memory — at 100 TB both are fatal, while a recall
+    estimate needs only a constant number of queries. Similarities rank
+    after rounding to 9 decimals on BOTH engines (numpy GEMM here,
+    list_dot_product there) so sub-ulp summation-order drift cannot flip
+    near-tie neighbors on one side only. The final comparison joins int
+    ids, so no float crosses the recall arithmetic."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
 
-    ivf = ivf_topk_probe(spark, sf_dir).select("query_id", "neighbor_id")
-    e = _emb(spark, sf_dir)
-    # Query block to the driver once (q x dim doubles, same budget as the
-    # broadcast the fold-based baseline ships) — the reference side streams.
-    q_rows = (
-        e.filter(F.col("vec_id") % 13 == 0).select("vec_id", "vec").orderBy("vec_id").collect()
-    )
-    q_ids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
-    qm = np.array([r["vec"] for r in q_rows], dtype=np.float64)
+    e = _emb_with_norm(spark, sf_dir)
+    queries = _query_sample(
+        e.select("vec_id", "vec", "norm"), 100
+    ).select(F.col("vec_id").alias("query_id"), F.col("vec").alias("qv"), F.col("norm").alias("qn"))
+    ivf = _ivf_probe(spark, sf_dir, queries, n_probe=2, k=3).select("query_id", "neighbor_id")
+    # Constant-size query block to the driver (100 x dim doubles).
+    q_rows = queries.select("query_id", "qv").orderBy("query_id").collect()
+    q_ids = np.array([r["query_id"] for r in q_rows], dtype=np.int64)
+    qm = np.array([r["qv"] for r in q_rows], dtype=np.float64)
     qm /= np.linalg.norm(qm, axis=1, keepdims=True)
 
     def topk_part(batches):
@@ -516,7 +568,10 @@ def ivf_recall_at_3(spark: SparkSession, sf_dir: str) -> DataFrame:
             rid = pdf["vec_id"].to_numpy(dtype=np.int64)
             rm = np.array(list(pdf["vec"]), dtype=np.float64)
             rm /= np.linalg.norm(rm, axis=1, keepdims=True)
-            sims = qm @ rm.T  # queries x refs
+            # Round to 9 decimals BEFORE ranking — the same tie grid the
+            # oracle's round(cos, 9) window uses, so near-equal neighbors
+            # resolve identically on both engines.
+            sims = np.round(qm @ rm.T, 9)  # queries x refs
             out_q, out_n, out_s = [], [], []
             for qi in range(len(q_ids)):
                 s = sims[qi]
@@ -559,12 +614,25 @@ def ivf_recall_at_3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SEMDEDUP_TARGET_CELL = 250  # expected members per cell; k = ceil(N / this)
+
+
 @register(
     "semantic_dedup_cells",
     survey_ref="dedup-embedding,similarity-ivf,J1,A3",
     oracle=f"""
 WITH vecs AS (SELECT vec_id, embedding::DOUBLE[] AS vv FROM embeddings),
-cents AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id < 8),
+cents AS (
+  -- k = ceil(N / {_SEMDEDUP_TARGET_CELL}) hash-sampled seed vectors: cell count GROWS
+  -- with the corpus so expected cell size stays bounded (same portable
+  -- hash + order as the Spark side's _query_sample).
+  SELECT vec_id AS cid, vv AS cv FROM (
+    SELECT vec_id, vv,
+           row_number() OVER (ORDER BY {_QHASH_SQL.format(id='vec_id')}, vec_id) AS qrk
+    FROM vecs
+  ) t
+  WHERE qrk <= (SELECT CAST(ceil(count(*) / {_SEMDEDUP_TARGET_CELL}.0) AS BIGINT) FROM vecs)
+),
 vc AS (
   SELECT vecs.vec_id, cents.cid,
          {_COS_SQL.format(a='vecs.vv', b='cents.cv')} AS sim
@@ -593,21 +661,45 @@ FROM sizes s LEFT JOIN agg a USING (cell)
 """,
 )
 def semantic_dedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup-style semantic deduplication: cluster the corpus (here the
-    shared IVF coarse assignment), then compare vectors pairwise ONLY
-    within a cluster and drop the higher id of every pair above the cosine
-    threshold. Reports per cell its size, the over-threshold pair count,
-    and how many vectors dedup would remove.
+    """SemDeDup-style semantic deduplication: cluster the corpus, then
+    compare vectors pairwise ONLY within a cluster and drop the higher id
+    of every pair above the cosine threshold. Reports per cell its size,
+    the over-threshold pair count, and how many vectors dedup would remove.
 
-    This is the scale path that makes `embedding_near_dup_pairs` (the
-    all-pairs baseline) deployable: the self-join is an equi-join on cell,
-    so comparison cost is sum of squared CELL sizes, not corpus size
-    squared — with k cells that is a k× reduction at equal occupancy, and
-    the cells come from the session-shared inverted file the ANN probe
-    already maintains."""
-    ranked = _ivf_ranked(spark, sf_dir)
-    assign = ranked.filter(F.col("rk") == 1).select("vec_id", F.col("cid").alias("cell"))
+    Bounded-cell-size invariant: the cell count is k = ceil(N / 250), so
+    expected cell occupancy stays ~250 REGARDLESS of corpus size and the
+    within-cell pairwise cost Σ|cell|² stays O(N·250) — linear. A fixed k
+    (the round-2 version used the 8-centroid IVF frame) makes that cost
+    O(N²/k), which is exactly the quadratic SemDeDup exists to avoid.
+    Seeds are a deterministic hash sample of the corpus (the k-means||
+    init stage); production would feed `kmeans_lloyd_clusters`' refined
+    centroids in — the operator under test (cell-partitioned pair scan) is
+    unchanged by centroid provenance, the same argument `pq_adc_topk`
+    makes for its codebook. At billion-vector scale the seed broadcast
+    (k×dim) outgrows a single broadcast and assignment itself becomes an
+    ANN probe (hierarchical / two-level IVF); the within-cell scan — the
+    operator registered here — keeps the same shape.
+
+    Assignment is a groupBy-min over (neg sim, cid) structs: map-side
+    combinable partial agg, no N·k-row sort window."""
     e = _emb_with_norm(spark, sf_dir).select("vec_id", "vec", "norm")
+    n = e.count()
+    k = -(-n // _SEMDEDUP_TARGET_CELL)
+    seeds = F.broadcast(
+        _query_sample(e, k).select(
+            F.col("vec_id").alias("cid"), F.col("vec").alias("cv"), F.col("norm").alias("cn")
+        )
+    )
+    vc = _fanout(e).crossJoin(seeds).select(
+        "vec_id",
+        "cid",
+        (_dot(F.col("vec"), F.col("cv")) / (F.col("norm") * F.col("cn"))).alias("sim"),
+    )
+    assign = (
+        vc.groupBy("vec_id")
+        .agg(F.min(F.struct((-F.col("sim")).alias("neg"), F.col("cid").alias("cid"))).alias("b"))
+        .select("vec_id", F.col("b.cid").alias("cell"))
+    )
     members = e.join(assign, "vec_id")
     a = members.select(
         "cell", F.col("vec_id").alias("vec_a"), F.col("vec").alias("va"), F.col("norm").alias("na")
@@ -671,7 +763,8 @@ recon AS (
   FROM codes JOIN cw c ON c.m = codes.m AND c.code = codes.code
   GROUP BY codes.vec_id
 ),
-queries AS (SELECT vec_id AS query_id, v AS qv FROM vecs WHERE vec_id % 17 = 0),
+queries AS ({_query_sample_sql(100, cols='vec_id AS query_id, v AS qv')}
+),
 scores AS (
   SELECT q.query_id, r.vec_id AS neighbor_id, list_dot_product(q.qv, r.rv) AS adc
   FROM queries q JOIN recon r ON r.vec_id <> q.query_id
@@ -735,8 +828,12 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rv")
         )
     )
+    # FIXED-size query sample: a `vec_id % m` slice makes the ADC scan
+    # O(Q x N) = O(N^2/m) and is why this query scaled superlinearly; a
+    # PQ scan is definitionally linear per query, so a constant query
+    # set keeps the whole plan O(N).
     queries = F.broadcast(
-        e.filter(F.col("vec_id") % 17 == 0).select(
+        _query_sample(e.select("vec_id", "vec"), 100).select(
             F.col("vec_id").alias("query_id"), F.col("vec").alias("qv")
         )
     )

@@ -3284,21 +3284,32 @@ m AS (
          CAST(sum(x * y) AS BIGINT) AS sxy,
          CAST(sum(x * x) AS BIGINT) AS sxx
   FROM pts GROUP BY event_type
+),
+sl AS (
+  -- cross products at 128-bit: sx*sy ~ 5e5 * n^2 leaves int64 near
+  -- n ~ 4-5M rows per event_type (Spark would wrap silently, DuckDB
+  -- would error — engines diverge); HUGEINT here = decimal(38,0) there
+  SELECT event_type, n, sx, sy,
+         CAST(n::HUGEINT * sxy - sx::HUGEINT * sy AS DOUBLE)
+           / CAST(n::HUGEINT * sxx - sx::HUGEINT * sx AS DOUBLE) AS slope
+  FROM m
 )
 SELECT event_type,
        CAST(n AS BIGINT) AS n,
-       round((n * sxy - sx * sy) * 1.0 / (n * sxx - sx * sx), 6) AS slope_cents_per_day,
-       round((sy - (n * sxy - sx * sy) * 1.0 / (n * sxx - sx * sx) * sx) / n, 6)
-         AS intercept_cents
-FROM m
+       round(slope, 6) AS slope_cents_per_day,
+       round((sy - slope * sx) / n, 6) AS intercept_cents
+FROM sl
 """,
 )
 def event_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-type least-squares trend of event value over time (cents/day
     slope + intercept) from INTEGER moments: x is rebased to
     days-since-corpus-start (small ints, no overflow at any scale) and y
-    to cents, so n, Σx, Σy, Σxy, Σxx are exact and the only float ops
-    are the two final divisions — both engines emit identical doubles.
+    to cents, so n, Σx, Σy, Σxy, Σxx are exact; the cross products
+    (n·Σxy − Σx·Σy etc.) widen to decimal(38,0) / HUGEINT before the
+    subtraction — Σx·Σy ≈ 5e5·n² leaves int64 around 4-5M rows per
+    event_type — so the only float ops are the two final divisions and
+    both engines emit identical doubles at any scale factor.
     `order_price_date_correlation`'s Pearson r answers "is there a
     relationship"; this answers "how steep". One hash aggregation."""
     e = load_table(spark, sf_dir, "events")
@@ -3315,9 +3326,10 @@ def event_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
         F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
     )
-    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) * 1.0 / (
-        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    dn, dsx, dsy, dsxy, dsxx = (
+        F.col(c).cast("decimal(38,0)") for c in ("n", "sx", "sy", "sxy", "sxx")
     )
+    slope = (dn * dsxy - dsx * dsy).cast("double") / (dn * dsxx - dsx * dsx).cast("double")
     return m.select(
         "event_type",
         F.col("n").cast("bigint").alias("n"),

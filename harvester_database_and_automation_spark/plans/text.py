@@ -1707,13 +1707,18 @@ def prefix_filter_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     inverted-index joins at scale: hot shingles almost never appear in
     any prefix (they sort last), so the quadratic buckets vanish without
     a correctness-losing frequency cap. Plan: one df aggregation joined
-    back (broadcast — vocab-sized), a per-doc ranking window over compact
+    back (AQE-chosen strategy — the vocab-sized df table is unbounded,
+    so no broadcast hint), a per-doc ranking window over compact
     (doc, shingle-df) rows, the prefix-only self-join, then exact
     verification against the session-shared scored pair frame."""
     sh = _shingles(spark, sf_dir)
     df_tab = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    # No broadcast hint on df_tab: the per-shingle document-frequency
+    # table grows with the corpus vocabulary — an unbounded frame that
+    # would pin the driver at 100 TB. AQE picks broadcast while it is
+    # actually small and shuffles when it is not.
     ranked = (
-        sh.join(F.broadcast(df_tab), "shingle")
+        sh.join(df_tab, "shingle")
         .withColumn("pos", F.row_number().over(Window.partitionBy("doc_id").orderBy("df", "shingle")))
         .withColumn("sz", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
     )

@@ -12,6 +12,7 @@ from __future__ import annotations
 import lzma
 import os
 from dataclasses import dataclass, field
+from typing import NamedTuple
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
@@ -103,16 +104,34 @@ def read_jsonl_xz(
     schema: T.StructType,
     spool_dir: str,
     chunk_bytes: int = DEFAULT_CHUNK_BYTES,
-) -> tuple[DataFrame, DataFrame]:
+) -> JsonlScan:
     """``read_jsonl`` over an ``.xz`` feed via the streaming spool."""
     spool_xz_jsonl(xz_path, spool_dir, chunk_bytes=chunk_bytes)
     return read_jsonl(spark, spool_dir, schema)
 
 
-def read_jsonl(
-    spark: SparkSession, path: str, schema: T.StructType
-) -> tuple[DataFrame, DataFrame]:
-    """Read JSON-lines with an explicit schema into (good, corrupt).
+class JsonlScan(NamedTuple):
+    """(good, corrupt) views over one cached parse of a JSON-lines feed.
+
+    Both views filter the same cached parent frame; call ``release()``
+    once both are consumed. Unpersisting ``good`` or ``corrupt`` directly
+    is a no-op — Spark's CacheManager (cascade=false) only drops a cache
+    whose plan sameResults the argument, and the filtered views never
+    match the cached parent — which is exactly how a long-lived import
+    loop leaks one full-feed cache per cycle.
+    """
+
+    good: DataFrame
+    corrupt: DataFrame
+    parsed: DataFrame
+
+    def release(self) -> None:
+        """Drop the shared parse cache (the cached parent, not a view)."""
+        self.parsed.unpersist()
+
+
+def read_jsonl(spark: SparkSession, path: str, schema: T.StructType) -> JsonlScan:
+    """Read JSON-lines with an explicit schema into a ``JsonlScan``.
 
     Unparseable lines land in the corrupt DataFrame with the raw line
     preserved — the quarantine contract of SURVEY.md §2.2 P6. Gzip inputs
@@ -121,10 +140,9 @@ def read_jsonl(
     ships no xz codec.
 
     The parsed frame is cached so the good/corrupt split is one parse, not
-    two; ownership passes to the caller — unpersist either returned frame
-    (they share the cache) once both are consumed, as the feed-import
-    pipeline does. Long-lived sessions that skip this accumulate one
-    full-feed cache per call.
+    two; ownership passes to the caller — call ``scan.release()`` once
+    both views are consumed, as the feed-import pipeline does. Long-lived
+    sessions that skip this accumulate one full-feed cache per call.
     """
     full = T.StructType(schema.fields + [T.StructField(CORRUPT_COL, T.StringType())])
     df = (
@@ -132,11 +150,11 @@ def read_jsonl(
         .option("columnNameOfCorruptRecord", CORRUPT_COL)
         .schema(full)
         .json(path)
-        .cache()  # one parse feeding two outputs; caller unpersists
+        .cache()  # one parse feeding two outputs; caller releases
     )
     good = df.filter(df[CORRUPT_COL].isNull()).drop(CORRUPT_COL)
     corrupt = df.filter(df[CORRUPT_COL].isNotNull()).select(CORRUPT_COL)
-    return good, corrupt
+    return JsonlScan(good, corrupt, df)
 
 
 @dataclass

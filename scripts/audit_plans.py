@@ -62,6 +62,12 @@ ALLOWED: dict[str, dict[str, str]] = {
     "prefix_filter_jaccard_pairs": {
         "exchange-storm": "certification recomputes BOTH the shingle hub (df rank + prefix frames) and the ground-truth scored pair frame inline (each session-shared / materialized in production); the candidate join itself touches only prefix rows and every exchange ships (doc_id, shingle-hash, df) triples, never text"
     },
+    "shingle_novelty_by_source": {
+        "exchange-storm": "whichever shingle-family query the sweep audits FIRST carries the hub's build exchanges inline (session-shared after that, materialized in production); rotation reorders the sweep each round, so the first-consumer flag can land here — every exchange ships (doc_id|source, shingle-hash) pairs, never text"
+    },
+    "semantic_dedup_cells": {
+        "exchange-storm": "the SemDeDup shape itself: a k-row seed top-k, the assignment partial-agg (map-side-combined (vec_id, cell) rows), and ONE co-location shuffle of vectors by cell feeding the within-cell pair scan — that single vector shuffle is the algorithm's irreducible cost and replaces the all-pairs N^2 product"
+    },
     "source_boilerplate_fraction": {
         "exchange-storm": "the shingle hub is recomputed inline under the gate (session-shared in production) and feeds TWO consumers — the (source, shingle) document-frequency table and the per-doc join-back; every exchange ships (doc_id|source, shingle-hash) pairs, never text"
     },

@@ -78,10 +78,15 @@ def test_read_jsonl_quarantines_corrupt(spark, tmp_path):
     schema = T.StructType(
         [T.StructField("id", T.LongType()), T.StructField("name", T.StringType())]
     )
-    good, corrupt = read_jsonl(spark, str(p), schema)
-    assert {r["id"] for r in good.collect()} == {1, 2}
-    assert corrupt.count() == 1
-    assert "not json" in corrupt.collect()[0][0]
+    scan = read_jsonl(spark, str(p), schema)
+    assert {r["id"] for r in scan.good.collect()} == {1, 2}
+    assert scan.corrupt.count() == 1
+    assert "not json" in scan.corrupt.collect()[0][0]
+    # release() must drop the shared PARENT cache — unpersisting the
+    # filtered views is a CacheManager no-op (the feed-import leak class).
+    assert scan.parsed.storageLevel.useMemory
+    scan.release()
+    assert not scan.parsed.storageLevel.useMemory
 
 
 def test_read_jsonl_xz_spools_line_aligned_chunks(spark, tmp_path):
@@ -110,10 +115,11 @@ def test_read_jsonl_xz_spools_line_aligned_chunks(spark, tmp_path):
     schema = T.StructType(
         [T.StructField("id", T.LongType()), T.StructField("name", T.StringType())]
     )
-    good, corrupt = read_jsonl_xz(spark, str(xz), schema, str(tmp_path / "spool2"), chunk_bytes=2000)
-    assert good.count() == 199
-    assert corrupt.count() == 1
-    assert {r["id"] for r in good.collect()} == set(range(200)) - {50}
+    scan = read_jsonl_xz(spark, str(xz), schema, str(tmp_path / "spool2"), chunk_bytes=2000)
+    assert scan.good.count() == 199
+    assert scan.corrupt.count() == 1
+    assert {r["id"] for r in scan.good.collect()} == set(range(200)) - {50}
+    scan.release()
 
     rep = check_field_drift(spark, str(tmp_path / "spool2"), required={"id", "name"})
     assert rep.ok
