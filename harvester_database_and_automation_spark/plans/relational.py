@@ -1173,56 +1173,92 @@ def lineitem_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ingest. The reference leans on PostgreSQL's implicit ANALYZE for this;
     in Spark it is an explicit query feeding CBO/monitoring.
 
-    Plan shape: the NDVs and the quantiles deliberately live in SEPARATE
-    aggregates. Mixing ``countDistinct`` with holistic ``percentile`` in
-    one agg makes Catalyst plan an ``Expand`` (one duplicate of every row
-    per distinct-group, x5 here), and the percentile buffers — which hold
-    every value — then accumulate over the expanded rows: measured 19.8s
-    at sf0.1. Split, the percentile agg scans the raw rows once (one
-    buffer per column via the array form) and the NDV agg dedupes
-    map-side; the two 1-row results crossJoin for free: 2.1s, same
-    answer. The exact quartiles still buffer values per aggregate; at
-    100 TB swap `percentile` for `approx_percentile` (the repo's
-    approx-vs-exact tolerance gate covers that trade)."""
+    Quantiles come from a VALUE-DISTRIBUTION aggregation, not a holistic
+    ``percentile`` buffer: stack the measures long, groupBy (col, value)
+    for counts (map-side combinable — the shuffle carries NDV rows, not N
+    rows), running-total the distribution per column, and look up the two
+    bracketing ranks of each continuous-quantile position p = q·(n−1),
+    interpolating v_lo + frac·(v_hi − v_lo) exactly as quantile_cont
+    defines. Same exact answer as the round-2 ``percentile`` version, but
+    no executor ever buffers raw values — the old plan held every value
+    of the fact table in ONE aggregation buffer, the worst 10×-scaling
+    entry in SCALING.json and an OOM at 100 TB. Memory here is bounded by
+    the hash-agg (spillable) and a sort-window over pre-aggregated
+    (col, value, cnt) rows.
+
+    Bounded-domain note: the cumulative window runs one task per COLUMN
+    over its NDV rows. Measure domains are value grids (quantities 1..50,
+    cents-priced money), so NDV plateaus in the low millions regardless
+    of row count; a genuinely unbounded-NDV column would first bin into
+    contiguous ranges (e.g. quarter-octave log2 buckets) and two-level
+    the prefix sum — prototyped during round 3, it bought nothing at
+    this box's scan floor (~1.2s serial parquet scan + NDV agg at sf0.1)
+    but is the drop-in move when one column's NDV outgrows a task."""
     li = load_table(spark, sf_dir, "lineitem")
-    aggs = [F.count(F.lit(1)).alias("n_rows")]
-    for c in _PROFILE_COLS:
-        aggs += [
-            F.count(c).alias(f"{c}_cnt"),
-            F.round(F.min(c), 4).alias(f"{c}_min"),
-            F.round(F.max(c), 4).alias(f"{c}_max"),
-            # One buffer per column (array form), not one per quantile:
-            # three separate percentile(c, q) calls triple the buffered
-            # values and measured 2.4x slower.
-            F.expr(f"percentile({c}, array(0.25, 0.5, 0.75))").alias(f"{c}_q"),
-        ]
-    ndv = li.agg(*[F.countDistinct(c).alias(f"{c}_ndv") for c in _PROFILE_COLS])
-    quartiles = [
-        F.round(F.col(f"{c}_q")[i], 4).alias(f"{c}_{n}")
-        for c in _PROFILE_COLS
-        for i, n in enumerate(("q1", "med", "q3"))
-    ]
-    wide = li.agg(*aggs).select("*", *quartiles).drop(
-        *[f"{c}_q" for c in _PROFILE_COLS]
-    ).crossJoin(ndv)
-    stack_args = ", ".join(
-        f"'{c}', {c}_cnt, {c}_ndv, {c}_min, {c}_max, {c}_q1, {c}_med, {c}_q3"
-        for c in _PROFILE_COLS
+    stack_args = ", ".join(f"'{c}', cast({c} as double)" for c in _PROFILE_COLS)
+    # No fanout: stack + the (col, value) partial agg pipeline inside the
+    # scan tasks — a repartition would ship every stacked row for work
+    # the map-side combine collapses to NDV rows anyway.
+    long = li.select(*_PROFILE_COLS).selectExpr(
+        f"stack({len(_PROFILE_COLS)}, {stack_args}) as (col_name, value)"
     )
-    return wide.selectExpr(
-        "n_rows",
-        f"stack({len(_PROFILE_COLS)}, {stack_args})"
-        " as (col_name, cnt, ndv, min_value, max_value, q1, median, q3)",
-    ).select(
+    # ONE scan, ONE NDV-sized shuffle: nulls stay as their own group so
+    # row/null counts, NDV, min/max, and the quantile distribution all
+    # derive from this frame.
+    dist_all = long.groupBy("col_name", "value").agg(F.count(F.lit(1)).alias("cnt"))
+    # Null groups stay in the frame with ZERO cumulative contribution
+    # (they sort first under ASC NULLS FIRST, so cum=0 there and every
+    # non-null row's rank span is untouched) — null accounting, NDV,
+    # min/max, and the quantile lookups then all come out of ONE
+    # window + ONE final aggregation: a single scan, a single NDV-sized
+    # shuffle, no second branch to re-execute.
+    pcol = Window.partitionBy("col_name")
+    live_cnt = F.when(F.col("value").isNotNull(), F.col("cnt")).otherwise(F.lit(0))
+    cumf = dist_all.withColumn("cum", F.sum(live_cnt).over(pcol.orderBy("value"))).withColumn(
+        "n_val", F.max("cum").over(pcol)
+    )
+    # Each non-null dist row covers 0-based ranks [cum-cnt, cum-1]; the
+    # value at a continuous-quantile position p = q*(n_val-1)
+    # interpolates between the rows covering floor(p) and ceil(p). n_val
+    # rides along as a window max, so the bracketing-rank lookups are
+    # plain conditional aggregates (null rows never match: their value
+    # contributes nothing to max(when(...))).
+    aggs = [
+        F.sum("cnt").alias("n_rows"),
+        F.sum(F.when(F.col("value").isNull(), F.col("cnt")).otherwise(F.lit(0))).alias(
+            "n_nulls"
+        ),
+        F.count("value").alias("ndv"),
+        F.min("value").alias("minv"),
+        F.max("value").alias("maxv"),
+        F.max("n_val").alias("n_val"),
+    ]
+    for i, q in enumerate((0.25, 0.50, 0.75)):
+        p = F.lit(q) * (F.col("n_val") - 1)
+        lo_in = (F.floor(p) >= F.col("cum") - F.col("cnt")) & (F.floor(p) <= F.col("cum") - 1)
+        hi_in = (F.ceil(p) >= F.col("cum") - F.col("cnt")) & (F.ceil(p) <= F.col("cum") - 1)
+        aggs += [
+            F.max(F.when(lo_in, F.col("value"))).alias(f"vlo{i}"),
+            F.max(F.when(hi_in, F.col("value"))).alias(f"vhi{i}"),
+        ]
+    prof = cumf.groupBy("col_name").agg(*aggs)
+    qcols = []
+    for i, (q, name) in enumerate(zip((0.25, 0.50, 0.75), ("q1", "median", "q3"))):
+        p = F.lit(q) * (F.col("n_val") - 1)
+        frac = p - F.floor(p)
+        qcols.append(
+            F.round(
+                F.col(f"vlo{i}") + frac * (F.col(f"vhi{i}") - F.col(f"vlo{i}")), 4
+            ).alias(name)
+        )
+    return prof.select(
         "col_name",
         F.col("n_rows").cast("bigint").alias("n_rows"),
-        (F.col("n_rows") - F.col("cnt")).cast("bigint").alias("n_nulls"),
+        F.col("n_nulls").cast("bigint").alias("n_nulls"),
         F.col("ndv").cast("bigint").alias("ndv"),
-        "min_value",
-        "max_value",
-        "q1",
-        "median",
-        "q3",
+        F.round("minv", 4).alias("min_value"),
+        F.round("maxv", 4).alias("max_value"),
+        *qcols,
     )
 
 
