@@ -74,14 +74,33 @@ def _judge_only_verified() -> set[str]:
 _PINNED_UNTIL_GREEN = ["k6_geo_rules", "media_decode_stats"]
 
 
+def _longest_waiting() -> set[str]:
+    """Queries registered in a PRIOR round (they appear in the committed
+    full-inventory bench map) — when tied on zero driver greens, they
+    outrank queries first registered THIS round: the driver's capped
+    window should clear the oldest evidence gap first; a brand-new query
+    always gets the judge's own re-run in its debut round anyway."""
+    import json
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parents[2]
+    try:
+        bench = json.loads((repo / "BENCH_FULL.json").read_text())
+        return set(bench.get("queries", {}))
+    except (OSError, ValueError):
+        return set()
+
+
 def _rotate_least_verified_first() -> None:
     greens = _green_counts()
     judge_only = _judge_only_verified()
+    prior = _longest_waiting()
     ordered = sorted(
         QUERIES,
         key=lambda n: (
             0 if (n in _PINNED_UNTIL_GREEN and greens.get(n, 0) == 0) else 1,
             greens.get(n, 0),
+            0 if n in prior else 1,
             1 if n in judge_only else 0,
         ),
     )

@@ -733,6 +733,54 @@ def _sq8_sql(a: str, b: str) -> str:
     return " + ".join(f"({a}[{i}]-{b}[{i}])*({a}[{i}]-{b}[{i}])" for i in range(1, 9))
 
 
+def _pq_recon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector PQ reconstruction (vec_id, rv): 8 subspaces, per-label
+    exemplar codewords, encode-by-argmin, decode by concatenating the
+    winning codewords. Session-shared (like `_ivf_ranked`) because both
+    the flat ADC scan and the IVF-PQ composition consume it — in
+    production the stored artifact is the CODES table (8 B/vector) plus
+    the broadcast codebook, and decode happens in the scoring expression;
+    the reconstruction frame here is that decode, materialized once per
+    session."""
+
+    def build() -> DataFrame:
+        e = _emb(spark, sf_dir)
+        subs = F.broadcast(spark.range(8).select(F.col("id").cast("int").alias("m")))
+        subvec = e.crossJoin(subs).select(
+            "vec_id", "label", "m", F.slice("vec", F.col("m") * 8 + 1, 8).alias("sv")
+        )
+        ex = e.groupBy("label").agg(F.min("vec_id").alias("ex_id"))
+        cw = F.broadcast(
+            subvec.join(ex, subvec["vec_id"] == ex["ex_id"], "inner").select(
+                "m", F.col("sv").alias("cwv"), subvec["label"].alias("code")
+            )
+        )
+        d2 = sum(
+            (F.element_at("sv", i) - F.element_at("cwv", i))
+            * (F.element_at("sv", i) - F.element_at("cwv", i))
+            for i in range(1, 9)
+        )
+        dists = _fanout(subvec).join(cw, "m").select("vec_id", "m", "code", d2.alias("d2"))
+        codes = (
+            dists.groupBy("vec_id", "m")
+            .agg(F.min(F.struct("d2", "code")).alias("best"))
+            .select("vec_id", "m", F.col("best.code").alias("code"))
+        )
+        return (
+            codes.join(cw.select("m", "code", "cwv"), ["m", "code"])
+            .groupBy("vec_id")
+            .agg(
+                F.flatten(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("m", "cwv"))), lambda s: s["cwv"]
+                    )
+                ).alias("rv")
+            )
+        )
+
+    return shared_df(spark, ("pq_recon", sf_dir), build)
+
+
 @register(
     "pq_adc_topk",
     survey_ref="similarity-pq,J1,A10,W2",
@@ -794,40 +842,7 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     neighbor, then a per-query top-k window over Q x N narrow rows —
     vectors themselves never shuffle."""
     e = _emb(spark, sf_dir)
-    subs = F.broadcast(spark.range(8).select(F.col("id").cast("int").alias("m")))
-    subvec = e.crossJoin(subs).select(
-        "vec_id", "label", "m", F.slice("vec", F.col("m") * 8 + 1, 8).alias("sv")
-    )
-    ex = e.groupBy("label").agg(F.min("vec_id").alias("ex_id"))
-    cw = F.broadcast(
-        subvec.join(ex, subvec["vec_id"] == ex["ex_id"], "inner").select(
-            "m", F.col("sv").alias("cwv"), subvec["label"].alias("code")
-        )
-    )
-    d2 = sum(
-        (F.element_at("sv", i) - F.element_at("cwv", i))
-        * (F.element_at("sv", i) - F.element_at("cwv", i))
-        for i in range(1, 9)
-    )
-    dists = _fanout(subvec).join(cw, "m").select(
-        "vec_id", "m", "code", d2.alias("d2")
-    )
-    codes = (
-        dists.groupBy("vec_id", "m")
-        .agg(F.min(F.struct("d2", "code")).alias("best"))
-        .select("vec_id", "m", F.col("best.code").alias("code"))
-    )
-    recon = (
-        codes.join(cw.select("m", "code", "cwv"), ["m", "code"])
-        .groupBy("vec_id")
-        .agg(
-            F.flatten(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("m", "cwv"))), lambda s: s["cwv"]
-                )
-            ).alias("rv")
-        )
-    )
+    recon = _pq_recon(spark, sf_dir)
     # FIXED-size query sample: a `vec_id % m` slice makes the ADC scan
     # O(Q x N) = O(N^2/m) and is why this query scaled superlinearly; a
     # PQ scan is definitionally linear per query, so a constant query
@@ -840,6 +855,118 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scores = (
         queries.crossJoin(recon.withColumnRenamed("vec_id", "neighbor_id"))
         .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", _dot(F.col("qv"), F.col("rv")).alias("adc"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("adc").desc(), F.col("neighbor_id").asc())
+    return (
+        scores.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("query_id", "neighbor_id", "rk", F.round("adc", 6).alias("adc"))
+    )
+
+
+@register(
+    "ivfpq_adc_topk",
+    survey_ref="similarity-pq,similarity-ivf,J1,W2",
+    oracle=f"""
+WITH cents AS (
+  SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id < 8
+), vecs AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS vv FROM embeddings
+), vc AS (
+  SELECT vecs.vec_id, cents.cid,
+         {_COS_SQL.format(a='vecs.vv', b='cents.cv')} AS sim
+  FROM vecs CROSS JOIN cents
+), assign AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rk
+    FROM vc
+  ) t WHERE rk = 1
+), subs AS (SELECT unnest(generate_series(0, 7)) AS m),
+subvec AS (
+  SELECT vec_id, label, m, vv[m * 8 + 1 : m * 8 + 8] AS sv FROM vecs CROSS JOIN subs
+),
+ex AS (SELECT label, min(vec_id) AS ex_id FROM vecs GROUP BY label),
+cw AS (
+  SELECT s.m, s.label AS code, s.sv AS cwv
+  FROM subvec s JOIN ex ON ex.ex_id = s.vec_id
+),
+dists AS (
+  SELECT s.vec_id, s.m, c.code, {_sq8_sql('s.sv', 'c.cwv')} AS d2
+  FROM subvec s JOIN cw c ON c.m = s.m
+),
+codes AS (
+  SELECT vec_id, m, code FROM (
+    SELECT vec_id, m, code,
+           row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, code) AS rn
+    FROM dists
+  ) t WHERE rn = 1
+),
+recon AS (
+  SELECT codes.vec_id, flatten(list(c.cwv ORDER BY codes.m)) AS rv
+  FROM codes JOIN cw c ON c.m = codes.m AND c.code = codes.code
+  GROUP BY codes.vec_id
+),
+queries AS ({_query_sample_sql(100)}
+),
+probe AS (
+  SELECT query_id, cid AS cell FROM (
+    SELECT q.query_id, vc.cid,
+           row_number() OVER (PARTITION BY q.query_id ORDER BY vc.sim DESC, vc.cid) AS rk
+    FROM queries q JOIN vc ON vc.vec_id = q.query_id
+  ) t WHERE rk <= 2
+),
+cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id
+  FROM probe p JOIN assign a ON a.cell = p.cell
+  WHERE a.vec_id <> p.query_id
+),
+scores AS (
+  SELECT c.query_id, c.neighbor_id, list_dot_product(q.qv, r.rv) AS adc
+  FROM cand c
+  JOIN queries q ON q.query_id = c.query_id
+  JOIN recon r ON r.vec_id = c.neighbor_id
+)
+SELECT query_id, neighbor_id, rk, round(adc, 6) AS adc
+FROM (
+  SELECT query_id, neighbor_id, adc,
+         row_number() OVER (PARTITION BY query_id ORDER BY adc DESC, neighbor_id) AS rk
+  FROM scores
+) t WHERE rk <= 5
+""",
+)
+def ivfpq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ: the billion-vector deployment shape — the coarse inverted
+    file prunes the candidate set (probe each query's top-2 cells), and
+    PQ's asymmetric distance scores only those candidates from 8-byte
+    codes. Composes the two session-shared index frames the flat queries
+    maintain (`_ivf_ranked` for cells, `_pq_recon` for reconstructions):
+    per query the ADC scan touches ~2N/k cell members instead of the full
+    corpus, so total work is O(Q · N/k) narrow rows with the codebook and
+    query block broadcast — no vector ever shuffles, and the flat
+    `pq_adc_topk` remains the recall ceiling certification for this
+    composed index."""
+    e = _emb_with_norm(spark, sf_dir)
+    queries = _query_sample(e.select("vec_id", "vec", "norm"), 100).select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("qv"), F.col("norm").alias("qn")
+    )
+    ranked = _ivf_ranked(spark, sf_dir)
+    assign = ranked.filter(F.col("rk") == 1).select("vec_id", F.col("cid").alias("cell"))
+    probe = (
+        ranked.join(queries.select(F.col("query_id").alias("vec_id")), "vec_id", "inner")
+        .filter(F.col("rk") <= 2)
+        .select(F.col("vec_id").alias("query_id"), F.col("cid").alias("cell"))
+    )
+    cand = (
+        probe.join(assign, "cell", "inner")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    recon = _pq_recon(spark, sf_dir)
+    scores = (
+        cand.join(F.broadcast(queries.select("query_id", "qv")), "query_id")
+        .join(recon.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
         .select("query_id", "neighbor_id", _dot(F.col("qv"), F.col("rv")).alias("adc"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("adc").desc(), F.col("neighbor_id").asc())

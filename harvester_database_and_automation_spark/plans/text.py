@@ -1089,6 +1089,117 @@ def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "simhash64_hamming_pairs",
+    survey_ref="dedup-simhash,J1,A1",
+    oracle="""
+WITH bits AS (
+  SELECT doc_id, b,
+         CASE WHEN sum(CASE WHEN ((strpos('0123456789abcdef',
+                                          substr(md5(word), 1 + b // 4, 1)) - 1)
+                                  >> (b % 4)) & 1 = 1 THEN 1 ELSE -1 END) >= 0
+              THEN 1 ELSE 0 END AS bit
+  FROM (SELECT DISTINCT doc_id, word
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents) t) tok,
+       unnest(generate_series(0, 63)) AS u(b)
+  GROUP BY doc_id, b
+), sig AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN b < 32 THEN bit * (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS lo,
+         CAST(sum(CASE WHEN b >= 32 THEN bit * (CAST(1 AS BIGINT) << (b - 32)) ELSE 0 END) AS BIGINT) AS hi
+  FROM bits GROUP BY doc_id
+), bands AS (
+  SELECT doc_id, lo, hi, b AS band,
+         CASE b WHEN 0 THEN lo & 65535 WHEN 1 THEN (lo >> 16) & 65535
+                WHEN 2 THEN hi & 65535 ELSE (hi >> 16) & 65535 END AS band_val
+  FROM sig, unnest(generate_series(0, 3)) AS u(b)
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       CAST(bit_count(xor(sa.lo, sb.lo)) + bit_count(xor(sa.hi, sb.hi)) AS INT) AS hamming
+FROM cand c
+JOIN sig sa ON sa.doc_id = c.doc_a
+JOIN sig sb ON sb.doc_id = c.doc_b
+WHERE bit_count(xor(sa.lo, sb.lo)) + bit_count(xor(sa.hi, sb.hi)) <= 3
+""",
+)
+def simhash64_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCTION-width SimHash near-dup search: 64-bit signatures, four
+    16-bit pigeonhole bands, Hamming radius <= 3 — the band-widening move
+    the 32-bit query's docstring promises (`simhash_hamming_pairs`),
+    certified here: at 64 bits, 4 bands of 16 bits guarantee any pair
+    within distance 3 shares at least one identical band, and random
+    16-bit band collisions thin as 1/65536 of the pair space, so
+    candidate cost keeps tracking true near-dups as the corpus grows.
+
+    The signature is stored as TWO 32-bit words (lo, hi) rather than one
+    64-bit integer: bit 63 of an int64 is the sign bit, and DuckDB
+    rejects `1::BIGINT << 63` (signed overflow) where Spark wraps — the
+    word-array layout sidesteps the divergence and is how >64-bit
+    signatures lay out anyway. Same zero-shuffle per-document majority
+    fold as the narrower variants, one 64-slot count array per doc."""
+    docs = _fanout(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    cnts = docs.select(
+        "doc_id",
+        F.expr(
+            """
+            aggregate(
+              transform(array_distinct(split(text, ' ')),
+                        w -> struct(
+                          cast(conv(reverse(substr(md5(w), 1, 8)), 16, 10) as bigint) as lo,
+                          cast(conv(reverse(substr(md5(w), 9, 8)), 16, 10) as bigint) as hi)),
+              array_repeat(cast(0 as bigint), 64),
+              (acc, m) -> zip_with(acc, sequence(0, 63),
+                                   (a, b) -> a + if(b < 32, shiftright(m.lo, b) & 1,
+                                                    shiftright(m.hi, b - 32) & 1)))
+            """
+        ).alias("cnts"),
+        F.expr("size(array_distinct(split(text, ' ')))").alias("n_tok"),
+    )
+    word = (
+        "aggregate(zip_with(slice(cnts, {start}, 32), sequence(0, 31),"
+        " (c, b) -> if(2 * c >= n_tok, shiftleft(cast(1 as bigint), b), cast(0 as bigint))),"
+        " cast(0 as bigint), (x, y) -> x + y)"
+    )
+    sig = cnts.select(
+        "doc_id",
+        F.expr(word.format(start=1)).alias("lo"),
+        F.expr(word.format(start=33)).alias("hi"),
+    )
+    bands = sig.select(
+        "doc_id", "lo", "hi", F.explode(F.expr("sequence(0, 3)")).alias("band")
+    ).withColumn(
+        "band_val",
+        F.expr(
+            "case band when 0 then lo & 65535 when 1 then shiftright(lo, 16) & 65535"
+            " when 2 then hi & 65535 else shiftright(hi, 16) & 65535 end"
+        ),
+    )
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"), F.col("lo").alias("la"), F.col("hi").alias("ha"),
+        "band", "band_val",
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"), F.col("lo").alias("lb"), F.col("hi").alias("hb"),
+        "band", "band_val",
+    )
+    cand = (
+        a.join(b, ["band", "band_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "la", "ha", "lb", "hb")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("la").bitwiseXOR(F.col("lb"))) + F.bit_count(
+        F.col("ha").bitwiseXOR(F.col("hb"))
+    )
+    return cand.filter(hamming <= 3).select(
+        "doc_a", "doc_b", hamming.cast("int").alias("hamming")
+    )
+
+
+@register(
     "author_position_bridge",
     survey_ref="A1,A2,A3,O1",
     oracle="""

@@ -68,6 +68,9 @@ ALLOWED: dict[str, dict[str, str]] = {
     "semantic_dedup_cells": {
         "exchange-storm": "the SemDeDup shape itself: a k-row seed top-k, the assignment partial-agg (map-side-combined (vec_id, cell) rows), and ONE co-location shuffle of vectors by cell feeding the within-cell pair scan — that single vector shuffle is the algorithm's irreducible cost and replaces the all-pairs N^2 product"
     },
+    "ivfpq_adc_topk": {
+        "exchange-storm": "composes TWO session-shared index frames (inverted file + PQ reconstructions) that a first-consumer audit builds inline; in production both are maintained tables and only the probe join + ADC window execute — every exchange ships ids, codes, or (query, neighbor, adc) narrow rows"
+    },
     "source_boilerplate_fraction": {
         "exchange-storm": "the shingle hub is recomputed inline under the gate (session-shared in production) and feeds TWO consumers — the (source, shingle) document-frequency table and the per-doc join-back; every exchange ships (doc_id|source, shingle-hash) pairs, never text"
     },
