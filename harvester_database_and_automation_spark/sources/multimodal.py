@@ -5,23 +5,36 @@ pattern a 100TB training-data pipeline needs: Spark moves and filters the
 bytes, partition sizing keeps blobs off the driver, and all per-item
 compute runs as Arrow-batched ``mapInPandas`` stages.
 
-The actual codecs (PIL/ffmpeg/librosa) are NOT available in this
-container, so the decode step is STUBBED: ``decode_media`` raises
-NotImplementedError unless ``fake=True`` selects the deterministic fake
-decoder (byte statistics standing in for pixels/samples). The Spark-side
-contract — schemas, batch iteration, explode shapes, partitioning — is
-real and tested.
+Codec availability is probed at import (``PIL_AVAILABLE``): where Pillow
+is importable, ``fake=False`` runs a REAL image decode/resize through
+the same Arrow-batched stages; where it is not (this container),
+``fake=False`` raises NotImplementedError and ``fake=True`` selects the
+deterministic fake decoder (byte statistics standing in for
+pixels/samples). Audio/video codecs (ffmpeg/librosa) remain stubbed in
+both cases — their rows take the byte-stat path on the real decoder so
+a mixed-kind frame never kills the stage. The Spark-side contract —
+schemas, batch iteration, explode shapes, partitioning — is identical
+on every path and fully tested.
 """
 
 from __future__ import annotations
 
 import hashlib
+import io
 from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+try:  # optional image codec (environment rule: import-try, never install)
+    from PIL import Image as _PILImage
+
+    PIL_AVAILABLE = True
+except ImportError:
+    _PILImage = None
+    PIL_AVAILABLE = False
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -55,17 +68,45 @@ FEATURES_SCHEMA = "media_id long, features array<double>"
 def decode_media(df: DataFrame, fake: bool = False) -> DataFrame:
     """Decode binary media to per-item statistics.
 
-    Real decoding requires codec libraries that are not present in this
-    environment — calling with ``fake=False`` raises NotImplementedError.
-    ``fake=True`` runs the deterministic fake decoder (byte length, mean
-    byte value, sha256) through the SAME mapInPandas plumbing the real
-    decoder would use.
+    ``fake=False`` + Pillow importable: image rows REALLY decode —
+    pixels via ``PIL.Image`` (converted to 8-bit grayscale so the stat
+    columns stay one-byte-per-sample), stats computed over the DECODED
+    pixel bytes; audio/video rows fall back to raw-byte stats (their
+    codecs remain stubbed). ``fake=False`` without Pillow raises
+    NotImplementedError. ``fake=True`` always runs the deterministic
+    fake decoder (raw-byte length, mean, sha256) through the SAME
+    mapInPandas plumbing, any environment.
     """
-    if not fake:
+    if not fake and not PIL_AVAILABLE:
         raise NotImplementedError(
             "media codecs (PIL/ffmpeg) are not available in this environment; "
             "pass fake=True for the deterministic fake decoder"
         )
+    if not fake:
+
+        def _decode_real(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            from PIL import Image  # executor-side import
+
+            for pdf in batches:
+                samples = []
+                for kind, b in zip(pdf["kind"], pdf["content"]):
+                    b = b if b is not None else b""
+                    if kind == "image" and b:
+                        samples.append(Image.open(io.BytesIO(b)).convert("L").tobytes())
+                    else:
+                        samples.append(b)
+                yield pd.DataFrame(
+                    {
+                        "media_id": pdf["media_id"],
+                        "kind": pdf["kind"],
+                        "n_bytes": [len(s) for s in samples],
+                        "byte_sum": [sum(s) for s in samples],
+                        "mean_byte": [(sum(s) / len(s)) if s else 0.0 for s in samples],
+                        "content_sha256": [hashlib.sha256(s).hexdigest() for s in samples],
+                    }
+                )
+
+        return df.mapInPandas(_decode_real, schema=DECODED_SCHEMA)
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -130,17 +171,51 @@ def resize_images(df: DataFrame, width: int, height: int, fake: bool = False) ->
     ``content`` replaced by the resized bytes, meta.width/height updated,
     non-image rows passed through untouched.
 
-    Real resampling requires PIL/opencv, which are not present in this
-    environment — ``fake=False`` raises NotImplementedError. ``fake=True``
+    ``fake=False`` + Pillow importable: REAL resampling — decode, PIL
+    ``resize((width, height))``, re-encode in the source format (PNG
+    fallback when the container format is unknown to PIL). Without
+    Pillow, ``fake=False`` raises NotImplementedError and ``fake=True``
     runs a deterministic stand-in (stride-sampling the source bytes to
-    width*height) through the SAME Arrow-batched mapInPandas stage, nested
-    meta struct and all, so the plumbing is fully exercised.
+    width*height) through the SAME Arrow-batched mapInPandas stage,
+    nested meta struct and all, so the plumbing is fully exercised.
     """
-    if not fake:
+    if not fake and not PIL_AVAILABLE:
         raise NotImplementedError(
             "image resize requires PIL/opencv, which are not available in "
             "this environment; pass fake=True for the deterministic stand-in"
         )
+    if not fake:
+
+        def _resize_real(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            from PIL import Image  # executor-side import
+
+            def one(b: bytes) -> bytes:
+                img = Image.open(io.BytesIO(b))
+                fmt = img.format or "PNG"
+                buf = io.BytesIO()
+                img.resize((width, height)).save(buf, format=fmt)
+                return buf.getvalue()
+
+            for pdf in batches:
+                is_img = pdf["kind"] == "image"
+                content = [
+                    one(b) if (img and b) else b for img, b in zip(is_img, pdf["content"])
+                ]
+                meta = [
+                    {**m, "width": width, "height": height} if (img and m is not None) else m
+                    for img, m in zip(is_img, pdf["meta"])
+                ]
+                yield pd.DataFrame(
+                    {
+                        "media_id": pdf["media_id"],
+                        "kind": pdf["kind"],
+                        "content": content,
+                        "meta": meta,
+                    }
+                )
+
+        return df.mapInPandas(_resize_real, schema=MEDIA_SCHEMA)
+
     n_out = width * height
 
     def _stride_sample(b: bytes) -> bytes:

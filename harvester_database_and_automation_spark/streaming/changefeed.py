@@ -97,34 +97,42 @@ def streaming_change_router(
     )
 
 
+try:  # the StatefulProcessor ABC itself imports cleanly without protobuf
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor as _TWS_BASE
+except ImportError:  # pragma: no cover - very old pyspark
+    _TWS_BASE = object
+
+
+class ChangeRouter(_TWS_BASE):
+    """Same classification on the ``StatefulProcessor`` API: per-key
+    value state holds the last hash; rows fold in Arrow batch order.
+
+    Defined unconditionally: the processor's logic needs only pandas and
+    the handle protocol (getValueState -> exists/get/update), so the
+    no-protobuf environments can still drive it directly with a fake
+    handle (tests/test_streaming.py does exactly that as the fallback
+    assertion path); only ``transformWithStateInPandas`` itself — whose
+    Python worker speaks protobuf to the JVM — is gated."""
+
+    def init(self, handle) -> None:
+        self._last = handle.getValueState("last_hash", _STATE_SCHEMA)
+
+    def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+        last = self._last.get()[0] if self._last.exists() else None
+        ids, hashes, kinds = [], [], []
+        for pdf in rows:
+            batch_kinds, last = _classify(last, pdf["content_hash"])
+            ids.extend([key[0]] * len(pdf))
+            hashes.extend(pdf["content_hash"])
+            kinds.extend(batch_kinds)
+        self._last.update((last,))
+        yield pd.DataFrame({"id": ids, "content_hash": hashes, "change_kind": kinds})
+
+    def close(self) -> None:
+        pass
+
+
 if TWS_AVAILABLE:  # pragma: no cover - container lacks protobuf
-    from pyspark.sql.streaming.stateful_processor import (
-        StatefulProcessor,
-        StatefulProcessorHandle,
-    )
-
-    class ChangeRouter(StatefulProcessor):
-        """Same classification on the ``StatefulProcessor`` API: per-key
-        value state holds the last hash; rows fold in Arrow batch order."""
-
-        def init(self, handle: StatefulProcessorHandle) -> None:
-            self._last = handle.getValueState("last_hash", _STATE_SCHEMA)
-
-        def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
-            last = self._last.get()[0] if self._last.exists() else None
-            ids, hashes, kinds = [], [], []
-            for pdf in rows:
-                batch_kinds, last = _classify(last, pdf["content_hash"])
-                ids.extend([key[0]] * len(pdf))
-                hashes.extend(pdf["content_hash"])
-                kinds.extend(batch_kinds)
-            self._last.update((last,))
-            yield pd.DataFrame(
-                {"id": ids, "content_hash": hashes, "change_kind": kinds}
-            )
-
-        def close(self) -> None:
-            pass
 
     def streaming_change_router_tws(
         keyed: DataFrame, id_col: str = "id", hash_col: str = "content_hash"

@@ -446,15 +446,54 @@ def test_streaming_change_router_classifies_against_state(spark, tmp_path):
 
 
 def test_streaming_change_router_tws_variant(spark, tmp_path):
-    """The transformWithStateInPandas variant — exercised only where its
-    protobuf dependency exists (this container lacks it; the operator is
-    gated per the environment rules)."""
-    import pytest as _pytest
+    """The transformWithStateInPandas variant. Where the protobuf worker
+    dependency exists, run the real streaming query; otherwise fall back
+    to driving the StatefulProcessor directly with a fake state handle —
+    the classification + state protocol (init/handleInputRows/state
+    persistence across batches) is asserted either way, so no
+    environment skips the operator's logic."""
+    import pandas as pd
 
     from harvester_database_and_automation_spark.streaming import changefeed
 
     if not changefeed.TWS_AVAILABLE:
-        _pytest.skip("google.protobuf not installed; transformWithState gated off")
+        # Fallback assertion path: protocol-level drive of ChangeRouter.
+        class FakeValueState:
+            def __init__(self):
+                self._v = None
+
+            def exists(self):
+                return self._v is not None
+
+            def get(self):
+                return self._v
+
+            def update(self, v):
+                self._v = v
+
+        class FakeHandle:
+            def __init__(self):
+                self.states = {}
+
+            def getValueState(self, name, schema):
+                return self.states.setdefault(name, FakeValueState())
+
+        handle = FakeHandle()
+        router = changefeed.ChangeRouter()
+        router.init(handle)
+
+        def drive(hashes):
+            out = list(router.handleInputRows(("s1",), [pd.DataFrame({"content_hash": hashes})], None))
+            return list(pd.concat(out)["change_kind"])
+
+        # Batch 1: first sight inserts, immediate re-arrival unchanged.
+        assert drive(["h1", "h1"]) == ["insert", "unchanged"]
+        # Batch 2 (state persisted in the handle): same hash unchanged,
+        # new hash update, then unchanged against the NEW hash.
+        assert drive(["h1", "h9", "h9"]) == ["unchanged", "update", "unchanged"]
+        assert handle.states["last_hash"].get() == ("h9",)
+        router.close()
+        return
 
     src = tmp_path / "feed"
     src.mkdir()
