@@ -979,12 +979,20 @@ GROUP BY o_orderpriority
 )
 def order_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact continuous percentile (percentile_cont within group,
-    database/sql/spectrum/usage_statistics.sql:56-62). At 100TB use
-    percentile_approx."""
+    database/sql/spectrum/usage_statistics.sql:56-62) via the shared
+    distribution-based quantile (`group_quantiles_exact`) — same exact
+    answer as holistic ``percentile`` but no per-group value buffer, so
+    a group of any size stays executor-memory-safe at 100 TB."""
+    from harvester_database_and_automation_spark.plans.shared import group_quantiles_exact
+
     o = load_table(spark, sf_dir, "orders")
-    return o.groupBy("o_orderpriority").agg(
-        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("median_price"),
-        F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90_price"),
+    qv = group_quantiles_exact(
+        o.select("o_orderpriority", "o_totalprice"), ["o_orderpriority"], "o_totalprice", [0.5, 0.9]
+    )
+    return qv.select(
+        "o_orderpriority",
+        F.round("q0", 4).alias("median_price"),
+        F.round("q1", 4).alias("p90_price"),
     )
 
 

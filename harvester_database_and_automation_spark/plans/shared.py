@@ -82,6 +82,52 @@ def shared_df(spark: SparkSession, key: tuple, builder: Callable[[], DataFrame])
     return df
 
 
+def group_quantiles_exact(df: DataFrame, group_cols: list, value_col: str, qs: list):
+    """EXACT continuous quantiles per group without holistic buffers.
+
+    ``percentile(col, q)`` buffers every value of a group in one
+    aggregation buffer — an executor-memory bomb on large groups (the
+    lesson of `lineitem_column_profile`, SCALING.json's former worst
+    entry). Instead: aggregate the VALUE DISTRIBUTION (groupBy value —
+    map-side combinable, the shuffle carries NDV rows), running-total it
+    per group, and read the two ranks bracketing each continuous
+    position p = q·(n−1) with conditional aggregates, interpolating
+    v_lo + frac·(v_hi − v_lo) exactly as quantile_cont defines. Nulls
+    are dropped first (quantile semantics). Returns one row per group
+    with columns q0..q{len(qs)-1}; memory is bounded by the spillable
+    hash agg and a sort window over pre-aggregated rows."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    dist = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(*group_cols, value_col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy(*group_cols)
+    cumf = dist.withColumn("cum", F.sum("cnt").over(w.orderBy(value_col))).withColumn(
+        "n_val", F.max("cum").over(w)
+    )
+    aggs = [F.max("n_val").alias("_n_val")]
+    for i, q in enumerate(qs):
+        p = F.lit(q) * (F.col("n_val") - 1)
+        lo_in = (F.floor(p) >= F.col("cum") - F.col("cnt")) & (F.floor(p) <= F.col("cum") - 1)
+        hi_in = (F.ceil(p) >= F.col("cum") - F.col("cnt")) & (F.ceil(p) <= F.col("cum") - 1)
+        aggs += [
+            F.max(F.when(lo_in, F.col(value_col))).alias(f"_vlo{i}"),
+            F.max(F.when(hi_in, F.col(value_col))).alias(f"_vhi{i}"),
+        ]
+    prof = cumf.groupBy(*group_cols).agg(*aggs)
+    out = []
+    for i, q in enumerate(qs):
+        p = F.lit(q) * (F.col("_n_val") - 1)
+        frac = p - F.floor(p)
+        out.append(
+            (F.col(f"_vlo{i}") + frac * (F.col(f"_vhi{i}") - F.col(f"_vlo{i}"))).alias(f"q{i}")
+        )
+    return prof.select(*group_cols, *out)
+
+
 def clear_shared(spark: SparkSession) -> None:
     """Unpersist and drop every shared subplan (test isolation hook)."""
     cache: dict = spark.__dict__.pop(_ATTR, {})
