@@ -335,3 +335,41 @@ def test_clamped_balance_closed_form_equals_sequential_fold(spark):
     for r in out:
         b, p = seq[r["user_id"]]
         assert (r["final_balance_cents"], r["peak_balance_cents"]) == (b, p), r
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b"]),
+            st.integers(min_value=-50, max_value=50),
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_group_quantiles_exact_matches_numpy_linear(spark, rows):
+    """The distribution-based quantile (plans/shared.group_quantiles_exact)
+    must equal numpy's 'linear' percentile — the same continuous
+    definition quantile_cont uses — per group, including duplicate-heavy
+    multisets and singleton groups."""
+    import numpy as np
+
+    from harvester_database_and_automation_spark.plans.shared import group_quantiles_exact
+
+    qs = [0.0, 0.25, 0.5, 0.9, 1.0]
+    df = spark.createDataFrame(
+        [(g, float(v)) for g, v in rows], "g string, v double"
+    )
+    got = {
+        r["g"]: [r[f"q{i}"] for i in range(len(qs))]
+        for r in group_quantiles_exact(df, ["g"], "v", qs).collect()
+    }
+    byg = {}
+    for g, v in rows:
+        byg.setdefault(g, []).append(float(v))
+    assert set(got) == set(byg)
+    for g, vs in byg.items():
+        want = [float(np.percentile(vs, q * 100, method="linear")) for q in qs]
+        for w, h in zip(want, got[g]):
+            assert abs(w - h) < 1e-9, (g, vs, want, got[g])
