@@ -61,3 +61,51 @@ def bucketed_range_join(
         F.abs(F.col(left_point) - F.col(right_point)) <= width
     )
     return joined.drop("_rj_bucket")
+
+
+def interval_containment_join(
+    intervals: DataFrame,
+    points: DataFrame,
+    start_col: str,
+    end_col: str,
+    point_col: str,
+    bucket_width: float,
+    extra_on: list[str] | None = None,
+) -> DataFrame:
+    """Inner-join variable-length intervals to the points they CONTAIN
+    (``start <= point <= end``, plus optional ``extra_on`` equi-keys)
+    without a nested loop.
+
+    The interval side explodes to every bucket its span overlaps
+    (``floor(start/w) .. floor(end/w)`` — replication cost is total
+    interval length / width, so pick ``bucket_width`` near the typical
+    interval length); each point lands in exactly ONE bucket, so every
+    qualifying (interval, point) pair meets in precisely the point's
+    bucket — no dedup pass needed. The equi-join on bucket makes the
+    cost collisions-per-bucket, never |intervals| x |points|.
+
+    Degenerate intervals (``end < start``) are dropped up front: they
+    can contain nothing, and Spark's ``sequence(a, b)`` runs DESCENDING
+    when b < a instead of returning an empty array."""
+    if bucket_width <= 0:
+        raise ValueError("bucket_width must be positive")
+    extra = extra_on or []
+    overlap = (set(intervals.columns) & set(points.columns)) - set(extra)
+    if overlap:
+        raise ValueError(f"rename overlapping columns first: {sorted(overlap)}")
+    width = F.lit(bucket_width)
+    iv = intervals.filter(F.col(end_col) >= F.col(start_col)).withColumn(
+        "_ij_bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(start_col) / width).cast("long"),
+                F.floor(F.col(end_col) / width).cast("long"),
+            )
+        ),
+    )
+    pt = points.withColumn("_ij_bucket", F.floor(F.col(point_col) / width).cast("long"))
+    return (
+        iv.join(pt, ["_ij_bucket", *extra], "inner")
+        .filter((F.col(point_col) >= F.col(start_col)) & (F.col(point_col) <= F.col(end_col)))
+        .drop("_ij_bucket")
+    )

@@ -2044,6 +2044,78 @@ def event_concurrency_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "signup_purchase_window_join",
+    survey_ref="range-join,J2,A1",
+    oracle="""
+WITH s AS (
+  SELECT event_id AS signup_id, user_id,
+         datediff('second', TIMESTAMP '2024-01-01', ts) AS s0
+  FROM events WHERE event_type = 'signup'
+), p AS (
+  SELECT user_id, datediff('second', TIMESTAMP '2024-01-01', ts) AS ps,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT s.signup_id, s.user_id,
+       CAST(count(p.ps) AS BIGINT) AS n_purchases_48h,
+       CAST(COALESCE(sum(p.cents), 0) AS BIGINT) AS cents_48h
+FROM s LEFT JOIN p
+  ON p.user_id = s.user_id AND p.ps >= s.s0 AND p.ps <= s.s0 + 172800
+GROUP BY s.signup_id, s.user_id
+""",
+)
+def signup_purchase_window_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-containment join: every purchase inside the 48-hour
+    window opened by each signup of the same user (trial-conversion
+    attribution). This is the VARIABLE-interval sibling of the
+    fixed-distance `event_concurrency_window`: a bare
+    ``p.ts BETWEEN s.ts AND s.ts + interval`` predicate plans as a
+    nested loop per user at scale, so the interval side explodes to the
+    time buckets its span overlaps and the join runs as an equi-join on
+    (user_id, bucket) with an exact post-filter
+    (`operators/rangejoin.interval_containment_join`) — each qualifying
+    pair meets in exactly the purchase's bucket, so no dedup pass.
+    Zero-purchase signups are restored by a final left join against the
+    signup spine; cents are exact integers so the sums hash identically.
+    """
+    from harvester_database_and_automation_spark.operators.rangejoin import (
+        interval_containment_join,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    sec = F.expr("timestampdiff(SECOND, TIMESTAMP_NTZ'2024-01-01 00:00:00', ts)")
+    window_s = 172800
+    signups = e.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"),
+        "user_id",
+        sec.cast("double").alias("s0"),
+        (sec + window_s).cast("double").alias("s1"),
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        sec.cast("double").alias("ps"),
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    hits = interval_containment_join(
+        signups, purchases, "s0", "s1", "ps", float(window_s), extra_on=["user_id"]
+    )
+    counted = hits.groupBy("signup_id", "user_id").agg(
+        F.count(F.lit(1)).alias("n_purchases_48h"),
+        F.sum("cents").alias("cents_48h"),
+    )
+    return (
+        signups.select("signup_id", "user_id")
+        .join(counted, ["signup_id", "user_id"], "left")
+        .select(
+            "signup_id",
+            "user_id",
+            F.coalesce(F.col("n_purchases_48h"), F.lit(0)).cast("bigint").alias("n_purchases_48h"),
+            F.coalesce(F.col("cents_48h"), F.lit(0)).cast("bigint").alias("cents_48h"),
+        )
+    )
+
+
+@register(
     "user_rolling_7day_value",
     survey_ref="W-range-frame,A1",
     oracle="""

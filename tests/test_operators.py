@@ -862,3 +862,50 @@ def test_fuzzy_join_rejects_reserved_columns(spark):
     right = spark.createDataFrame([("abd",)], "rname string")
     with _pytest.raises(ValueError, match="_fz_rid"):
         fuzzy_join(left, right, "lname", "rname")
+
+
+def test_interval_containment_join_matches_naive(spark):
+    """Variable-length intervals x points, exactly-once semantics,
+    degenerate (end < start) intervals dropped, extra equi-key honoured."""
+    import itertools
+
+    from harvester_database_and_automation_spark.operators.rangejoin import (
+        interval_containment_join,
+    )
+
+    ivs = [
+        # (id, key, start, end) — lengths from 0 to 7x the bucket width
+        (1, "a", 0.0, 10.0),
+        (2, "a", 5.0, 45.0),
+        (3, "b", 5.0, 45.0),
+        (4, "a", 60.0, 60.0),
+        (5, "a", 100.0, 30.0),   # degenerate: drops
+        (6, "b", -25.0, 415.0),  # long interval spanning many buckets
+    ]
+    pts = [
+        (101, "a", 0.0), (102, "a", 10.0), (103, "a", 30.0), (104, "b", 30.0),
+        (105, "a", 60.0), (106, "b", 400.0), (107, "a", -20.0), (108, "b", -26.0),
+    ]
+    intervals = spark.createDataFrame(ivs, "iid int, k string, s double, e double")
+    points = spark.createDataFrame(pts, "pid int, k string, p double")
+    out = interval_containment_join(intervals, points, "s", "e", "p", 60.0, extra_on=["k"])
+    got = {(r["iid"], r["pid"]) for r in out.collect()}
+    want = {
+        (iid, pid)
+        for (iid, ik, s, e), (pid, pk, p) in itertools.product(ivs, pts)
+        if ik == pk and s <= p <= e
+    }
+    assert got == want
+    assert out.count() == len(want)  # exactly-once despite bucket replication
+
+
+def test_interval_containment_join_no_nested_loop_plan(spark):
+    from harvester_database_and_automation_spark.operators.rangejoin import (
+        interval_containment_join,
+    )
+
+    intervals = spark.range(100).selectExpr("id AS iid", "CAST(id * 10 AS DOUBLE) AS s",
+                                            "CAST(id * 10 + 25 AS DOUBLE) AS e")
+    points = spark.range(100).selectExpr("id AS pid", "CAST(id * 7 AS DOUBLE) AS p")
+    plan = interval_containment_join(intervals, points, "s", "e", "p", 25.0)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
