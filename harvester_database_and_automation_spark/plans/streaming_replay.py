@@ -118,3 +118,136 @@ def streaming_change_router_replay(spark: SparkSession, sf_dir: str) -> DataFram
     )
     q.awaitTermination()
     return spark.read.parquet(out).select("id", "content_hash", "change_kind")
+
+
+def _spool_batches(spark: SparkSession, root: str, batches) -> str:
+    """Write each batch DataFrame as ONE json file under root/feed with
+    ascending mtimes (FileStreamSource processes oldest first), via a
+    Spark write + rename — no driver-side row collection."""
+    import glob
+    import shutil
+
+    feed = os.path.join(root, "feed")
+    os.makedirs(feed)
+    for i, df in enumerate(batches):
+        stage = os.path.join(root, f"stage_{i}")
+        df.coalesce(1).write.json(stage)
+        part = glob.glob(os.path.join(stage, "part-*"))[0]
+        dst = os.path.join(feed, f"batch_{i}.json")
+        shutil.move(part, dst)
+        os.utime(dst, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+    return feed
+
+
+@register(
+    "streaming_watermark_window_replay",
+    survey_ref="streaming-watermark,A1,late-data",
+    oracle="""
+WITH ev AS (
+  SELECT datediff('second', TIMESTAMP '2024-01-01', ts) AS s, event_type,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+),
+b0 AS (SELECT * FROM ev WHERE s < 1296000),
+b1 AS (SELECT * FROM ev WHERE s >= 1296000 AND s < 1900800),
+b2 AS (SELECT * FROM ev WHERE s >= 1900800
+       UNION ALL SELECT * FROM ev WHERE s < 259200),
+-- Spark's two-watermark rule (SPARK-40925): batch N's LATE filter uses
+-- the watermark IN EFFECT DURING batch N-1 (max event time through
+-- batch N-2, minus the delay). Batches 0 and 1 therefore drop nothing;
+-- batch 2's replays are filtered against max(b0) - 2h.
+wmb1 AS (SELECT max(s) - 7200 AS w FROM b0),
+kept AS (
+  SELECT * FROM b0
+  UNION ALL
+  SELECT * FROM b1
+  UNION ALL
+  SELECT b2.s, b2.event_type, b2.cents FROM b2, wmb1
+  WHERE b2.s - b2.s % 3600 + 3600 > wmb1.w
+),
+-- Append-mode emission: the final no-data batch advances the watermark
+-- to max(all) - 2h and emits exactly the windows closed under it.
+wmf AS (SELECT max(s) - 7200 AS w FROM ev),
+agg AS (
+  SELECT CAST(s - s % 3600 AS BIGINT) AS window_start_s,
+         CAST(s - s % 3600 + 3600 AS BIGINT) AS window_end_s,
+         event_type,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(sum(cents) AS BIGINT) AS total_cents
+  FROM kept GROUP BY 1, 2, 3
+)
+SELECT window_start_s, window_end_s, event_type, n_events, total_cents
+FROM agg, wmf WHERE window_end_s <= wmf.w
+""",
+)
+def streaming_watermark_window_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark semantics, hash-certified: THREE micro-batches through
+    the watermarked tumbling-window aggregation (`streaming/windows.py`).
+    Batch 0 = events before Jan 16, batch 1 = Jan 16-22, batch 2 = the
+    remainder PLUS A REPLAY of the pre-Jan-4 rows — those duplicates
+    arrive ~12 days behind the late-event watermark and the engine MUST
+    drop them; if it failed, every early window's counts would double
+    and the value hash would diverge. Three batches because of Spark's
+    two-watermark rule (SPARK-40925, verified empirically here): batch
+    N's LATE filter uses the watermark in effect during batch N-1 (max
+    event time through batch N-2 − delay), while state EVICTION uses the
+    current watermark — so replays must arrive two batches after the
+    data that establishes the horizon. The oracle states the full
+    discipline relationally: the late rule (window_end > filter
+    watermark keeps a row), the emission rule (append mode emits windows
+    with end <= final watermark — the trailing ~2h of windows stay open
+    and unemitted even at stream end).
+
+    Scale shape: state is one row per (window, key) bounded by the
+    watermark horizon; the spool is Spark-written (coalesce+rename), no
+    driver collection at any corpus size. The event-time column travels
+    as INTEGER seconds-since-2024 and converts to an instant with
+    ``timestamp_seconds`` (withWatermark requires TIMESTAMP, not NTZ);
+    window boundaries come back out as integer seconds via
+    ``unix_timestamp``, so no timezone rendering touches the contract
+    under any driver session TZ."""
+    from harvester_database_and_automation_spark.streaming.windows import (
+        windowed_event_counts,
+    )
+
+    epoch_2024 = 1_704_067_200  # 2024-01-01T00:00:00Z (hour-aligned)
+    e = load_table(spark, sf_dir, "events").select(
+        F.expr("timestampdiff(SECOND, TIMESTAMP_NTZ'2024-01-01 00:00:00', ts)")
+        .cast("long")
+        .alias("s"),
+        "event_type",
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    b0 = e.filter(F.col("s") < 1_296_000)
+    b1 = e.filter((F.col("s") >= 1_296_000) & (F.col("s") < 1_900_800))
+    b2 = e.filter(F.col("s") >= 1_900_800).unionByName(e.filter(F.col("s") < 259_200))
+
+    root = tempfile.mkdtemp(prefix="wm_replay_")
+    feed = _spool_batches(spark, root, [b0, b1, b2])
+    stream = (
+        spark.readStream.schema("s long, event_type string, cents long")
+        .option("maxFilesPerTrigger", 1)
+        .json(feed)
+        .withColumn("ts", F.timestamp_seconds(F.col("s") + epoch_2024))
+    )
+    agg = windowed_event_counts(
+        stream, ts_col="ts", key_col="event_type", window="1 hour",
+        watermark="2 hours", value_col="cents",
+    )
+    out = os.path.join(root, "windows")
+    q = (
+        agg.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out).select(
+        (F.unix_timestamp("window_start") - epoch_2024).cast("bigint").alias("window_start_s"),
+        (F.unix_timestamp("window_end") - epoch_2024).cast("bigint").alias("window_end_s"),
+        "event_type",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.col("total_value").cast("bigint").alias("total_cents"),
+    )
