@@ -76,20 +76,26 @@ _PINNED_UNTIL_GREEN = ["k6_geo_rules", "media_decode_stats"]
 
 
 def _longest_waiting() -> set[str]:
-    """Queries registered in a PRIOR round (they appear in the committed
-    full-inventory bench map) — when tied on zero driver greens, they
-    outrank queries first registered THIS round: the driver's capped
-    window should clear the oldest evidence gap first; a brand-new query
-    always gets the judge's own re-run in its debut round anyway."""
+    """Queries registered in a PRIOR round — when tied on zero driver
+    greens, they outrank queries first registered THIS round: the
+    driver's capped window should clear the oldest evidence gap first; a
+    brand-new query always gets the judge's own re-run in its debut
+    round anyway. The prior inventory comes from FROZEN per-round
+    snapshots (rotation_inventory_r*.json, written from the round-end
+    commit), NOT the rolling BENCH_FULL.json — a mid-round bench refresh
+    would otherwise promote same-round registrations into the 'waiting
+    longest' tier and displace genuinely older queries from the window."""
     import json
     from pathlib import Path
 
-    repo = Path(__file__).resolve().parents[2]
-    try:
-        bench = json.loads((repo / "BENCH_FULL.json").read_text())
-        return set(bench.get("queries", {}))
-    except (OSError, ValueError):
-        return set()
+    here = Path(__file__).resolve().parent
+    names: set[str] = set()
+    for snap in sorted(here.glob("rotation_inventory_r*.json")):
+        try:
+            names |= set(json.loads(snap.read_text()).get("queries", []))
+        except (OSError, ValueError):
+            continue
+    return names
 
 
 def _rotate_least_verified_first() -> None:
