@@ -251,3 +251,73 @@ def streaming_watermark_window_replay(spark: SparkSession, sf_dir: str) -> DataF
         F.col("n_events").cast("bigint").alias("n_events"),
         F.col("total_value").cast("bigint").alias("total_cents"),
     )
+
+
+@register(
+    "streaming_dedup_replay",
+    survey_ref="streaming-dedup,dedup-exact,A10",
+    oracle="""
+WITH fe AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+)
+SELECT user_id, event_type AS first_type FROM fe WHERE rn = 1
+""",
+)
+def streaming_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once streaming dedup, hash-certified: three micro-batches
+    of each user's canonical row (user_id + first event type) with
+    duplicates WITHIN batch 0 (every row written twice) and ACROSS all
+    three batches (overlapping user groups), pushed through
+    ``dropDuplicatesWithinWatermark`` (`streaming/dedup.py`). The output
+    must contain every user's row EXACTLY once — a failure of the
+    cross-batch key state would re-emit the overlap groups and break
+    both the row count and the hash. Duplicate instances are bytewise
+    identical, so which instance survives is immaterial; event time is
+    constant so no row is late and no state evicts — the late/eviction
+    discipline is certified separately by
+    `streaming_watermark_window_replay`.
+
+    Scale shape: state is one entry per key inside the horizon; each
+    batch shuffles only (user_id, type) pairs; the spool is
+    Spark-written."""
+    from pyspark.sql import Window
+
+    from harvester_database_and_automation_spark.streaming.dedup import dedup_within_watermark
+
+    e = load_table(spark, sf_dir, "events")
+    canonical = (
+        e.withColumn(
+            "rn", F.row_number().over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        )
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("first_type"), F.lit(0).alias("s"))
+    )
+    g = F.col("user_id") % 3
+    b0 = canonical.filter(g != 2)
+    b0 = b0.unionByName(b0)  # within-batch duplicates
+    b1 = canonical.filter(g != 0)
+    b2 = canonical
+
+    root = tempfile.mkdtemp(prefix="dedup_replay_")
+    feed = _spool_batches(spark, root, [b0, b1, b2])
+    stream = (
+        spark.readStream.schema("user_id long, first_type string, s long")
+        .option("maxFilesPerTrigger", 1)
+        .json(feed)
+        .withColumn("ts", F.timestamp_seconds(F.col("s") + 1_704_067_200))
+    )
+    deduped = dedup_within_watermark(stream, ["user_id"], ts_col="ts", watermark="2 hours")
+    out = os.path.join(root, "deduped")
+    q = (
+        deduped.select("user_id", "first_type")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out).select("user_id", "first_type")
