@@ -321,3 +321,91 @@ def streaming_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.read.parquet(out).select("user_id", "first_type")
+
+
+@register(
+    "streaming_upsert_publish_replay",
+    survey_ref="M1,M4,streaming-ingest",
+    oracle="""
+WITH fe AS (
+  SELECT user_id, event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn_a,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM events
+), firsts AS (SELECT user_id, event_type, cents FROM fe WHERE rn_a = 1),
+   lasts  AS (SELECT user_id, event_type, cents FROM fe WHERE rn_d = 1)
+SELECT f.user_id,
+       CASE WHEN f.user_id % 3 = 0 THEN f.event_type ELSE l.event_type END AS etype,
+       CAST(CASE WHEN f.user_id % 3 = 0 THEN f.cents ELSE l.cents END AS BIGINT) AS cents
+FROM firsts f JOIN lasts l ON l.user_id = f.user_id
+""",
+)
+def streaming_upsert_publish_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming WRITE path, hash-certified end-to-end: three
+    micro-batches flow through the foreachBatch merge-upsert sink
+    (`streaming/upsert_sink.py` -> `operators/merge.merge_upsert` ->
+    `operators/publish.publish_versioned`), each batch atomically
+    republishing the table. Batch 0 inserts every user's FIRST-event row;
+    batches 1 and 2 overwrite users with user_id % 3 == 1 and == 2
+    respectively with their LAST-event row. The final published table is
+    therefore a MIXTURE no single batch contains — first-event rows for
+    the %3==0 third, last-event rows for the rest — so a broken merge
+    (lost inserts, unmatched overwrites, a reprocessed ledger entry) or
+    a non-atomic publish diverges from the relational oracle.
+
+    Scale shape: the file-source checkpoint is the processed-file
+    ledger; every micro-batch runs the SAME batch merge the batch
+    importers use (one write path, one conflict rule); the published
+    table swaps atomically per version."""
+    from pyspark.sql import Window
+
+    from harvester_database_and_automation_spark.operators.publish import read_published
+    from harvester_database_and_automation_spark.streaming.upsert_sink import (
+        stream_upsert_into_published,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    fe = e.withColumn(
+        "rn_a", F.row_number().over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+    ).withColumn(
+        "rn_d",
+        F.row_number().over(
+            Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+        ),
+    )
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents")
+    firsts = fe.filter(F.col("rn_a") == 1).select(
+        "user_id", F.col("event_type").alias("etype"), cents
+    )
+    lasts = fe.filter(F.col("rn_d") == 1).select(
+        "user_id", F.col("event_type").alias("etype"), cents
+    )
+    b0 = firsts
+    b1 = lasts.filter(F.col("user_id") % 3 == 1)
+    b2 = lasts.filter(F.col("user_id") % 3 == 2)
+
+    root = tempfile.mkdtemp(prefix="upsert_replay_")
+    feed = _spool_batches(spark, root, [b0, b1, b2])
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("etype", T.StringType()),
+            T.StructField("cents", T.LongType()),
+        ]
+    )
+    table = os.path.join(root, "published")
+    stream_upsert_into_published(
+        spark,
+        feed,
+        schema,
+        os.path.join(root, "ckpt"),
+        table,
+        keys=["user_id"],
+        fmt="json",
+        reader_options={"maxFilesPerTrigger": "1"},
+    )
+    return read_published(spark, table).select(
+        "user_id", "etype", F.col("cents").cast("bigint").alias("cents")
+    )
