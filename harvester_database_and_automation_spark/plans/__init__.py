@@ -15,6 +15,7 @@ from harvester_database_and_automation_spark.plans import multimodal  # noqa: E4
 from harvester_database_and_automation_spark.plans import governance  # noqa: E402,F401
 from harvester_database_and_automation_spark.plans import curation  # noqa: E402,F401
 from harvester_database_and_automation_spark.plans import streaming_replay  # noqa: E402,F401
+from harvester_database_and_automation_spark.plans import external_integration  # noqa: E402,F401
 
 # The driver's correctness artifact records the first N registered queries
 # (round 1 captured exactly 50, in registration order). Rotate so the
