@@ -70,3 +70,85 @@ def external_tool_seq_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, seq_len int, n_a int",
         parse_line,
     )
+
+
+@register(
+    "fasta_roundtrip",
+    survey_ref="S3,source-roundtrip",
+    oracle="""
+SELECT CAST(doc_id AS VARCHAR) AS name,
+       regexp_replace(lower(text), '[^a-z]', '', 'g') AS sequence
+FROM documents
+""",
+)
+def fasta_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 source round-trip, driver-hash-certified: write every document
+    as FASTA (wrapped at 60 columns, the reference's emitted form) with
+    `sources/fasta.write_fasta`, read it back with `read_fasta`, and
+    hash-compare against the original rows — header token round-trip,
+    line wrapping, and multi-file concatenation all certified in one
+    pass. Sequences are canonicalized to [a-z] (FASTA-safe, wrap-safe);
+    empty documents round-trip as empty sequences."""
+    import tempfile
+
+    from harvester_database_and_automation_spark.sources.fasta import read_fasta, write_fasta
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("name"),
+        F.regexp_replace(F.lower(F.col("text")), "[^a-z]", "").alias("sequence"),
+    )
+    path = tempfile.mkdtemp(prefix="fasta_rt_") + "/docs.fasta"
+    write_fasta(docs, path, wrap=60)
+    return read_fasta(spark, path).select("name", "sequence")
+
+
+@register(
+    "csv_typed_roundtrip",
+    survey_ref="S4,source-roundtrip,P6",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_orderpriority,
+       CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS order_date,
+       CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS total_cents
+FROM orders
+""",
+)
+def csv_typed_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 source round-trip, driver-hash-certified: export the orders
+    table as quoted CSV, read it back through the mandatory-explicit-
+    schema reader (`sources/tabular.read_csv` — no inference, ever,
+    SURVEY §1.3), and hash-compare against the source: delimiter/quote
+    handling, typed parsing of bigint/date/price columns, and the
+    quarantine split (which must be EMPTY on clean data) all certified.
+    Money round-trips as exact cents; dates render as ISO strings on
+    both engines (the date-dtype hash gotcha)."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from harvester_database_and_automation_spark.sources.tabular import read_csv
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority", "o_orderdate", "o_totalprice"
+    )
+    path = tempfile.mkdtemp(prefix="csv_rt_") + "/orders_csv"
+    o.write.option("header", True).csv(path)
+    schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_custkey", T.LongType()),
+            T.StructField("o_orderpriority", T.StringType()),
+            T.StructField("o_orderdate", T.DateType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+        ]
+    )
+    good, corrupt = read_csv(spark, path, schema)
+    n_corrupt = corrupt.count()
+    if n_corrupt:
+        raise ValueError(f"clean export must re-read clean; {n_corrupt} corrupt rows")
+    return good.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderpriority",
+        F.col("o_orderdate").cast("string").alias("order_date"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint").alias("total_cents"),
+    )
