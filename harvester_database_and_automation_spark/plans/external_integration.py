@@ -152,3 +152,74 @@ def csv_typed_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderdate").cast("string").alias("order_date"),
         F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint").alias("total_cents"),
     )
+
+
+@register(
+    "xlsx_dim_roundtrip",
+    survey_ref="S5,source-roundtrip",
+    oracle="""
+SELECT n_nationkey, n_name, n_regionkey FROM nation
+""",
+)
+def xlsx_dim_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 source round-trip, driver-hash-certified: render the nation
+    dimension as a minimal OOXML workbook (inline strings + numeric
+    cells, stdlib zipfile — the same no-dependency posture as the
+    reader) and read it back through `sources/excel.read_xlsx`'s typed,
+    header-mapped, chunked path. Certifies cell-reference column
+    mapping, inline-string decoding, and numeric typing against the
+    original table. Dimension tables are the xlsx-shaped inputs in
+    practice (the reference ingests curated spreadsheets of exactly
+    this size); the driver-side render is fine at any scale because
+    dims are small by definition."""
+    import tempfile
+    import zipfile
+    from xml.sax.saxutils import escape
+
+    from pyspark.sql import types as T
+
+    from harvester_database_and_automation_spark.sources.excel import read_xlsx
+
+    rows = (
+        load_table(spark, sf_dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .orderBy("n_nationkey")
+        .collect()
+    )
+
+    def col_ref(i: int) -> str:  # 0 -> A, 1 -> B ...
+        return chr(ord("A") + i)
+
+    body = [
+        '<row r="1">'
+        + "".join(
+            f'<c r="{col_ref(i)}1" t="inlineStr"><is><t>{h}</t></is></c>'
+            for i, h in enumerate(("n_nationkey", "n_name", "n_regionkey"))
+        )
+        + "</row>"
+    ]
+    for rn, r in enumerate(rows, start=2):
+        body.append(
+            f'<row r="{rn}">'
+            f'<c r="A{rn}"><v>{r["n_nationkey"]}</v></c>'
+            f'<c r="B{rn}" t="inlineStr"><is><t>{escape(r["n_name"])}</t></is></c>'
+            f'<c r="C{rn}"><v>{r["n_regionkey"]}</v></c>'
+            "</row>"
+        )
+    sheet = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+        "<sheetData>" + "".join(body) + "</sheetData></worksheet>"
+    )
+    path = tempfile.mkdtemp(prefix="xlsx_rt_") + "/nation.xlsx"
+    with zipfile.ZipFile(path, "w") as zf:
+        zf.writestr("xl/worksheets/sheet1.xml", sheet)
+
+    schema = T.StructType(
+        [
+            T.StructField("n_nationkey", T.LongType()),
+            T.StructField("n_name", T.StringType()),
+            T.StructField("n_regionkey", T.LongType()),
+        ]
+    )
+    return read_xlsx(spark, path, schema)
