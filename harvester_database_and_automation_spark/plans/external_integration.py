@@ -1,13 +1,19 @@
-"""External-process integration (S8) as driver-checkable queries.
+"""Integration round-trips as driver-checkable queries.
 
-The per-partition subprocess map (`operators/external.py`) mirrors the
-reference's batch tool workers; the query here pushes real data through
-a real subprocess and hash-compares against a relational oracle, so the
-protocol (FASTA framing, partition batching, stdout parsing) carries
-driver-green evidence, not just unit tests.
+Sources, sinks, external tools, and the retention write path are easy
+to leave as pytest-only components; each query here instead pushes REAL
+table data through the actual integration machinery — a subprocess
+(S8), FASTA write+read (S3), CSV export+typed re-read (S4), a minimal
+OOXML workbook through the stdlib xlsx reader (S5), an xz-compressed
+feed through the streaming spool (S2), erasure + tombstones through the
+versioned publish protocol (M3/M4) — and hash-compares the result
+against a relational oracle over the source tables, so every seam
+carries a driver-green row.
 """
 
 from __future__ import annotations
+
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -223,3 +229,120 @@ def xlsx_dim_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return read_xlsx(spark, path, schema)
+
+
+@register(
+    "xz_feed_roundtrip",
+    survey_ref="S2,source-roundtrip,P6",
+    oracle="""
+SELECT doc_id, lang, n_chars FROM documents
+""",
+)
+def xz_feed_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 xz-feed round-trip, driver-hash-certified: export the documents
+    metadata as JSON-lines, compress to ONE .xz blob (the reference's
+    provision.json.xz shape, GisaidApiImporter.java:200-217), then run
+    the full ingest path — streaming lzma decompress into line-aligned
+    spool chunks small enough to force MULTIPLE rotations, schema'd read
+    with quarantine (must be empty on clean data), release of the shared
+    parse cache — and hash-compare against the source rows. Certifies
+    the chunk rotation cuts lines exactly and the spool parallelizes
+    without dropping or splitting a record.
+
+    The driver-side compress is the harness seam standing in for the
+    upstream API's blob; the spool decompress it feeds IS the production
+    code path."""
+    import glob
+    import lzma
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from harvester_database_and_automation_spark.sources.jsonl import read_jsonl_xz
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    root = tempfile.mkdtemp(prefix="xz_rt_")
+    stage = os.path.join(root, "stage")
+    docs.coalesce(1).write.json(stage)
+    part = glob.glob(os.path.join(stage, "part-*"))[0]
+    xz_path = os.path.join(root, "feed.json.xz")
+    with open(part, "rb") as fh, lzma.open(xz_path, "wb") as out:
+        shutil.copyfileobj(fh, out)
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    scan = read_jsonl_xz(
+        spark, xz_path, schema, os.path.join(root, "spool"), chunk_bytes=64 * 1024
+    )
+    n_corrupt = scan.corrupt.count()
+    if n_corrupt:
+        raise ValueError(f"clean feed must re-read clean; {n_corrupt} corrupt lines")
+    out_df = scan.good.select("doc_id", "lang", "n_chars")
+    scan.release()
+    return out_df
+
+
+@register(
+    "erasure_publish_roundtrip",
+    survey_ref="M3,M4,governance",
+    oracle="""
+SELECT c_custkey,
+       CASE WHEN c_custkey % 10 = 3 THEN NULL ELSE c_name END AS c_name,
+       CASE WHEN c_custkey % 10 = 3 THEN NULL
+            ELSE CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) END AS acct_cents,
+       c_mktsegment
+FROM customer
+WHERE c_custkey % 100 <> 7
+""",
+)
+def erasure_publish_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M3 retention enforcement, driver-hash-certified THROUGH the write
+    path: publish the customer table (version 1), null the identifying
+    columns of the `% 10 == 3` retention cohort (`operators/merge.
+    erase_columns` — the reference's BAG column deletion), hard-delete
+    the `% 100 == 7` tombstone cohort (`apply_deletes`), republish
+    (version 2), and read the published table back. The oracle states
+    the post-retention truth directly, so surviving PII in an erased
+    row, a lost non-cohort row, or a torn publish all break the hash —
+    this is the audit a GDPR deletion run needs, exercised against real
+    published files rather than an in-memory frame.
+
+    Scale shape: erasure is a pure projection, deletion an anti-join on
+    keys, publish an atomic directory swap — one pass each."""
+    import tempfile
+
+    from harvester_database_and_automation_spark.operators.merge import (
+        apply_deletes,
+        erase_columns,
+    )
+    from harvester_database_and_automation_spark.operators.publish import (
+        publish_versioned,
+        read_published,
+    )
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        F.floor(F.col("c_acctbal") * 100 + 0.5).cast("bigint").alias("acct_cents"),
+        "c_mktsegment",
+    )
+    table = tempfile.mkdtemp(prefix="erasure_rt_") + "/customer"
+    publish_versioned(c, table)
+
+    current = read_published(spark, table)
+    erased = erase_columns(
+        current, ["c_name", "acct_cents"], F.col("c_custkey") % 10 == 3
+    )
+    tombstones = current.filter(F.col("c_custkey") % 100 == 7).select("c_custkey")
+    retained = apply_deletes(erased, tombstones, ["c_custkey"])
+    publish_versioned(retained, table)
+
+    return read_published(spark, table).select(
+        "c_custkey", "c_name", "acct_cents", "c_mktsegment"
+    )
