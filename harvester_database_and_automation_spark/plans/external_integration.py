@@ -346,3 +346,73 @@ def erasure_publish_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_published(spark, table).select(
         "c_custkey", "c_name", "acct_cents", "c_mktsegment"
     )
+
+
+@register(
+    "http_fetch_roundtrip",
+    survey_ref="S6,source-roundtrip",
+    oracle="""
+SELECT r_regionkey, r_name FROM region
+""",
+)
+def http_fetch_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 fetcher, driver-hash-certified over a REAL HTTP hop: serve the
+    region dimension as JSON-lines from an in-process `http.server` on a
+    loopback ephemeral port, fetch it with `sources/http.fetch_to_file`
+    (urllib transport, retry/backoff, atomic temp-file + rename), and
+    read the fetched spool file back through the schema'd JSON reader.
+    The hash against the source table certifies the whole
+    fetch-spool-parse chain — including that the atomic write leaves a
+    complete, line-terminated file — with the network layer actually
+    exercised rather than stubbed (the injectable transport remains the
+    unit-test seam; the default urllib path is what runs here)."""
+    import glob
+    import http.server
+    import shutil
+    import socketserver
+    import tempfile
+    import threading
+
+    from pyspark.sql import types as T
+
+    from harvester_database_and_automation_spark.sources.http import fetch_to_file
+    from harvester_database_and_automation_spark.sources.jsonl import read_jsonl
+
+    root = tempfile.mkdtemp(prefix="http_rt_")
+    serve = os.path.join(root, "serve")
+    os.makedirs(serve)
+    stage = os.path.join(root, "stage")
+    load_table(spark, sf_dir, "region").select("r_regionkey", "r_name").coalesce(1).write.json(
+        stage
+    )
+    shutil.move(glob.glob(os.path.join(stage, "part-*"))[0], os.path.join(serve, "region.json"))
+
+    class Handler(http.server.SimpleHTTPRequestHandler):
+        def __init__(self, *a, **kw):
+            super().__init__(*a, directory=serve, **kw)
+
+        def log_message(self, *a):  # keep the driver log quiet
+            pass
+
+    with socketserver.TCPServer(("127.0.0.1", 0), Handler) as httpd:
+        port = httpd.server_address[1]
+        t = threading.Thread(target=httpd.serve_forever, daemon=True)
+        t.start()
+        try:
+            dest = os.path.join(root, "fetched", "region.json")
+            fetch_to_file(f"http://127.0.0.1:{port}/region.json", dest)
+        finally:
+            httpd.shutdown()
+            t.join()
+
+    schema = T.StructType(
+        [T.StructField("r_regionkey", T.LongType()), T.StructField("r_name", T.StringType())]
+    )
+    scan = read_jsonl(spark, os.path.dirname(dest), schema)
+    n_corrupt = scan.corrupt.count()
+    if n_corrupt:
+        raise ValueError(f"fetched feed must parse clean; {n_corrupt} corrupt lines")
+    out = scan.good.select("r_regionkey", "r_name")
+    out = spark.createDataFrame(out.collect(), schema)  # detach from the cache before release
+    scan.release()
+    return out
