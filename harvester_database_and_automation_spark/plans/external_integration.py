@@ -2,13 +2,15 @@
 
 Sources, sinks, external tools, and the retention write path are easy
 to leave as pytest-only components; each query here instead pushes REAL
-table data through the actual integration machinery — a subprocess
-(S8), FASTA write+read (S3), CSV export+typed re-read (S4), a minimal
-OOXML workbook through the stdlib xlsx reader (S5), an xz-compressed
-feed through the streaming spool (S2), erasure + tombstones through the
-versioned publish protocol (M3/M4) — and hash-compares the result
-against a relational oracle over the source tables, so every seam
-carries a driver-green row.
+table data through the actual integration machinery — an embedded-Derby
+JDBC write + range-partitioned scan (S1), an xz-compressed feed through
+the streaming spool (S2), FASTA write+read (S3), CSV export+typed
+re-read (S4), a minimal OOXML workbook through the stdlib xlsx reader
+(S5), an HTTP fetch over a real loopback hop (S6), chunked export +
+upload manifest (S7), a subprocess map (S8), and erasure + tombstones
+through the versioned publish protocol (M3/M4) — and hash-compares the
+result against a relational oracle over the source tables, so every
+seam of SURVEY §2.1 and the write path carries a driver-green row.
 """
 
 from __future__ import annotations
@@ -416,3 +418,120 @@ def http_fetch_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = spark.createDataFrame(out.collect(), schema)  # detach from the cache before release
     scan.release()
     return out
+
+
+@register(
+    "jdbc_roundtrip",
+    survey_ref="S1,source-roundtrip",
+    oracle="""
+SELECT c_custkey, c_name, c_nationkey FROM customer
+""",
+)
+def jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 JDBC connector, driver-hash-certified against a REAL database:
+    append the customer table into an embedded Derby instance through
+    `sources/jdbc.write_jdbc_append` (batched inserts, bounded
+    connections), then scan it back RANGE-PARTITIONED on the key
+    (`read_jdbc_table` with partitionColumn/bounds — the parallel-scan
+    mode a warehouse extract uses, utility.R:413-416) and hash-compare
+    with the source. A dropped batch, a bounds-off-by-one splitting the
+    key range, or type mangling across the JDBC bridge all break the
+    hash. Fresh database per call; single-JVM Derby stands in for the
+    warehouse exactly as in the test suite."""
+    import tempfile
+
+    from harvester_database_and_automation_spark.sources.jdbc import (
+        read_jdbc_table,
+        write_jdbc_append,
+    )
+
+    driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    db_dir = tempfile.mkdtemp(prefix="jdbc_rt_") + "/db"
+    url = f"jdbc:derby:{db_dir};create=true"
+
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_nationkey")
+    jvm = spark._jvm
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    st = conn.createStatement()
+    st.execute(
+        "CREATE TABLE customer (c_custkey BIGINT, c_name VARCHAR(64), c_nationkey INT)"
+    )
+    st.close()
+    conn.close()
+
+    write_jdbc_append(c, url, "customer", driver=driver, num_partitions=4)
+    bounds = c.agg(F.min("c_custkey"), F.max("c_custkey")).first()
+    return read_jdbc_table(
+        spark,
+        url,
+        "customer",
+        driver=driver,
+        partition_column="c_custkey",
+        lower_bound=int(bounds[0]),
+        upper_bound=int(bounds[1]) + 1,
+        num_partitions=8,
+    ).select("c_custkey", "c_name", "c_nationkey")
+
+
+@register(
+    "chunked_export_roundtrip",
+    survey_ref="S7,source-roundtrip",
+    oracle="""
+SELECT o_orderkey, o_orderpriority FROM orders
+""",
+)
+def chunked_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 chunked export + upload manifest, driver-hash-certified: export
+    orders as CSV chunks capped at 1000 data rows (the
+    MAX_LINES_PER_FILE contract), ship every chunk through an upload
+    transport into a destination directory, verify the manifest's
+    byte-size and sha256 against what actually landed, then re-read the
+    UPLOADED copies through the typed CSV reader and hash-compare with
+    the source. A chunk over budget, a dropped or truncated upload, or
+    a manifest hash that does not match the landed bytes all raise; a
+    lost row breaks the hash."""
+    import hashlib
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from harvester_database_and_automation_spark.sources.export import (
+        export_chunked_csv,
+        upload_files,
+    )
+    from harvester_database_and_automation_spark.sources.tabular import read_csv
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    root = tempfile.mkdtemp(prefix="export_rt_")
+    out_dir = os.path.join(root, "chunks")
+    paths = export_chunked_csv(o, out_dir, max_lines_per_file=1000)
+    for p in paths:
+        with open(p) as fh:
+            n_data = sum(1 for _ in fh) - 1  # header
+        if n_data > 1000:
+            raise ValueError(f"chunk over budget: {p} has {n_data} rows")
+
+    dest = os.path.join(root, "uploaded")
+    os.makedirs(dest)
+
+    def transport(dest_url: str, name: str, payload: bytes) -> None:
+        with open(os.path.join(dest_url, name), "wb") as fh:
+            fh.write(payload)
+
+    manifest = upload_files(paths, dest, transport)
+    for rec in manifest:
+        with open(os.path.join(dest, rec.file_name), "rb") as fh:
+            landed = fh.read()
+        if len(landed) != rec.n_bytes or hashlib.sha256(landed).hexdigest() != rec.sha256:
+            raise ValueError(f"manifest mismatch for {rec.file_name}")
+
+    schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_orderpriority", T.StringType()),
+        ]
+    )
+    good, corrupt = read_csv(spark, dest, schema)
+    if corrupt.count():
+        raise ValueError("uploaded chunks must re-read clean")
+    return good
