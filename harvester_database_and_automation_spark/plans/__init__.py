@@ -99,14 +99,66 @@ def _longest_waiting() -> set[str]:
     return names
 
 
+# Queries whose IMPLEMENTATION changed in round 3 after earning a green
+# row: their r01/r02 evidence certifies the OLD plan (modulus query
+# samples, fixed 8-cell SemDeDup, holistic percentile buffers, int64
+# slope products, hint/ordering changes). They re-enter the rotation
+# right AFTER the never-verified tier until an artifact from round >= 3
+# shows the current code green; the judge's own re-run covers them in
+# the meantime.
+_CHANGED_IN_R3 = [
+    "lineitem_column_profile",
+    "order_value_percentiles",
+    "event_value_trend",
+    "prefix_filter_jaccard_pairs",
+    "simhash_hamming_pairs",
+    "ivf_topk_probe",
+    "ivf_recall_at_3",
+    "pq_adc_topk",
+    "semantic_dedup_cells",
+]
+
+
+def _green_counts_since(round_no: int) -> dict[str, int]:
+    import json
+    import re as _re
+    from pathlib import Path
+
+    counts: dict[str, int] = {}
+    repo = Path(__file__).resolve().parents[2]
+    for artifact in sorted(repo.glob("CORRECTNESS_r*.json")):
+        m = _re.search(r"r(\d+)", artifact.name)
+        if not m or int(m.group(1)) < round_no:
+            continue
+        try:
+            data = json.loads(artifact.read_text())
+        except (OSError, ValueError):
+            continue
+        for name, row in data.items():
+            if isinstance(row, dict) and row.get("rows_match") and row.get("schema_match"):
+                counts[name] = counts.get(name, 0) + 1
+    return counts
+
+
 def _rotate_least_verified_first() -> None:
     greens = _green_counts()
+    greens_r3 = _green_counts_since(3)
     judge_only = _judge_only_verified()
     prior = _longest_waiting()
+
+    def tier(n: str) -> int:
+        if n in _PINNED_UNTIL_GREEN and greens.get(n, 0) == 0:
+            return 0
+        if greens.get(n, 0) == 0:
+            return 1  # never driver-verified at all
+        if n in _CHANGED_IN_R3 and greens_r3.get(n, 0) == 0:
+            return 2  # green only for a superseded implementation
+        return 3
+
     ordered = sorted(
         QUERIES,
         key=lambda n: (
-            0 if (n in _PINNED_UNTIL_GREEN and greens.get(n, 0) == 0) else 1,
+            tier(n),
             greens.get(n, 0),
             0 if n in prior else 1,
             1 if n in judge_only else 0,
