@@ -373,3 +373,43 @@ def test_group_quantiles_exact_matches_numpy_linear(spark, rows):
         want = [float(np.percentile(vs, q * 100, method="linear")) for q in qs]
         for w, h in zip(want, got[g]):
             assert abs(w - h) < 1e-9, (g, vs, want, got[g])
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 1), st.integers(-100, 500), st.integers(0, 400)),
+        min_size=0,
+        max_size=25,
+    ),
+    st.lists(
+        st.tuples(st.integers(0, 1), st.integers(-150, 950)),
+        min_size=0,
+        max_size=25,
+    ),
+)
+def test_interval_containment_join_random_equivalence(spark, ivs, pts):
+    """Bucketed interval containment == the naive quadratic predicate on
+    arbitrary interval lengths (0 to many bucket widths), negative
+    coordinates, bucket-boundary points, and empty sides — and each
+    qualifying pair appears exactly once."""
+    from harvester_database_and_automation_spark.operators.rangejoin import (
+        interval_containment_join,
+    )
+
+    iv_rows = [(i, str(k), float(s), float(s + ln)) for i, (k, s, ln) in enumerate(ivs)]
+    pt_rows = [(100 + i, str(k), float(p)) for i, (k, p) in enumerate(pts)]
+    intervals = spark.createDataFrame(iv_rows, "iid int, k string, s double, e double") \
+        if iv_rows else spark.createDataFrame([], "iid int, k string, s double, e double")
+    points = spark.createDataFrame(pt_rows, "pid int, k string, p double") \
+        if pt_rows else spark.createDataFrame([], "pid int, k string, p double")
+    out = interval_containment_join(intervals, points, "s", "e", "p", 60.0, extra_on=["k"])
+    got = [(r["iid"], r["pid"]) for r in out.collect()]
+    want = {
+        (iid, pid)
+        for iid, ik, s, e in iv_rows
+        for pid, pk, p in pt_rows
+        if ik == pk and s <= p <= e
+    }
+    assert set(got) == want
+    assert len(got) == len(want)
