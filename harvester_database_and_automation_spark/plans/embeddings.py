@@ -217,29 +217,43 @@ def knn_label_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     "embedding_near_dup_pairs",
     survey_ref="dedup-embedding,J7",
     oracle=f"""
-SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       round({_COS_SQL.format(a='a.embedding::DOUBLE[]', b='b.embedding::DOUBLE[]')}, 6) AS sim
-FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE {_COS_SQL.format(a='a.embedding::DOUBLE[]', b='b.embedding::DOUBLE[]')} > 0.4
+WITH vecs AS (SELECT vec_id, embedding::DOUBLE[] AS vv FROM embeddings),
+anchors AS ({_query_sample_sql(200, cols='vec_id AS vec_a, vv AS av')}
+)
+SELECT a.vec_a, b.vec_id AS vec_b,
+       round({_COS_SQL.format(a='a.av', b='b.vv')}, 6) AS sim
+FROM anchors a JOIN vecs b ON a.vec_a <> b.vec_id
+WHERE {_COS_SQL.format(a='a.av', b='b.vv')} > 0.4
 """,
 )
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs above a similarity threshold.
-    All-pairs here (correctness baseline); the LSH-bucket variant below is
-    the scale path."""
+    """Embedding-cosine near-duplicate retrieval for a FIXED 200-anchor
+    hash sample (`_query_sample`): every corpus vector within cosine 0.4
+    of an anchor, exact — the correctness baseline the LSH-bucket variant
+    below is certified against. The anchor frame is fixed-size, so the
+    scan is O(N·200) with a constant-size broadcast at ANY corpus size;
+    the earlier all-pairs form broadcast the FULL corpus into a crossJoin
+    (O(N²) work, O(N) broadcast — the exact shape `_QHASH_SQL`'s note
+    warns about). Exhaustive pair enumeration at scale is the sign-LSH
+    bucketing's job (`lsh_sign_buckets` restricts candidates to an
+    equi-join on band signature); a sampled exact baseline is the
+    standard recall-certification harness for it."""
     e = _emb_with_norm(spark, sf_dir)
-    a = e.select(F.col("vec_id").alias("vec_a"), F.col("vec").alias("va"), F.col("norm").alias("na"))
+    anchors = F.broadcast(
+        _query_sample(e, 200).select(
+            F.col("vec_id").alias("vec_a"), F.col("vec").alias("av"), F.col("norm").alias("an")
+        )
+    )
     b = _fanout(
         e.select(F.col("vec_id").alias("vec_b"), F.col("vec").alias("vb"), F.col("norm").alias("nb"))
     )
     return (
-        F.broadcast(a)
-        .crossJoin(b)
-        .filter(F.col("vec_a") < F.col("vec_b"))
+        anchors.crossJoin(b)
+        .filter(F.col("vec_a") != F.col("vec_b"))
         .select(
             "vec_a",
             "vec_b",
-            (_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias("sim"),
+            (_dot(F.col("av"), F.col("vb")) / (F.col("an") * F.col("nb"))).alias("sim"),
         )
         .filter(F.col("sim") > 0.4)
         .select("vec_a", "vec_b", F.round("sim", 6).alias("sim"))

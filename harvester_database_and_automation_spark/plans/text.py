@@ -1297,15 +1297,16 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     # single reducer ever sees a word's full occurrence list. A
     # count-over-Window.partitionBy("word") here would send every
     # occurrence of a hot word to one partition — a skew that gets
-    # strictly worse with corpus size. The result is vocab-sized (natural
-    # text: millions of rows, a few hundred MB), so it broadcasts — the
-    # tf side never re-shuffles by word. If a corpus's vocab outgrew the
-    # broadcast budget, drop the hint and this degrades to a sort-merge
-    # join, never to a wrong answer.
+    # strictly worse with corpus size. The result is vocab-sized — which
+    # GROWS with the corpus (heap-law sublinear, but "a few hundred MB"
+    # for natural text and more for noisy web crawl), so no broadcast
+    # hint: AQE sees the actual post-agg size at runtime and picks
+    # broadcast when it fits, sort-merge when it does not — the same rule
+    # `prefix_filter_jaccard_pairs` established for corpus-derived frames.
     dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("dfq"))
     total = load_table(spark, sf_dir, "documents").agg(F.count(F.lit(1)).alias("n"))
     scored = (
-        tf.join(F.broadcast(dfreq), "word")
+        tf.join(dfreq, "word")
         .crossJoin(F.broadcast(total))
         .select(
             "doc_id", "word", (F.col("tf") * F.log(F.col("n") * 1.0 / F.col("dfq"))).alias("score")
