@@ -636,26 +636,50 @@ _SEMDEDUP_TARGET_CELL = 250  # expected members per cell; k = ceil(N / this)
     survey_ref="dedup-embedding,similarity-ivf,J1,A3",
     oracle=f"""
 WITH vecs AS (SELECT vec_id, embedding::DOUBLE[] AS vv FROM embeddings),
-cents AS (
-  -- k = ceil(N / {_SEMDEDUP_TARGET_CELL}) hash-sampled seed vectors: cell count GROWS
-  -- with the corpus so expected cell size stays bounded (same portable
-  -- hash + order as the Spark side's _query_sample).
-  SELECT vec_id AS cid, vv AS cv FROM (
-    SELECT vec_id, vv,
-           row_number() OVER (ORDER BY {_QHASH_SQL.format(id='vec_id')}, vec_id) AS qrk
-    FROM vecs
-  ) t
-  WHERE qrk <= (SELECT CAST(ceil(count(*) / {_SEMDEDUP_TARGET_CELL}.0) AS BIGINT) FROM vecs)
+ranked AS (
+  -- Same portable hash + order as the Spark side's _query_sample.
+  SELECT vec_id, vv,
+         row_number() OVER (ORDER BY {_QHASH_SQL.format(id='vec_id')}, vec_id) AS qrk
+  FROM vecs
 ),
-vc AS (
-  SELECT vecs.vec_id, cents.cid,
-         {_COS_SQL.format(a='vecs.vv', b='cents.cv')} AS sim
-  FROM vecs CROSS JOIN cents
-), assign AS (
+params AS (
+  SELECT CAST(ceil(count(*) / {_SEMDEDUP_TARGET_CELL}.0) AS BIGINT) AS k,
+         CAST(ceil(sqrt(ceil(count(*) / {_SEMDEDUP_TARGET_CELL}.0))) AS BIGINT) AS c
+  FROM vecs
+),
+-- k = ceil(N / {_SEMDEDUP_TARGET_CELL}) seed vectors; the first c = ceil(sqrt(k)) of them
+-- double as the coarse level of the two-level assignment.
+seeds  AS (SELECT vec_id AS cid, vv AS cv FROM ranked, params WHERE qrk <= k),
+coarse AS (SELECT vec_id AS gid, vv AS gv FROM ranked, params WHERE qrk <= c),
+sg AS (
+  -- seed -> coarse group (each coarse vector is its own seed, so no
+  -- group is empty)
+  SELECT cid, cv, gid FROM (
+    SELECT s.cid, s.cv, co.gid,
+           row_number() OVER (
+             PARTITION BY s.cid
+             ORDER BY {_COS_SQL.format(a='s.cv', b='co.gv')} DESC, co.gid) AS rk
+    FROM seeds s CROSS JOIN coarse co
+  ) t WHERE rk = 1
+),
+vg AS (
+  -- vector -> coarse group
+  SELECT vec_id, gid FROM (
+    SELECT v.vec_id, co.gid,
+           row_number() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY {_COS_SQL.format(a='v.vv', b='co.gv')} DESC, co.gid) AS rk
+    FROM vecs v CROSS JOIN coarse co
+  ) t WHERE rk = 1
+),
+assign AS (
+  -- vector -> nearest seed WITHIN its coarse group
   SELECT vec_id, cid AS cell FROM (
-    SELECT vec_id, cid,
-           row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rk
-    FROM vc
+    SELECT v.vec_id, s.cid,
+           row_number() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY {_COS_SQL.format(a='v.vv', b='s.cv')} DESC, s.cid) AS rk
+    FROM vecs v JOIN vg ON vg.vec_id = v.vec_id JOIN sg s ON s.gid = vg.gid
   ) t WHERE rk = 1
 ), m AS (
   SELECT a.vec_id, a.cell, v.vv FROM assign a JOIN vecs v USING (vec_id)
@@ -689,30 +713,63 @@ def semantic_dedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     init stage); production would feed `kmeans_lloyd_clusters`' refined
     centroids in — the operator under test (cell-partitioned pair scan) is
     unchanged by centroid provenance, the same argument `pq_adc_topk`
-    makes for its codebook. At billion-vector scale the seed broadcast
-    (k×dim) outgrows a single broadcast and assignment itself becomes an
-    ANN probe (hierarchical / two-level IVF); the within-cell scan — the
-    operator registered here — keeps the same shape.
+    makes for its codebook.
 
-    Assignment is a groupBy-min over (neg sim, cid) structs: map-side
-    combinable partial agg, no N·k-row sort window."""
+    Assignment is TWO-LEVEL because k itself is corpus-proportional: the
+    first c = ceil(sqrt(k)) seeds double as a coarse level — each seed
+    joins its nearest coarse vector (k·c work, every coarse vector is its
+    own seed so no group is empty), each corpus vector picks a coarse
+    group (N·c, against a broadcast whose size grows only as sqrt(k)),
+    then scans ONLY that group's seeds through a shuffled equi-join on
+    group id — no corpus-proportional broadcast anywhere. Expected cost
+    is N·c + N·k/c ≈ 2N·sqrt(k); a deeper hierarchy (or a real ANN
+    probe) generalizes when even sqrt(k)-sized frames matter, without
+    changing the within-cell scan registered here. Assignments stay
+    groupBy-min over (neg sim, id) structs: map-side combinable partial
+    aggs, never an N·k-row sort window."""
+    import math
+
     e = _emb_with_norm(spark, sf_dir).select("vec_id", "vec", "norm")
     n = e.count()
     k = -(-n // _SEMDEDUP_TARGET_CELL)
-    seeds = F.broadcast(
-        _query_sample(e, k).select(
-            F.col("vec_id").alias("cid"), F.col("vec").alias("cv"), F.col("norm").alias("cn")
+    c = math.ceil(math.sqrt(k))
+    seeds = _query_sample(e, k).select(
+        F.col("vec_id").alias("cid"), F.col("vec").alias("cv"), F.col("norm").alias("cn")
+    )
+    coarse = F.broadcast(
+        _query_sample(e, c).select(
+            F.col("vec_id").alias("gid"), F.col("vec").alias("gv"), F.col("norm").alias("gn")
         )
     )
-    vc = _fanout(e).crossJoin(seeds).select(
-        "vec_id",
+
+    def _argmin_group(df: DataFrame, key: str, sim, pick: str, out: str) -> DataFrame:
+        return (
+            df.groupBy(key)
+            .agg(F.min(F.struct((-sim).alias("neg"), F.col(pick).alias("pick"))).alias("b"))
+            .select(key, F.col("b.pick").alias(out))
+        )
+
+    sg = _argmin_group(
+        seeds.crossJoin(coarse),
         "cid",
-        (_dot(F.col("vec"), F.col("cv")) / (F.col("norm") * F.col("cn"))).alias("sim"),
+        _dot(F.col("cv"), F.col("gv")) / (F.col("cn") * F.col("gn")),
+        "gid",
+        "gid",
+    ).join(seeds, "cid")
+    vg = _argmin_group(
+        _fanout(e).crossJoin(coarse),
+        "vec_id",
+        _dot(F.col("vec"), F.col("gv")) / (F.col("norm") * F.col("gn")),
+        "gid",
+        "gid",
     )
-    assign = (
-        vc.groupBy("vec_id")
-        .agg(F.min(F.struct((-F.col("sim")).alias("neg"), F.col("cid").alias("cid"))).alias("b"))
-        .select("vec_id", F.col("b.cid").alias("cell"))
+    in_group = e.join(vg, "vec_id").join(sg, "gid")
+    assign = _argmin_group(
+        in_group,
+        "vec_id",
+        _dot(F.col("vec"), F.col("cv")) / (F.col("norm") * F.col("cn")),
+        "cid",
+        "cell",
     )
     members = e.join(assign, "vec_id")
     a = members.select(
