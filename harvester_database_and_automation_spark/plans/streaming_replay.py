@@ -63,9 +63,10 @@ def streaming_change_router_replay(spark: SparkSession, sf_dir: str) -> DataFram
 
     Scale shape: the router's state is one hash per key in the state
     store (sharded across executors); each micro-batch shuffles only
-    (id, hash) pairs. The driver-side spool here is the harness seam —
-    production feeds land as files from the fetchers and the stream is
-    unchanged."""
+    (id, hash) pairs. The spool is Spark-written (`_spool_batches`:
+    coalesce + rename, proper JSON encoding) — no driver-side row
+    collection at any corpus size; production feeds land as files from
+    the fetchers and the stream is unchanged."""
     from harvester_database_and_automation_spark.streaming.changefeed import (
         streaming_change_router,
     )
@@ -78,29 +79,15 @@ def streaming_change_router_replay(spark: SparkSession, sf_dir: str) -> DataFram
     fe = e.withColumn(
         "rn_a", F.row_number().over(Window.partitionBy("user_id").orderBy(*w_first))
     ).withColumn("rn_d", F.row_number().over(Window.partitionBy("user_id").orderBy(*w_last)))
-    firsts = (
-        fe.filter(F.col("rn_a") == 1)
-        .select(F.col("user_id").cast("string").alias("id"), F.col("event_type").alias("h"))
-        .orderBy("id")
-        .collect()
+    firsts = fe.filter(F.col("rn_a") == 1).select(
+        F.col("user_id").cast("string").alias("id"), F.col("event_type").alias("content_hash")
     )
-    lasts = (
-        fe.filter(F.col("rn_d") == 1)
-        .select(F.col("user_id").cast("string").alias("id"), F.col("event_type").alias("h"))
-        .orderBy("id")
-        .collect()
+    lasts = fe.filter(F.col("rn_d") == 1).select(
+        F.col("user_id").cast("string").alias("id"), F.col("event_type").alias("content_hash")
     )
 
     root = tempfile.mkdtemp(prefix="router_replay_")
-    feed = os.path.join(root, "feed")
-    os.makedirs(feed)
-    for i, rows in enumerate((firsts, lasts)):
-        path = os.path.join(feed, f"batch_{i}.json")
-        with open(path, "w") as fh:
-            for r in rows:
-                fh.write('{"id": "%s", "content_hash": "%s"}\n' % (r["id"], r["h"]))
-        # FileStreamSource processes files oldest-first: pin the order.
-        os.utime(path, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+    feed = _spool_batches(spark, root, [firsts, lasts])
 
     stream = (
         spark.readStream.schema("id string, content_hash string")
