@@ -71,6 +71,7 @@ def interval_containment_join(
     point_col: str,
     bucket_width: float,
     extra_on: list[str] | None = None,
+    max_buckets_per_interval: int = 65536,
 ) -> DataFrame:
     """Inner-join variable-length intervals to the points they CONTAIN
     (``start <= point <= end``, plus optional ``extra_on`` equi-keys)
@@ -86,22 +87,43 @@ def interval_containment_join(
 
     Degenerate intervals (``end < start``) are dropped up front: they
     can contain nothing, and Spark's ``sequence(a, b)`` runs DESCENDING
-    when b < a instead of returning an empty array."""
+    when b < a instead of returning an empty array.
+
+    ``max_buckets_per_interval`` guards the explode: an interval whose
+    span/width ratio is pathological (mis-sized ``bucket_width``, a
+    sentinel end date like 9999-12-31) would otherwise replicate itself
+    into millions of buckets — and past ~2^31 Spark's ``sequence`` dies
+    with an opaque array-size error mid-stage. The guard raises a CLEAR
+    in-plan error naming the offending span and the knob to turn; it is
+    a correctness tripwire, not a silent clamp (dropping buckets would
+    lose matches)."""
     if bucket_width <= 0:
         raise ValueError("bucket_width must be positive")
+    if max_buckets_per_interval <= 0:
+        raise ValueError("max_buckets_per_interval must be positive")
     extra = extra_on or []
     overlap = (set(intervals.columns) & set(points.columns)) - set(extra)
     if overlap:
         raise ValueError(f"rename overlapping columns first: {sorted(overlap)}")
     width = F.lit(bucket_width)
-    iv = intervals.filter(F.col(end_col) >= F.col(start_col)).withColumn(
-        "_ij_bucket",
-        F.explode(
-            F.sequence(
-                F.floor(F.col(start_col) / width).cast("long"),
-                F.floor(F.col(end_col) / width).cast("long"),
+    lo = F.floor(F.col(start_col) / width).cast("long")
+    hi = F.floor(F.col(end_col) / width).cast("long")
+    span = hi - lo + F.lit(1)
+    # CASE WHEN evaluates lazily, so the error fires only on offending rows.
+    guarded = F.when(span <= F.lit(max_buckets_per_interval), F.sequence(lo, hi)).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("interval_containment_join: an interval spans "),
+                span.cast("string"),
+                F.lit(
+                    f" buckets (max_buckets_per_interval={max_buckets_per_interval});"
+                    " widen bucket_width, filter outlier intervals, or raise the cap"
+                ),
             )
-        ),
+        )
+    )
+    iv = intervals.filter(F.col(end_col) >= F.col(start_col)).withColumn(
+        "_ij_bucket", F.explode(guarded)
     )
     pt = points.withColumn("_ij_bucket", F.floor(F.col(point_col) / width).cast("long"))
     return (

@@ -909,3 +909,31 @@ def test_interval_containment_join_no_nested_loop_plan(spark):
     points = spark.range(100).selectExpr("id AS pid", "CAST(id * 7 AS DOUBLE) AS p")
     plan = interval_containment_join(intervals, points, "s", "e", "p", 25.0)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_interval_containment_join_guards_pathological_span(spark):
+    """A sentinel-dated interval (span >> bucket_width) must fail with a
+    CLEAR error naming the knob — not an opaque sequence array-size blowup
+    mid-stage — while same-sized spans under the cap still join."""
+    import pytest as _pytest
+
+    from harvester_database_and_automation_spark.operators.rangejoin import (
+        interval_containment_join,
+    )
+
+    intervals = spark.createDataFrame(
+        [(1, 0.0, 10.0), (2, 0.0, 1e9)], "iid int, s double, e double"
+    )
+    points = spark.createDataFrame([(101, 5.0)], "pid int, p double")
+    bad = interval_containment_join(intervals, points, "s", "e", "p", 10.0,
+                                    max_buckets_per_interval=1000)
+    with _pytest.raises(Exception, match="max_buckets_per_interval"):
+        bad.collect()
+    ok = interval_containment_join(
+        intervals.filter("iid = 1"), points, "s", "e", "p", 10.0,
+        max_buckets_per_interval=1000,
+    )
+    assert {(r["iid"], r["pid"]) for r in ok.collect()} == {(1, 101)}
+    with _pytest.raises(ValueError, match="max_buckets_per_interval"):
+        interval_containment_join(intervals, points, "s", "e", "p", 10.0,
+                                  max_buckets_per_interval=0)
