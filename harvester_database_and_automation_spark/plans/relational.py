@@ -980,13 +980,17 @@ GROUP BY o_orderpriority
 def order_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact continuous percentile (percentile_cont within group,
     database/sql/spectrum/usage_statistics.sql:56-62) via the shared
-    distribution-based quantile (`group_quantiles_exact`) — same exact
-    answer as holistic ``percentile`` but no per-group value buffer, so
-    a group of any size stays executor-memory-safe at 100 TB."""
-    from harvester_database_and_automation_spark.plans.shared import group_quantiles_exact
+    TWO-LEVEL distribution quantile (`group_quantiles_binned`) — same
+    exact answer as holistic ``percentile`` but no per-group value
+    buffer, and no per-group NDV-row window task either: o_totalprice is
+    near-unique (NDV ~ N), exactly the unbounded-NDV profile the
+    single-level `group_quantiles_exact` concentrates into one sort task
+    per priority. The bucket scheme keeps every task at one bucket's
+    slice of the distribution at any corpus size."""
+    from harvester_database_and_automation_spark.plans.shared import group_quantiles_binned
 
     o = load_table(spark, sf_dir, "orders")
-    qv = group_quantiles_exact(
+    qv = group_quantiles_binned(
         o.select("o_orderpriority", "o_totalprice"), ["o_orderpriority"], "o_totalprice", [0.5, 0.9]
     )
     return qv.select(
@@ -1152,11 +1156,8 @@ def kmv_segment_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PROFILE_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
 
-
-@register(
-    "lineitem_column_profile",
-    survey_ref="stats-profile,A1,A3,A9",
-    oracle="WITH long AS (\n"
+_PROFILE_ORACLE = (
+    "WITH long AS (\n"
     + "\n  UNION ALL ".join(
         f"SELECT '{c}' AS col_name, {c} AS value FROM lineitem" for c in _PROFILE_COLS
     )
@@ -1172,7 +1173,14 @@ SELECT col_name,
        round(quantile_cont(value, 0.50), 4)       AS median,
        round(quantile_cont(value, 0.75), 4)       AS q3
 FROM long GROUP BY col_name
-""",
+"""
+)
+
+
+@register(
+    "lineitem_column_profile",
+    survey_ref="stats-profile,A1,A3,A9",
+    oracle=_PROFILE_ORACLE,
 )
 def lineitem_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANALYZE-style table statistics: per measure column of the fact
@@ -1197,11 +1205,12 @@ def lineitem_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     Bounded-domain note: the cumulative window runs one task per COLUMN
     over its NDV rows. Measure domains are value grids (quantities 1..50,
     cents-priced money), so NDV plateaus in the low millions regardless
-    of row count; a genuinely unbounded-NDV column would first bin into
-    contiguous ranges (e.g. quarter-octave log2 buckets) and two-level
-    the prefix sum — prototyped during round 3, it bought nothing at
-    this box's scan floor (~1.2s serial parquet scan + NDV agg at sf0.1)
-    but is the drop-in move when one column's NDV outgrows a task."""
+    of row count. This single-level form is the small-table
+    CERTIFICATION baseline; `lineitem_column_profile_binned` (next
+    query, same oracle) is the registered scale path — it two-levels the
+    prefix sum over monotone log2 buckets so no task ever sorts more
+    than one bucket's slice, the plan for a column whose NDV grows with
+    the data."""
     li = load_table(spark, sf_dir, "lineitem")
     stack_args = ", ".join(f"'{c}', cast({c} as double)" for c in _PROFILE_COLS)
     # No fanout: stack + the (col, value) partial agg pipeline inside the
@@ -1267,6 +1276,78 @@ def lineitem_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("minv", 4).alias("min_value"),
         F.round("maxv", 4).alias("max_value"),
         *qcols,
+    )
+
+
+@register(
+    "lineitem_column_profile_binned",
+    survey_ref="stats-profile,A1,A3,A9",
+    oracle=_PROFILE_ORACLE,
+)
+def lineitem_column_profile_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANALYZE-style column profile on the TWO-LEVEL quantile plan —
+    same exact answers (and the same oracle) as `lineitem_column_profile`,
+    different physical shape for unbounded-NDV columns.
+
+    The single-level baseline running-totals each column's FULL value
+    distribution in one cumulative-window task — correct, but the task
+    grows with NDV (its 10x step ratio measured 3.85: NDV has not
+    plateaued at these scale factors). Here the distribution two-levels
+    through `distribution_quantiles_binned` (plans/shared.py): a
+    bucket-level prefix sum over a few hundred monotone log2 buckets per
+    column, then a value-level window over ONLY the ≤6 buckets holding a
+    requested rank. Row/null counts, NDV, and min/max come from a plain
+    per-bucket aggregation of the SAME distribution frame — no window —
+    and Spark's ReuseExchange runs the NDV-sized shuffle once for both
+    consumers. Nothing in the plan sorts more than one bucket's slice,
+    at any NDV. Reference analog: the per-ingest profile PostgreSQL's
+    implicit ANALYZE collects across `database/sql/`."""
+    from harvester_database_and_automation_spark.plans.shared import (
+        distribution_quantiles_binned,
+    )
+
+    from harvester_database_and_automation_spark.plans.shared import fanout
+
+    li = load_table(spark, sf_dir, "lineitem")
+    stack_args = ", ".join(f"'{c}', cast({c} as double)" for c in _PROFILE_COLS)
+    # fanout BEFORE the stack: a single-split scan would otherwise run
+    # the 4x-fanned stack plus the NDV partial agg in one task (no-op on
+    # a multi-split production scan).
+    long = fanout(li.select(*_PROFILE_COLS)).selectExpr(
+        f"stack({len(_PROFILE_COLS)}, {stack_args}) as (col_name, value)"
+    )
+    # ONE scan: the NDV-sized distribution materializes once
+    # (localCheckpoint = the pushdown barrier) and serves the stats
+    # aggregate AND the two-level quantile, whose branched consumers
+    # would otherwise each re-run the scan + partial agg (ReuseExchange
+    # does not fire across their inferred-filter differences).
+    dist_all = (
+        long.groupBy("col_name", "value")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    stats = dist_all.groupBy("col_name").agg(
+        F.sum("cnt").cast("bigint").alias("n_rows"),
+        F.sum(F.when(F.col("value").isNull(), F.col("cnt")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("n_nulls"),
+        F.count("value").cast("bigint").alias("ndv"),
+        F.round(F.min("value"), 4).alias("min_value"),
+        F.round(F.max("value"), 4).alias("max_value"),
+    )
+    qv = distribution_quantiles_binned(
+        dist_all, ["col_name"], "value", "cnt", [0.25, 0.50, 0.75], materialize=False
+    )
+    return stats.join(qv, "col_name", "left").select(
+        "col_name",
+        "n_rows",
+        "n_nulls",
+        "ndv",
+        "min_value",
+        "max_value",
+        F.round("q0", 4).alias("q1"),
+        F.round("q1", 4).alias("median"),
+        F.round("q2", 4).alias("q3"),
     )
 
 

@@ -128,6 +128,144 @@ def group_quantiles_exact(df: DataFrame, group_cols: list, value_col: str, qs: l
     return prof.select(*group_cols, *out)
 
 
+def distribution_quantiles_binned(
+    dist: DataFrame,
+    group_cols: list,
+    value_col: str,
+    cnt_col: str,
+    qs: list,
+    bins_per_octave: int = 32,
+    materialize: bool = True,
+) -> DataFrame:
+    """EXACT continuous quantiles from a (group, value, cnt) distribution
+    frame via a TWO-LEVEL prefix sum — the unbounded-NDV companion to
+    `group_quantiles_exact`.
+
+    The single-level form runs ONE cumulative-window task per group over
+    its full NDV rows: fine while value domains are grids (NDV plateaus),
+    superlinear the moment one column's NDV grows with the data —
+    SCALING.json measured a 3.85x step on exactly that plan. Here the
+    per-group window shrinks to (a) a BUCKET-level prefix sum over a few
+    hundred rows per group and (b) a value-level window over ONLY the
+    buckets that contain a requested rank (≤ 2·len(qs) buckets per
+    group), so no task ever sorts more than one bucket's slice of the
+    distribution regardless of NDV.
+
+    Values bin by a monotone sign·floor(b·log2(1+|v|)) key — bucket
+    BOUNDARIES are floating-point and engine-internal (they never leave
+    the plan); only monotonicity matters, because ranks are recomposed as
+    bucket-prefix + within-bucket offsets and the returned values are
+    exact data values interpolated by exact integer ranks, bit-identical
+    to quantile_cont. Null values may stay in ``dist``: their bucket key
+    is null, contributes zero to every prefix, and can never become a
+    target bucket. Groups whose values are ALL null produce no output
+    row (join them back from a stats frame if they must appear).
+
+    100 TB shape: the only full-size data structure is the NDV-row
+    distribution the caller already built; everything after it is
+    bucket-sized (hundreds of rows per group) or target-bucket-sized.
+    The distribution has MULTIPLE consumers (bucket aggregation, the
+    target-bucket probe, the rank lookup) and inferred join-key null
+    filters make their subtrees differ, so ReuseExchange does NOT
+    deduplicate them — ``materialize=True`` (default) therefore
+    ``localCheckpoint``s the binned distribution so it is computed once
+    and every branch reads cached executor partitions (the
+    pushdown-barrier pattern the derived-frame queries use). Pass
+    ``materialize=False`` when ``dist`` is already materialized. On a
+    real cluster a long-lived profile would instead publish the
+    distribution as a derived table (`operators/publish.py`); the
+    checkpoint is the single-session analogue."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    v = F.col(value_col)
+    sign = F.when(v < 0, F.lit(-1)).otherwise(F.lit(1))
+    bucket = (
+        sign * F.floor(F.lit(float(bins_per_octave)) * F.log2(F.abs(v) + F.lit(1.0)))
+    ).cast("long")
+    db = dist.withColumn("_qb", bucket)
+    if materialize:
+        db = db.localCheckpoint(eager=True)
+    live = F.when(v.isNotNull(), F.col(cnt_col)).otherwise(F.lit(0))
+    bstats = db.groupBy(*group_cols, "_qb").agg(F.sum(live).alias("_bcnt"))
+    wb = Window.partitionBy(*group_cols)
+    bann = bstats.withColumn(
+        "_bend", F.sum("_bcnt").over(wb.orderBy(F.col("_qb").asc_nulls_first()))
+    ).withColumn("_n_val", F.max("_bend").over(wb))
+    # Target (bucket, rank) pairs fall out of the bucket frame directly:
+    # every bucket row explodes the 2·len(qs) candidate ranks (computed
+    # from the windowed n_val) and keeps the ones its [bstart, bend) span
+    # covers — each rank lands in exactly one bucket, no join needed.
+    rank_exprs = []
+    for q in qs:
+        p = F.lit(q) * (F.col("_n_val") - 1)
+        rank_exprs += [F.floor(p).cast("long"), F.ceil(p).cast("long")]
+    bstart = F.col("_bend") - F.col("_bcnt")
+    targets = (
+        bann.select(
+            *group_cols,
+            "_qb",
+            bstart.alias("_bstart"),
+            "_bend",
+            "_n_val",
+            F.explode(F.array_distinct(F.array(*rank_exprs))).alias("_rk"),
+        )
+        .filter((F.col("_rk") >= F.col("_bstart")) & (F.col("_rk") < F.col("_bend")))
+        .select(*group_cols, "_qb", "_bstart", "_n_val", "_rk")
+    )
+    # Level 2: only rows inside a target bucket are ever sorted; their
+    # global rank span is bucket-prefix + within-bucket running count.
+    # ONE broadcast of the bounded target frame (≤ 2·len(qs) rows per
+    # group) serves both the bucket probe and the rank lookup: the join
+    # replicates a bucket's rows per requested rank (at most 2·len(qs)
+    # copies) and the running count windows per (group, bucket, rank),
+    # so the big side never re-shuffles and never joins twice.
+    l2 = db.join(F.broadcast(targets), [*group_cols, "_qb"])
+    w2 = Window.partitionBy(*group_cols, "_qb", "_rk")
+    l2c = l2.withColumn("_cumw", F.sum(cnt_col).over(w2.orderBy(value_col)))
+    # Exactly ONE row's span covers each target rank, so the covering
+    # rows ARE the rank values — no per-rank aggregation needed before
+    # the per-group map assembly.
+    rv = l2c.filter(
+        (F.col("_rk") >= F.col("_bstart") + F.col("_cumw") - F.col(cnt_col))
+        & (F.col("_rk") <= F.col("_bstart") + F.col("_cumw") - 1)
+    ).select(*group_cols, "_rk", F.col(value_col).alias("_rv"), "_n_val")
+    out = rv.groupBy(*group_cols).agg(
+        F.map_from_entries(F.collect_list(F.struct("_rk", "_rv"))).alias("_rvm"),
+        F.max("_n_val").alias("_n_val"),
+    )
+    out_cols = []
+    for i, q in enumerate(qs):
+        p = F.lit(q) * (F.col("_n_val") - 1)
+        frac = p - F.floor(p)
+        vlo = F.element_at(F.col("_rvm"), F.floor(p).cast("long"))
+        vhi = F.element_at(F.col("_rvm"), F.ceil(p).cast("long"))
+        out_cols.append((vlo + frac * (vhi - vlo)).alias(f"q{i}"))
+    return out.select(*group_cols, *out_cols)
+
+
+def group_quantiles_binned(
+    df: DataFrame, group_cols: list, value_col: str, qs: list, bins_per_octave: int = 32
+) -> DataFrame:
+    """EXACT continuous quantiles per group, NDV-robust: build the value
+    distribution (the one full-size, map-side-combinable shuffle) and
+    hand it to `distribution_quantiles_binned`. Same answers as
+    `group_quantiles_exact`, but the per-group cumulative window is
+    replaced by the two-level bucket scheme, so a group whose NDV grows
+    with the corpus no longer concentrates into a single task. Nulls are
+    dropped first (quantile semantics); returns q0..q{len(qs)-1}."""
+    from pyspark.sql import functions as F
+
+    dist = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(*group_cols, value_col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return distribution_quantiles_binned(
+        dist, group_cols, value_col, "cnt", qs, bins_per_octave=bins_per_octave
+    )
+
+
 def clear_shared(spark: SparkSession) -> None:
     """Unpersist and drop every shared subplan (test isolation hook)."""
     cache: dict = spark.__dict__.pop(_ATTR, {})

@@ -375,6 +375,52 @@ def test_group_quantiles_exact_matches_numpy_linear(spark, rows):
             assert abs(w - h) < 1e-9, (g, vs, want, got[g])
 
 
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b"]),
+            st.one_of(
+                st.none(),
+                st.integers(min_value=-5000, max_value=5000),
+            ),
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_group_quantiles_binned_matches_exact(spark, rows):
+    """The two-level binned quantile (plans/shared.group_quantiles_binned)
+    must return exactly what the single-level exact helper returns — the
+    bucket decomposition is an internal physical detail — across
+    duplicate-heavy multisets, negatives (sign-mirrored buckets),
+    singleton groups, nulls (dropped), and all-null groups (absent)."""
+    from harvester_database_and_automation_spark.plans.shared import (
+        group_quantiles_binned,
+        group_quantiles_exact,
+    )
+
+    qs = [0.0, 0.25, 0.5, 0.9, 1.0]
+    df = spark.createDataFrame(
+        [(g, None if v is None else float(v)) for g, v in rows], "g string, v double"
+    )
+    exact = {
+        r["g"]: [r[f"q{i}"] for i in range(len(qs))]
+        for r in group_quantiles_exact(df, ["g"], "v", qs).collect()
+    }
+    binned = {
+        r["g"]: [r[f"q{i}"] for i in range(len(qs))]
+        for r in group_quantiles_binned(df, ["g"], "v", qs, bins_per_octave=3).collect()
+    }
+    # exact emits a row for an all-null group (null quantiles); binned
+    # omits it — compare on the groups with at least one live value.
+    live = {g for g, v in rows if v is not None}
+    assert set(binned) == live
+    for g in live:
+        for e, b in zip(exact[g], binned[g]):
+            assert e == b, (g, exact[g], binned[g])
+
+
 @settings(max_examples=10, deadline=None)
 @given(
     st.lists(
