@@ -128,12 +128,15 @@ def csv_typed_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     handling, typed parsing of bigint/date/price columns, and the
     quarantine split (which must be EMPTY on clean data) all certified.
     Money round-trips as exact cents; dates render as ISO strings on
-    both engines (the date-dtype hash gotcha)."""
+    both engines (the date-dtype hash gotcha). Cleanliness is asserted
+    by `read_csv_strict`'s in-plan tripwire — ONE distributed parse
+    total, where the count-the-quarantine form needed a cached extra
+    pass that scaled with the export."""
     import tempfile
 
     from pyspark.sql import types as T
 
-    from harvester_database_and_automation_spark.sources.tabular import read_csv
+    from harvester_database_and_automation_spark.sources.tabular import read_csv_strict
 
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_orderpriority", "o_orderdate", "o_totalprice"
@@ -149,10 +152,7 @@ def csv_typed_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("o_totalprice", T.DoubleType()),
         ]
     )
-    good, corrupt = read_csv(spark, path, schema)
-    n_corrupt = corrupt.count()
-    if n_corrupt:
-        raise ValueError(f"clean export must re-read clean; {n_corrupt} corrupt rows")
+    good = read_csv_strict(spark, path, schema)
     return good.select(
         "o_orderkey",
         "o_custkey",
@@ -489,8 +489,14 @@ def chunked_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     UPLOADED copies through the typed CSV reader and hash-compare with
     the source. A chunk over budget, a dropped or truncated upload, or
     a manifest hash that does not match the landed bytes all raise; a
-    lost row breaks the hash."""
-    import hashlib
+    lost row breaks the hash.
+
+    Both verification passes are DISTRIBUTED: the chunk-budget check is
+    a text scan grouped by input_file_name (no driver line-counting),
+    and the landed-bytes audit is a binaryFile scan hashed with sha2 and
+    full-outer-joined against the manifest — the driver only ever holds
+    the manifest itself (one row per chunk, the transport layer's own
+    return value) and at most one mismatch row."""
     import tempfile
 
     from pyspark.sql import types as T
@@ -499,17 +505,28 @@ def chunked_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         export_chunked_csv,
         upload_files,
     )
-    from harvester_database_and_automation_spark.sources.tabular import read_csv
+    from harvester_database_and_automation_spark.sources.tabular import read_csv_strict
 
-    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    from harvester_database_and_automation_spark.plans.shared import fanout
+
+    # fanout: an under-split local scan would otherwise CSV-encode and
+    # write every chunk from one task; each of the n tasks writes its own
+    # ≤1000-row chunk files in parallel (no-op on production scans).
+    o = fanout(load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority"))
     root = tempfile.mkdtemp(prefix="export_rt_")
     out_dir = os.path.join(root, "chunks")
     paths = export_chunked_csv(o, out_dir, max_lines_per_file=1000)
-    for p in paths:
-        with open(p) as fh:
-            n_data = sum(1 for _ in fh) - 1  # header
-        if n_data > 1000:
-            raise ValueError(f"chunk over budget: {p} has {n_data} rows")
+    over = (
+        spark.read.text(out_dir)
+        .select(F.input_file_name().alias("chunk"))
+        .groupBy("chunk")
+        .agg((F.count(F.lit(1)) - 1).alias("n_data"))  # minus the header line
+        .filter(F.col("n_data") > 1000)
+        .limit(1)
+        .collect()
+    )
+    if over:
+        raise ValueError(f"chunk over budget: {over[0]['chunk']} has {over[0]['n_data']} rows")
 
     dest = os.path.join(root, "uploaded")
     os.makedirs(dest)
@@ -519,11 +536,32 @@ def chunked_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             fh.write(payload)
 
     manifest = upload_files(paths, dest, transport)
-    for rec in manifest:
-        with open(os.path.join(dest, rec.file_name), "rb") as fh:
-            landed = fh.read()
-        if len(landed) != rec.n_bytes or hashlib.sha256(landed).hexdigest() != rec.sha256:
-            raise ValueError(f"manifest mismatch for {rec.file_name}")
+    mf = spark.createDataFrame(
+        [(r.file_name, r.n_bytes, r.sha256) for r in manifest],
+        "file_name string, n_bytes bigint, sha256 string",
+    )
+    landed = (
+        spark.read.format("binaryFile")
+        .load(dest)
+        .select(
+            F.element_at(F.split("path", "/"), -1).alias("file_name"),
+            F.length("content").cast("bigint").alias("landed_bytes"),
+            F.sha2("content", 256).alias("landed_sha256"),
+        )
+    )
+    mismatch = (
+        mf.join(landed, "file_name", "full")
+        .filter(
+            F.col("n_bytes").isNull()
+            | F.col("landed_bytes").isNull()
+            | (F.col("n_bytes") != F.col("landed_bytes"))
+            | (F.col("sha256") != F.col("landed_sha256"))
+        )
+        .limit(1)
+        .collect()
+    )
+    if mismatch:
+        raise ValueError(f"manifest mismatch for {mismatch[0]['file_name']}")
 
     schema = T.StructType(
         [
@@ -531,7 +569,4 @@ def chunked_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("o_orderpriority", T.StringType()),
         ]
     )
-    good, corrupt = read_csv(spark, dest, schema)
-    if corrupt.count():
-        raise ValueError("uploaded chunks must re-read clean")
-    return good
+    return read_csv_strict(spark, dest, schema)

@@ -10,6 +10,7 @@ quarantined with the raw line preserved.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 CORRUPT_COL = "_corrupt_record"
@@ -44,3 +45,42 @@ def read_csv(
     good = df.filter(df[CORRUPT_COL].isNull()).drop(CORRUPT_COL)
     corrupt = df.filter(df[CORRUPT_COL].isNotNull())
     return good, corrupt
+
+
+def read_csv_strict(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    sep: str = ",",
+    header: bool = True,
+    quote: str = '"',
+    null_value: str | None = None,
+    date_format: str | None = None,
+) -> DataFrame:
+    """ONE-PASS strict read for flows that REQUIRE clean input
+    (round-trip certification, re-reading our own exports): any corrupt
+    row fails the scan in-plan with the offending raw line in the error,
+    instead of `read_csv`'s quarantine split — which needs a cache plus
+    a second action to assert emptiness, i.e. a full extra pass that
+    scales with the input. The tripwire lives in a filter predicate so
+    column pruning can never drop it; conforming rows pay one null
+    check."""
+    full = T.StructType(schema.fields + [T.StructField(CORRUPT_COL, T.StringType())])
+    reader = (
+        spark.read.option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .option("sep", sep)
+        .option("header", header)
+        .option("quote", quote)
+        .option("enforceSchema", False)
+    )
+    if null_value is not None:
+        reader = reader.option("nullValue", null_value)
+    if date_format is not None:
+        reader = reader.option("dateFormat", date_format)
+    df = reader.schema(full).csv(path)
+    tripwire = F.when(
+        F.col(CORRUPT_COL).isNotNull(),
+        F.raise_error(F.concat(F.lit("corrupt record in strict read: "), F.col(CORRUPT_COL))),
+    ).otherwise(F.lit(True))
+    return df.filter(tripwire).drop(CORRUPT_COL)

@@ -157,6 +157,31 @@ def test_read_csv_semicolon_typed(spark, tmp_path):
     assert "oops" in corrupt.collect()[0]["_corrupt_record"]
 
 
+def test_read_csv_strict_one_pass_tripwire(spark, tmp_path):
+    """The strict reader returns clean rows in one pass and fails the
+    scan in-plan — with the raw line in the message — on corrupt input
+    (no quarantine cache, no second emptiness action)."""
+    import pytest as _pytest
+
+    from harvester_database_and_automation_spark.sources.tabular import read_csv_strict
+
+    schema = T.StructType(
+        [
+            T.StructField("sample", T.StringType()),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+    clean = tmp_path / "clean.csv"
+    clean.write_text("sample,score\ns1,0.5\ns2,1.25\n")
+    got = read_csv_strict(spark, str(clean), schema).collect()
+    assert {(r["sample"], r["score"]) for r in got} == {("s1", 0.5), ("s2", 1.25)}
+
+    bad = tmp_path / "bad.csv"
+    bad.write_text("sample,score\ns1,0.5\ns2,oops\n")
+    with _pytest.raises(Exception, match="corrupt record in strict read"):
+        read_csv_strict(spark, str(bad), schema).collect()
+
+
 def test_validate_quarantine_reasons(spark):
     df = spark.createDataFrame(
         [
