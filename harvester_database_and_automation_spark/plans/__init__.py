@@ -118,6 +118,23 @@ _CHANGED_IN_R3 = [
     "semantic_dedup_cells",
 ]
 
+# Queries whose IMPLEMENTATION changed in round 5 after earning a green
+# row (sampled near-dup baseline, two-level SemDeDup assignment, binned
+# percentiles, Spark-spooled router feed, strict one-pass round-trips,
+# AQE-decides tfidf join, guarded interval explode). They re-enter the
+# rotation until an artifact from round >= 5 shows the current code
+# green.
+_CHANGED_IN_R5 = [
+    "embedding_near_dup_pairs",
+    "semantic_dedup_cells",
+    "order_value_percentiles",
+    "tfidf_top_terms",
+    "streaming_change_router_replay",
+    "csv_typed_roundtrip",
+    "chunked_export_roundtrip",
+    "signup_purchase_window_join",
+]
+
 
 def _green_counts_since(round_no: int) -> dict[str, int]:
     import json
@@ -143,6 +160,7 @@ def _green_counts_since(round_no: int) -> dict[str, int]:
 def _rotate_least_verified_first() -> None:
     greens = _green_counts()
     greens_r3 = _green_counts_since(3)
+    greens_r5 = _green_counts_since(5)
     judge_only = _judge_only_verified()
     prior = _longest_waiting()
 
@@ -151,8 +169,10 @@ def _rotate_least_verified_first() -> None:
             return 0
         if greens.get(n, 0) == 0:
             return 1  # never driver-verified at all
-        if n in _CHANGED_IN_R3 and greens_r3.get(n, 0) == 0:
+        if n in _CHANGED_IN_R5 and greens_r5.get(n, 0) == 0:
             return 2  # green only for a superseded implementation
+        if n in _CHANGED_IN_R3 and greens_r3.get(n, 0) == 0:
+            return 2
         return 3
 
     ordered = sorted(
