@@ -1,0 +1,119 @@
+#!/usr/bin/env python
+"""Measure the 100x data step (sf0.01 -> sf1) for the most expensive /
+most scale-sensitive queries and record SCALING_100x.json.
+
+SCALING.json's single 10x step left every plateau argument (NDV grids,
+SemDeDup cell sizes, band collisions) asymptotic; this script measures
+them. The sf1 corpus is derived from the driver's own sf0.1 tables by
+scripts/make_sf1.py (FK-consistent 10x replication — run it first); the
+oracle harness never touches it, so this is a PERFORMANCE artifact only.
+
+The ideal 100x ratio for a fully parallel linear plan on a 32-thread box
+is well under 100 (the sf0.01 run is overhead-dominated); superlinear
+work shows up as a ratio far ABOVE the corpus growth that survives the
+fixed-overhead floor. For calibration the report also includes the 10x
+sub-step sf0.1 -> sf1, where both points are past the overhead floor.
+
+Usage: python scripts/scaling_curve_100x.py [query ...]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from harvester_database_and_automation_spark.plans import QUERIES  # noqa: E402
+from harvester_database_and_automation_spark.session import get_spark  # noqa: E402
+
+SF_SMALL = "/root/testdata/sf0.01"
+SF_MID = "/root/testdata/sf0.1"
+SF_BIG = str(Path(__file__).resolve().parent.parent / ".scaling" / "sf1")
+
+# Top of BENCH_FULL by cost plus every query the round-4 verdict flagged
+# for scaling evidence (quantile profiles, dedup families, round-trips).
+DEFAULT_QUERIES = [
+    "streaming_watermark_window_replay",
+    "streaming_change_router_replay",
+    "streaming_dedup_replay",
+    "word_heavy_hitters",
+    "lineitem_column_profile",
+    "lineitem_column_profile_binned",
+    "order_value_percentiles",
+    "substring_overlap_pairs",
+    "semantic_dedup_cells",
+    "prefix_filter_jaccard_pairs",
+    "kmeans_lloyd_clusters",
+    "incremental_dup_components",
+    "streaming_upsert_publish_replay",
+    "chunked_export_roundtrip",
+    "csv_typed_roundtrip",
+    "embedding_near_dup_pairs",
+    "tfidf_top_terms",
+]
+
+
+def timed(fn, spark, sf) -> float:
+    best = None
+    for _ in range(2):
+        t0 = time.time()
+        fn(spark, sf).write.mode("overwrite").format("noop").save()
+        dt = time.time() - t0
+        best = dt if best is None or dt < best else best
+    return round(best, 3)
+
+
+def main() -> int:
+    names = sys.argv[1:] or DEFAULT_QUERIES
+    unknown = [n for n in names if n not in QUERIES]
+    if unknown:
+        print(f"unknown queries: {unknown}", file=sys.stderr)
+        return 2
+    if not Path(SF_BIG).exists():
+        print(f"{SF_BIG} missing — run scripts/make_sf1.py first", file=sys.stderr)
+        return 2
+    spark = get_spark("scaling-curve-100x")
+    # Warm every (query, sf) pair fully first (JIT + footer caches).
+    for n in names:
+        for sf in (SF_SMALL, SF_MID, SF_BIG):
+            QUERIES[n].fn(spark, sf).write.mode("overwrite").format("noop").save()
+    rows = {}
+    for n in names:
+        ta = timed(QUERIES[n].fn, spark, SF_SMALL)
+        tm = timed(QUERIES[n].fn, spark, SF_MID)
+        tb = timed(QUERIES[n].fn, spark, SF_BIG)
+        rows[n] = {
+            "sf001": ta,
+            "sf01": tm,
+            "sf1": tb,
+            "ratio_100x": round(tb / ta, 2) if ta > 0 else None,
+            "ratio_10x_tail": round(tb / tm, 2) if tm > 0 else None,
+        }
+        print(f"{n}: {ta}s -> {tm}s -> {tb}s  (100x ratio {rows[n]['ratio_100x']})")
+    r100 = sorted(r["ratio_100x"] for r in rows.values() if r["ratio_100x"])
+    r10 = sorted(r["ratio_10x_tail"] for r in rows.values() if r["ratio_10x_tail"])
+    out = {
+        "data_step": "100x rows (sf0.01 -> derived sf1), same session, best-of-2 warm",
+        "sf1_source": "scripts/make_sf1.py: FK-consistent 10x replication of the driver's sf0.1",
+        "median_ratio_100x": r100[len(r100) // 2],
+        "max_ratio_100x": r100[-1],
+        "median_ratio_10x_tail": r10[len(r10) // 2],
+        "max_ratio_10x_tail": r10[-1],
+        "queries": dict(sorted(rows.items(), key=lambda kv: -(kv[1]["ratio_100x"] or 0))),
+    }
+    (Path(__file__).resolve().parent.parent / "SCALING_100x.json").write_text(
+        json.dumps(out, indent=1) + "\n"
+    )
+    print(
+        f"{len(rows)} queries: median 100x ratio {out['median_ratio_100x']}x, "
+        f"max {out['max_ratio_100x']}x; tail 10x median {out['median_ratio_10x_tail']}x, "
+        f"max {out['max_ratio_10x_tail']}x -> SCALING_100x.json"
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
