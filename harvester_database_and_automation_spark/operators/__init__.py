@@ -24,6 +24,7 @@ from harvester_database_and_automation_spark.operators.skew import (
     salted_aggregate,
     salted_count_distinct,
     salted_join,
+    salted_self_pairs,
 )
 from harvester_database_and_automation_spark.operators.publish import (
     current_version,
@@ -57,4 +58,5 @@ __all__ = [
     "salted_join",
     "salted_aggregate",
     "salted_count_distinct",
+    "salted_self_pairs",
 ]

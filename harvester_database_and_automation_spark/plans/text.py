@@ -2237,3 +2237,64 @@ def bpe_first_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), F.col("pair").asc())
         .limit(10)
     )
+
+
+@register(
+    "hot_band_pair_stress",
+    survey_ref="dedup-banding,skew-mitigation,J7,A1",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, n_chars,
+         CAST(CASE WHEN doc_id % 3 = 0 THEN -1 ELSE doc_id % 97 END AS BIGINT) AS band
+  FROM documents
+)
+SELECT a.band AS band,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(CASE WHEN abs(a.n_chars - b.n_chars) <= 5 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_close
+FROM d a JOIN d b ON a.band = b.band AND a.doc_id < b.doc_id
+GROUP BY a.band
+""",
+)
+def hot_band_pair_stress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-stress certification for the banded self-join family: a
+    PLANTED hot band (one-third of the corpus shares band -1, the
+    stop-phrase-band / boilerplate-shingle profile; the rest spread over
+    97 uniform bands) is pair-enumerated through
+    `operators/skew.salted_self_pairs` and aggregated per band.
+
+    Uniform synthetic data never exercises this failure mode: a straight
+    band equi-join runs the hot band's ENTIRE quadratic pair product in
+    one task, and AQE's skew splitter cannot divide it (it splits input
+    rows, not one key's pair product — the hot-key reality of the
+    reference's country/date-skewed `gisaid_api_sequence` feed,
+    init.sql:284-337). The salted operator decomposes hot keys into the
+    triangular grid of 8 salt groups, so the join key becomes
+    (band, block_i, block_j) and each task works at most
+    ceil(hot/8)^2 pairs — the mitigation is visible in the plan as the
+    explode + 3-column join key. Results are salt-invariant, so the
+    ORACLE is the plain a.id < b.id self-join: the hash match certifies
+    that salting loses no pair and double-counts none."""
+    from harvester_database_and_automation_spark.operators.skew import salted_self_pairs
+
+    d = _fanout(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id",
+            "n_chars",
+            F.when(F.col("doc_id") % 3 == 0, F.lit(-1))
+            .otherwise(F.col("doc_id") % 97)
+            .cast("long")
+            .alias("band"),
+        )
+    )
+    pairs = salted_self_pairs(d, ["band"], "doc_id", n_salt=8, hot_threshold=100)
+    return pairs.groupBy("band").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum(
+            F.when(F.abs(F.col("n_chars_a") - F.col("n_chars_b")) <= 5, F.lit(1)).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("bigint")
+        .alias("n_close"),
+    )

@@ -44,6 +44,9 @@ ALLOWED: dict[str, dict[str, str]] = {
     # materializes its long-format mutation tables (init.sql:403-410),
     # and the per-query exchange count drops to the 2-3 of its own joins.
     "ngram_jaccard_pairs": {"exchange-storm": "shingle index recomputed per consumer under the gate"},
+    "hot_band_pair_stress": {
+        "exchange-storm": "the skew certification composes hot-key detection (frequency agg + broadcast) and the triangular block self-join inline; the pair join's two sides each shuffle once on (band, block_i, block_j) — that 3-column key IS the mitigation — and every exchange ships (band, block, id, n_chars) rows, never payloads"
+    },
     "kmv_segment_overlap": {
         "exchange-storm": "certification runs THREE sketch branches (a/b/union k-min top-ks) AND their three exact distinct counts in one plan; in production each segment's 64-double sketch is a maintained table and only the merge executes — every exchange here ships either 64 doubles or distinct bigint keys"
     },

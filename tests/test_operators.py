@@ -937,3 +937,56 @@ def test_interval_containment_join_guards_pathological_span(spark):
     with _pytest.raises(ValueError, match="max_buckets_per_interval"):
         interval_containment_join(intervals, points, "s", "e", "p", 10.0,
                                   max_buckets_per_interval=0)
+
+
+def test_salted_self_pairs_matches_naive_with_hot_key(spark):
+    """Pair-block salting must enumerate exactly the naive quadratic's
+    unordered within-key pairs — no loss, no double count — when one key
+    is hot (salted into blocks) and others are cold (single block)."""
+    import itertools
+
+    from harvester_database_and_automation_spark.operators.skew import salted_self_pairs
+
+    rows = [(i, "hot" if i < 40 else f"cold{i % 5}", i * 3 % 17) for i in range(60)]
+    df = spark.createDataFrame(rows, "rid int, k string, payload int")
+    out = salted_self_pairs(df, ["k"], "rid", n_salt=4, hot_threshold=10)
+    got = {(r["k"], r["rid_a"], r["rid_b"]) for r in out.collect()}
+    want = {
+        (ka, min(a, b), max(a, b))
+        for (a, ka, _), (b, kb, _) in itertools.combinations(rows, 2)
+        if ka == kb
+    }
+    assert got == want
+    assert out.count() == len(want)  # exactly-once despite block replication
+    # payload columns ride along, oriented with the id order
+    one = out.filter((F.col("rid_a") == 0) & (F.col("rid_b") == 1)).collect()[0]
+    assert (one["payload_a"], one["payload_b"]) == (0, 3)
+
+
+def test_salted_self_pairs_plan_shows_block_join(spark):
+    """The mitigation must be structural: the self-join's key includes
+    the block coordinates, so a hot key's pair product spreads across
+    its triangular block grid instead of one join group."""
+    from harvester_database_and_automation_spark.operators.skew import salted_self_pairs
+
+    df = spark.range(500).selectExpr(
+        "id AS rid", "CASE WHEN id % 50 = 0 THEN 'rare' ELSE 'hot' END AS k"
+    )
+    out = salted_self_pairs(df, ["k"], "rid", n_salt=8, hot_threshold=100)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "_bi" in plan and "_bj" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_salted_self_pairs_validates_args(spark):
+    import pytest as _pytest
+
+    from harvester_database_and_automation_spark.operators.skew import salted_self_pairs
+
+    df = spark.range(5).selectExpr("id AS rid", "'x' AS k")
+    with _pytest.raises(ValueError, match="n_salt"):
+        salted_self_pairs(df, ["k"], "rid", n_salt=1)
+    with _pytest.raises(ValueError, match="hot_threshold"):
+        salted_self_pairs(df, ["k"], "rid", hot_threshold=0)
+    with _pytest.raises(ValueError, match="id_col"):
+        salted_self_pairs(df, ["k"], "k")
