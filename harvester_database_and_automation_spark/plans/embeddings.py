@@ -742,12 +742,16 @@ def semantic_dedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    def _argmin_group(df: DataFrame, key: str, sim, pick: str, out: str) -> DataFrame:
-        return (
-            df.groupBy(key)
-            .agg(F.min(F.struct((-sim).alias("neg"), F.col(pick).alias("pick"))).alias("b"))
-            .select(key, F.col("b.pick").alias(out))
-        )
+    def _argmin_group(
+        df: DataFrame, key: str, sim, pick: str, out: str, carry: tuple = ()
+    ) -> DataFrame:
+        # ``carry`` columns are constant within a key group (each key is a
+        # vector id and carries its own payload), so first() is
+        # deterministic and the payload rides the ONE partial-agg shuffle
+        # instead of joining back against the corpus afterwards.
+        aggs = [F.min(F.struct((-sim).alias("neg"), F.col(pick).alias("pick"))).alias("b")]
+        aggs += [F.first(col).alias(col) for col in carry]
+        return df.groupBy(key).agg(*aggs).select(key, F.col("b.pick").alias(out), *carry)
 
     sg = _argmin_group(
         seeds.crossJoin(coarse),
@@ -755,23 +759,26 @@ def semantic_dedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         _dot(F.col("cv"), F.col("gv")) / (F.col("cn") * F.col("gn")),
         "gid",
         "gid",
-    ).join(seeds, "cid")
+        carry=("cv", "cn"),
+    )
     vg = _argmin_group(
         _fanout(e).crossJoin(coarse),
         "vec_id",
         _dot(F.col("vec"), F.col("gv")) / (F.col("norm") * F.col("gn")),
         "gid",
         "gid",
+        carry=("vec", "norm"),
     )
-    in_group = e.join(vg, "vec_id").join(sg, "gid")
-    assign = _argmin_group(
+    in_group = vg.join(sg, "gid")
+    members = _argmin_group(
         in_group,
         "vec_id",
         _dot(F.col("vec"), F.col("cv")) / (F.col("norm") * F.col("cn")),
         "cid",
         "cell",
+        carry=("vec", "norm"),
     )
-    members = e.join(assign, "vec_id")
+    assign = members.select("vec_id", "cell")
     a = members.select(
         "cell", F.col("vec_id").alias("vec_a"), F.col("vec").alias("va"), F.col("norm").alias("na")
     )
