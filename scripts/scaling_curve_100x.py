@@ -53,6 +53,7 @@ DEFAULT_QUERIES = [
     "csv_typed_roundtrip",
     "embedding_near_dup_pairs",
     "tfidf_top_terms",
+    "hot_band_pair_stress",
 ]
 
 
