@@ -136,10 +136,15 @@ def csv_typed_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql import types as T
 
+    from harvester_database_and_automation_spark.plans.shared import fanout
     from harvester_database_and_automation_spark.sources.tabular import read_csv_strict
 
-    o = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_custkey", "o_orderpriority", "o_orderdate", "o_totalprice"
+    # fanout: an under-split local scan would otherwise CSV-encode the
+    # whole export in one task (no-op on production scans).
+    o = fanout(
+        load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_orderpriority", "o_orderdate", "o_totalprice"
+        )
     )
     path = tempfile.mkdtemp(prefix="csv_rt_") + "/orders_csv"
     o.write.option("header", True).csv(path)
