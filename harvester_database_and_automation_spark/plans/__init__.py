@@ -133,6 +133,12 @@ _CHANGED_IN_R5 = [
     "csv_typed_roundtrip",
     "chunked_export_roundtrip",
     "signup_purchase_window_join",
+    # Bounded-batch reworks after the full-registry 100x curve exposed
+    # their modulus samples as corpus-proportional (O(N^2) pair scans):
+    "k3_origin_estimator",
+    "k4_priority_scorer",
+    "knn_label_predict",
+    "a11_mean_hamming",
 ]
 
 

@@ -169,10 +169,13 @@ def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     "knn_label_predict",
     survey_ref="similarity,K3,W2",
     oracle=f"""
-WITH q AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id % 7 = 0),
-r AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id % 7 <> 0),
+WITH vecs AS (SELECT vec_id, embedding::DOUBLE[] AS vv FROM embeddings),
+q AS ({_query_sample_sql(100, cols='vec_id AS query_id, vv AS v')}
+),
+r AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+      WHERE vec_id NOT IN (SELECT query_id FROM q)),
 sims AS (
-  SELECT q.vec_id AS query_id, r.vec_id AS neighbor_id, r.label,
+  SELECT q.query_id, r.vec_id AS neighbor_id, r.label,
          {_COS_SQL.format(a='q.v', b='r.v')} AS sim
   FROM q CROSS JOIN r
 ),
@@ -189,13 +192,17 @@ def knn_label_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1-NN label prediction: held-out vectors classified by their nearest
     reference neighbor — the 1-NN origin-country estimation semantics
     (OriginCountryEstimator.java:91-186) with cosine in place of the
-    mutation-set distance."""
+    mutation-set distance. The held-out set is a FIXED 100-vector hash
+    sample (`_query_sample`): a classification batch is bounded, so cost
+    is O(N·100); the earlier modulus split held out N/7 vectors — an
+    O(N²) scan the full-registry 100x curve measured at 33x for 10x
+    data."""
     e = _emb_with_norm(spark, sf_dir)
-    q = e.filter(F.col("vec_id") % 7 == 0).select(
+    q = _query_sample(e, 100).select(
         F.col("vec_id").alias("query_id"), F.col("vec").alias("qv"), F.col("norm").alias("qn")
     )
     r = _fanout(
-        e.filter(F.col("vec_id") % 7 != 0).select(
+        e.join(F.broadcast(q.select(F.col("query_id").alias("vec_id"))), "vec_id", "left_anti").select(
             F.col("vec_id").alias("neighbor_id"), "label", F.col("vec").alias("rv"), F.col("norm").alias("rn")
         )
     )

@@ -104,13 +104,39 @@ def _mutations(spark: SparkSession, sf_dir: str):
     return seqs, muts, sizes
 
 
-def _pair_distances(spark: SparkSession, sf_dir: str, q_cond, r_cols):
-    """Mutation-set distance |A| + |B| - 2|A∩B| for every (query, reference)
-    doc pair, split by ``q_cond`` (queries where true).
+# Portable multiplicative hash over doc ids (same Knuth constant and
+# modulus as the embeddings side's _QHASH_SQL): draws FIXED-SIZE
+# pseudo-random doc samples. A modulus predicate (doc_id % m) makes the
+# sample corpus-PROPORTIONAL, which turns the (query x reference) pair
+# scan into O(N^2) — the full-registry 100x curve measured K3/K4 at 30-42x
+# for 10x data on exactly that shape.
+_DOC_QHASH_SQL = "(((doc_id) % 1000000007) * 2654435761) % 1000000007"
+
+
+def _doc_qhash(col):
+    return ((col % F.lit(1_000_000_007)) * F.lit(2_654_435_761)) % F.lit(1_000_000_007)
+
+
+def _doc_sample_sql(n: int) -> str:
+    """DuckDB CTE body: the ``n`` doc_ids with the smallest portable hash."""
+    return (
+        "SELECT doc_id FROM ("
+        f"  SELECT doc_id, row_number() OVER (ORDER BY {_DOC_QHASH_SQL}, doc_id) AS qrk"
+        "   FROM documents"
+        f") t WHERE qrk <= {n}"
+    )
+
+
+def _pair_distances(spark: SparkSession, sf_dir: str, n_queries: int, r_cols):
+    """Mutation-set distance |A| + |B| - 2|A∩B| of every reference doc to
+    each of a FIXED-SIZE hash-sampled query batch (``n_queries`` docs —
+    the bounded shape of the reference's actual workloads: a curated
+    focal set in priorities_from_database.py, a per-day import batch in
+    OriginCountryEstimator — so cost is O(N·batch), never O(N²)).
 
     Each doc's mutation set is aggregated ONCE into a sorted int-encoded
-    array (pos*256 + base codepoint); the query side (small by
-    construction) is broadcast and the per-pair distance is
+    array (pos*256 + base codepoint); the query batch is a bounded
+    broadcast and the per-pair distance is
     size+size-2*size(array_intersect) — distances are exact integers, so
     this is free to differ structurally from the SQL oracle. No muts-muts
     shuffle join, no recomputation of the mutation subtree per use, and
@@ -127,9 +153,20 @@ def _pair_distances(spark: SparkSession, sf_dir: str, q_cond, r_cols):
     base = docs.join(msets, "doc_id", "left").withColumn(
         "mset", F.coalesce(F.col("mset"), F.array().cast("array<int>"))
     )
-    q = base.filter(q_cond).select(F.col("doc_id").alias("qid"), F.col("mset").alias("qset"))
+    qids = (
+        docs.select("doc_id")
+        .withColumn("_qh", _doc_qhash(F.col("doc_id")))
+        .orderBy("_qh", "doc_id")
+        .limit(n_queries)
+        .drop("_qh")
+    )
+    q = base.join(F.broadcast(qids), "doc_id").select(
+        F.col("doc_id").alias("qid"), F.col("mset").alias("qset")
+    )
     r = fanout(
-        base.filter(~q_cond).select(F.col("doc_id").alias("rid"), *r_cols, F.col("mset").alias("rset"))
+        base.join(F.broadcast(qids), "doc_id", "left_anti").select(
+            F.col("doc_id").alias("rid"), *r_cols, F.col("mset").alias("rset")
+        )
     )
     return (
         F.broadcast(q)
@@ -166,17 +203,20 @@ def k1_mutation_finder(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey_ref="K3,J8,W2,A1",
     oracle=f"""
 WITH {_MUTS_CTES},
+qsample AS ({_doc_sample_sql(60)}),
 pairs AS (
   SELECT q.doc_id AS qid, r.doc_id AS rid, r.lang, r.doc_id % 5 AS fold,
          sq.sz + sr.sz - 2 * coalesce(i.n_common, 0) AS dist
-  FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) q
-  CROSS JOIN (SELECT doc_id, lang FROM documents WHERE doc_id % 10 <> 0) r
+  FROM qsample q
+  CROSS JOIN (SELECT doc_id, lang FROM documents
+              WHERE doc_id NOT IN (SELECT doc_id FROM qsample)) r
   JOIN mut_sizes sq ON sq.doc_id = q.doc_id
   JOIN mut_sizes sr ON sr.doc_id = r.doc_id
   LEFT JOIN (
     SELECT a.doc_id AS qid, b.doc_id AS rid, count(*) AS n_common
     FROM muts a JOIN muts b ON a.pos = b.pos AND a.base = b.base
-    WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+    WHERE a.doc_id IN (SELECT doc_id FROM qsample)
+      AND b.doc_id NOT IN (SELECT doc_id FROM qsample)
     GROUP BY 1, 2
   ) i ON i.qid = q.doc_id AND i.rid = r.doc_id
 ),
@@ -203,10 +243,14 @@ def k3_origin_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
     5 deterministic reference folds (doc_id % 5 in place of the random
     subsample), nearest neighbor per fold votes its lang, majority >= 3/5
     decides, else UNDECIDED. Random tie-breaks become (dist, rid) ordering
-    so the oracle agrees bit-for-bit."""
-    pairs = _pair_distances(
-        spark, sf_dir, F.col("doc_id") % 10 == 0, [F.col("lang")]
-    ).withColumn("fold", F.col("rid") % 5)
+    so the oracle agrees bit-for-bit. The query side is a FIXED 60-doc
+    hash sample — the reference estimates origins for a bounded per-run
+    batch of new sequences, so cost is O(N·batch); the earlier modulus
+    split made both sides corpus-proportional (an O(N²) scan the 100x
+    curve measured at 42x for 10x data)."""
+    pairs = _pair_distances(spark, sf_dir, 60, [F.col("lang")]).withColumn(
+        "fold", F.col("rid") % 5
+    )
     w = Window.partitionBy("qid", "fold").orderBy("dist", "rid")
     nn = pairs.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") == 1)
     votes = nn.groupBy("qid", "lang").agg(F.count(F.lit(1)).alias("n_votes"))
@@ -227,17 +271,20 @@ def k3_origin_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey_ref="K4,W2,A1",
     oracle=f"""
 WITH {_MUTS_CTES},
+qsample AS ({_doc_sample_sql(40)}),
 pairs AS (
   SELECT c.doc_id AS rid, c.n_chars, f.doc_id AS qid,
          sc.sz + sf.sz - 2 * coalesce(i.n_common, 0) AS dist
-  FROM (SELECT doc_id, n_chars FROM documents WHERE doc_id % 10 <> 0) c
-  CROSS JOIN (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) f
+  FROM (SELECT doc_id, n_chars FROM documents
+        WHERE doc_id NOT IN (SELECT doc_id FROM qsample)) c
+  CROSS JOIN qsample f
   JOIN mut_sizes sc ON sc.doc_id = c.doc_id
   JOIN mut_sizes sf ON sf.doc_id = f.doc_id
   LEFT JOIN (
     SELECT a.doc_id AS qid, b.doc_id AS rid, count(*) AS n_common
     FROM muts a JOIN muts b ON a.pos = b.pos AND a.base = b.base
-    WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+    WHERE a.doc_id IN (SELECT doc_id FROM qsample)
+      AND b.doc_id NOT IN (SELECT doc_id FROM qsample)
     GROUP BY 1, 2
   ) i ON i.qid = f.doc_id AND i.rid = c.doc_id
 ),
@@ -263,10 +310,12 @@ def k4_priority_scorer(spark: SparkSession, sf_dir: str) -> DataFrame:
     -(min SNP distance to the focal set) with a quality penalty (n_chars%10
     standing in for the N-count) and a crowding penalty of -0.1 per rank
     among contexts sharing the same closest focal sequence. The sparse
-    matrix products become the mutation-set intersection join."""
-    pairs = _pair_distances(
-        spark, sf_dir, F.col("doc_id") % 10 == 0, [F.col("n_chars")]
-    )
+    matrix products become the mutation-set intersection join. The focal
+    set is a FIXED 40-doc hash sample — focal sets in the reference are
+    small user-curated variant lists, so every context is scored against
+    a bounded batch (O(N·batch); the earlier modulus split was O(N²),
+    measured at 30x for 10x data on the 100x curve)."""
+    pairs = _pair_distances(spark, sf_dir, 40, [F.col("n_chars")])
     wc = Window.partitionBy("rid").orderBy("dist", "qid")
     closest = (
         pairs.withColumn("rk", F.row_number().over(wc))
@@ -396,10 +445,11 @@ def k11_read_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a11_mean_hamming",
     survey_ref="A11,J7,A1",
     oracle=f"""
-WITH seqs AS (
+WITH qsample AS ({_doc_sample_sql(120)}),
+seqs AS (
   SELECT doc_id, lang, substr({_SEQ_SQL}, 1, 30) AS s
   FROM documents
-  WHERE doc_id % 17 = 0 AND length({_SEQ_SQL}) >= 30
+  WHERE doc_id IN (SELECT doc_id FROM qsample) AND length({_SEQ_SQL}) >= 30
 ),
 pairs AS (
   SELECT a.lang, a.doc_id AS da, b.doc_id AS db,
@@ -416,11 +466,22 @@ def a11_mean_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A11 — mean pairwise Hamming distance per group (database/R/
     utility.R:306-313, phangorn::dist.hamming): sampled sequences self-join
     within lang, per-pair distance via a higher-order count over the first
-    30 sites, then group mean."""
+    30 sites, then group mean. The analysis sample is a FIXED 120-doc hash
+    draw — a distance MATRIX is quadratic in its sample by definition, so
+    the sample must be bounded (the reference hands phangorn a bounded
+    alignment, never the whole warehouse); the earlier doc_id % 17 sample
+    grew with the corpus and took the pair count quadratic with it."""
     docs = load_table(spark, sf_dir, "documents")
     seq = pseudo_sequence("text")
+    qids = (
+        docs.select("doc_id")
+        .withColumn("_qh", _doc_qhash(F.col("doc_id")))
+        .orderBy("_qh", "doc_id")
+        .limit(120)
+        .drop("_qh")
+    )
     seqs = (
-        docs.filter(F.col("doc_id") % 17 == 0)
+        docs.join(F.broadcast(qids), "doc_id")
         .select("doc_id", "lang", F.substring(seq, 1, 30).alias("s"))
         .filter(F.length(seq) >= 30)
     )
