@@ -343,3 +343,71 @@ def copurchase_edges(spark: SparkSession, sf_dir: str, deps) -> DataFrame:
     from harvester_database_and_automation_spark.plans.text import _copurchase_edges
 
     return _copurchase_edges(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Serving store: consumers read the MAINTAINED derived table, they do not
+# recompute it. This is the deployment shape every "materialized in
+# production" claim in scripts/audit_plans.py makes — the reference's MV
+# serving layer (sequences_gisaid_api_based.sql:22-113 is read, not
+# rebuilt, per query) — made real for registered queries: the first
+# reader of a (corpus, table) pair publishes it once via the versioned
+# protocol; every later plan is a parquet scan of the published version.
+# ---------------------------------------------------------------------------
+_SERVE_ROOT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    ".derived",
+)
+
+
+def _build_fingerprint(name: str) -> str:
+    """Short hash over the builder source of ``name`` and its transitive
+    deps, so a code change to any builder in the chain republish rather
+    than serving a stale table across rounds. Helpers the builders call
+    are not captured — a helper-only change needs a manual store wipe
+    (rm -rf .derived), which the round workflow does on rework anyway."""
+    import hashlib
+    import inspect
+
+    parts: list[str] = []
+    stack = [name]
+    seen: set[str] = set()
+    while stack:
+        n = stack.pop()
+        if n in seen:
+            continue
+        seen.add(n)
+        spec = LAYER.tables[n]
+        parts.append(inspect.getsource(spec.build))
+        stack.extend(spec.depends_on)
+    return hashlib.sha256("\n".join(sorted(parts)).encode()).hexdigest()[:10]
+
+
+def _serve_dir(sf_dir: str, name: str) -> str:
+    tag = os.path.abspath(sf_dir).strip(os.sep).replace(os.sep, "__")
+    return os.path.join(_SERVE_ROOT, tag, f"{name}-{_build_fingerprint(name)}")
+
+
+def read_derived(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read derived table ``name`` for the corpus at ``sf_dir`` from the
+    published serving store, building and publishing it (and its
+    transitive deps, each from the PUBLISHED layer below) once per
+    (corpus, builder-version). Corpora at a path are immutable (the
+    driver's testdata, the derived sf1), so existence of a published
+    version is the freshness check; builder code changes re-key the
+    store directory via the source fingerprint."""
+    spec = LAYER.tables[name]
+    table_dir = _serve_dir(sf_dir, name)
+    try:
+        return read_published(spark, table_dir)
+    except FileNotFoundError:
+        pass
+    deps = {d: read_derived(spark, sf_dir, d) for d in spec.depends_on}
+    df = spec.build(spark, sf_dir, deps)
+    try:
+        publish_versioned(df, table_dir, partition_by=list(spec.partition_by) or None)
+    except Exception:
+        # A concurrent publisher won the version directory; its marker is
+        # authoritative — fall through to read what it published.
+        pass
+    return read_published(spark, table_dir)

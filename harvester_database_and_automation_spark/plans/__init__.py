@@ -141,6 +141,16 @@ _CHANGED_IN_R5 = [
     "a11_mean_hamming",
 ]
 
+# Queries whose IMPLEMENTATION changed in round 6 after earning a green
+# row (adaptive per-key salt in the skew operator; the near-dup pair
+# report repointed to the published dup_pairs derived table). They
+# re-enter the rotation until an artifact from round >= 6 shows the
+# current code green.
+_CHANGED_IN_R6 = [
+    "hot_band_pair_stress",
+    "ngram_jaccard_pairs",
+]
+
 
 def _green_counts_since(round_no: int) -> dict[str, int]:
     import json
@@ -167,6 +177,7 @@ def _rotate_least_verified_first() -> None:
     greens = _green_counts()
     greens_r3 = _green_counts_since(3)
     greens_r5 = _green_counts_since(5)
+    greens_r6 = _green_counts_since(6)
     judge_only = _judge_only_verified()
     prior = _longest_waiting()
 
@@ -175,8 +186,10 @@ def _rotate_least_verified_first() -> None:
             return 0
         if greens.get(n, 0) == 0:
             return 1  # never driver-verified at all
-        if n in _CHANGED_IN_R5 and greens_r5.get(n, 0) == 0:
+        if n in _CHANGED_IN_R6 and greens_r6.get(n, 0) == 0:
             return 2  # green only for a superseded implementation
+        if n in _CHANGED_IN_R5 and greens_r5.get(n, 0) == 0:
+            return 2
         if n in _CHANGED_IN_R3 and greens_r3.get(n, 0) == 0:
             return 2
         return 3

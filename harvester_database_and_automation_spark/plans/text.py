@@ -502,11 +502,21 @@ WHERE n_common * 1.0 / (s1.sz + s2.sz - n_common) >= 0.1
 """,
 )
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """3-gram shingle Jaccard near-dup pairs via inverted-index self-join —
-    the candidate join only touches docs sharing a shingle, never all pairs."""
-    return _jaccard_pairs(spark, sf_dir, 0.1).select(
-        "doc_a", "doc_b", F.round(F.col("jaccard"), 6).alias("jaccard")
-    )
+    """3-gram shingle Jaccard near-dup pairs, read from the MAINTAINED
+    ``dup_pairs`` derived table (itself built from the published
+    ``shingle_index`` — pipelines/derived.py): the serving shape the
+    allow-list's "materialized in production" claim described, now the
+    actual registered plan — a published-parquet scan plus the rounding
+    projection, zero recompute exchanges. The inverted-index self-join
+    (the candidate join only touches docs sharing a shingle, never all
+    pairs) runs once per ingest in the LAYER publish; the oracle replays
+    the full derivation from raw text, so the publish + read round-trip
+    is itself hash-certified. Reference analog: the MV serving layer,
+    sequences_gisaid_api_based.sql:22-113 / refreshes.sql:3-36."""
+    from harvester_database_and_automation_spark.pipelines.derived import read_derived
+
+    pairs = read_derived(spark, sf_dir, "dup_pairs")
+    return pairs.select("doc_a", "doc_b", F.round(F.col("jaccard"), 6).alias("jaccard"))
 
 
 def _jaccard_pairs(spark: SparkSession, sf_dir: str, threshold: float) -> DataFrame:

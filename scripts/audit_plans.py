@@ -43,7 +43,9 @@ ALLOWED: dict[str, dict[str, str]] = {
     # derived layer (pipelines/derived.py), exactly as the reference
     # materializes its long-format mutation tables (init.sql:403-410),
     # and the per-query exchange count drops to the 2-3 of its own joins.
-    "ngram_jaccard_pairs": {"exchange-storm": "shingle index recomputed per consumer under the gate"},
+    # ngram_jaccard_pairs' entry is GONE: it now reads the published
+    # dup_pairs derived table (the claimed production shape, audited for
+    # real — a parquet scan plus projection).
     "hot_band_pair_stress": {
         "exchange-storm": "the skew certification composes hot-key detection (frequency agg + broadcast) and the triangular block self-join inline; the pair join's two sides each shuffle once on (band, block_i, block_j) — that 3-column key IS the mitigation — and every exchange ships (band, block, id, n_chars) rows, never payloads"
     },
