@@ -57,12 +57,33 @@ class DerivedLayer:
 
         return deco
 
-    def rebuild(self, spark: SparkSession, sf_dir: str, out_root: str) -> dict[str, int]:
+    def rebuild(
+        self,
+        spark: SparkSession,
+        sf_dir: str,
+        out_root: str,
+        only: set[str] | None = None,
+    ) -> dict[str, int]:
         """Build every derived table in registration (= dependency) order,
-        publishing each atomically. Returns {table: version}."""
+        publishing each atomically. Returns {table: version}. ``only``
+        scopes the walk to the named tables plus their transitive deps
+        (a partial refresh — e.g. the parity certification rebuilds just
+        the partitioned tables it compares)."""
+        wanted: set[str] | None = None
+        if only is not None:
+            wanted = set()
+            stack = list(only)
+            while stack:
+                n = stack.pop()
+                if n in wanted:
+                    continue
+                wanted.add(n)
+                stack.extend(self.tables[n].depends_on)
         built: dict[str, DataFrame] = {}
         versions: dict[str, int] = {}
         for name, spec in self.tables.items():
+            if wanted is not None and name not in wanted:
+                continue
             deps = {d: built[d] for d in spec.depends_on}
             df = spec.build(spark, sf_dir, deps)
             versions[name] = publish_versioned(

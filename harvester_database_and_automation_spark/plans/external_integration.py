@@ -575,3 +575,78 @@ def chunked_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return read_csv_strict(spark, dest, schema)
+
+
+# Built at import: the lineage-mutation MV's own registered oracle,
+# reused verbatim so the parity certification counts EXACTLY what that
+# query certifies (kernels.py registers before this module imports).
+from harvester_database_and_automation_spark.plans.registry import QUERIES as _REG
+
+
+@register(
+    "derived_rebuild_parity",
+    survey_ref="M4,M6,mv-cascade",
+    oracle=f"""
+WITH best AS (
+  SELECT doc_id FROM (
+    SELECT doc_id,
+           row_number() OVER (PARTITION BY lang, source
+                              ORDER BY n_chars DESC, doc_id) AS rn
+    FROM documents
+  ) t WHERE rn = 1
+),
+dtp AS (
+  SELECT term FROM (
+    SELECT unnest(string_split(d.text, ' ')) AS term
+    FROM documents d JOIN best b ON d.doc_id = b.doc_id
+  ) u WHERE length(term) >= 6
+),
+lmc AS ({{LMC}})
+SELECT 'doc_term_projection' AS table_name,
+       (SELECT CAST(count(*) AS BIGINT) FROM dtp) AS n_rows,
+       CAST(0 AS BIGINT) AS n_divergent
+UNION ALL
+SELECT 'lineage_mutation_counts' AS table_name,
+       (SELECT CAST(count(*) AS BIGINT) FROM lmc) AS n_rows,
+       CAST(0 AS BIGINT) AS n_divergent
+""".replace("{LMC}", _REG["lineage_mutation_counts"].oracle),
+)
+def derived_rebuild_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MV-cascade maintenance certification (SURVEY §3.3/§4): a FULL
+    `DerivedLayer.rebuild` of the two partitioned derived tables
+    (doc_term_projection, lineage_mutation_counts — the reference's
+    refreshed-per-ingest spectrum MVs, refreshes.sql:3-36), then an
+    INCREMENTAL `rebuild_incremental` over the same unchanged corpus
+    with a predicate marking a lang subset dirty — the dirty partitions
+    are rewritten fresh, every other partition hard-links forward — and
+    a row-exact comparison of the two published versions. `n_divergent`
+    counts rows on exactly one side (exceptAll both ways), so any
+    carried-over partition that should have been rebuilt, dropped, or
+    double-written breaks the zero; the oracle independently replays
+    each table's row count from raw text, so a build that silently
+    shrinks or inflates breaks the count match. The per-table compare
+    collects only the two counts (bounded), never rows."""
+    import tempfile
+
+    from harvester_database_and_automation_spark.pipelines.derived import LAYER
+
+    targets = ["doc_term_projection", "lineage_mutation_counts"]
+    root = tempfile.mkdtemp(prefix="derived_parity_")
+    v_full = LAYER.rebuild(spark, sf_dir, root, only=set(targets))
+    v_incr = LAYER.rebuild_incremental(
+        spark,
+        sf_dir,
+        root,
+        predicates={t: F.col("lang").isin("de", "fr") for t in targets},
+    )
+    rows = []
+    for t in targets:
+        full = spark.read.parquet(os.path.join(root, t, f"v{v_full[t]}"))
+        incr = spark.read.parquet(os.path.join(root, t, f"v{v_incr[t]}"))
+        cols = sorted(full.columns)
+        f_sel, i_sel = full.select(*cols), incr.select(*cols)
+        n_div = f_sel.exceptAll(i_sel).count() + i_sel.exceptAll(f_sel).count()
+        rows.append((t, incr.count(), n_div))
+    return spark.createDataFrame(
+        rows, "table_name string, n_rows bigint, n_divergent bigint"
+    )
