@@ -143,12 +143,17 @@ _CHANGED_IN_R5 = [
 
 # Queries whose IMPLEMENTATION changed in round 6 after earning a green
 # row (adaptive per-key salt in the skew operator; the near-dup pair
-# report repointed to the published dup_pairs derived table). They
-# re-enter the rotation until an artifact from round >= 6 shows the
-# current code green.
+# report repointed to the published dup_pairs derived table; the
+# SemDeDup argmin helper now carries payloads inside the min-struct).
+# They re-enter the rotation until an artifact from round >= 6 shows
+# the current code green.
 _CHANGED_IN_R6 = [
     "hot_band_pair_stress",
     "ngram_jaccard_pairs",
+    "semantic_dedup_cells",
+    # read_csv_strict now forces full-row parsing (pruning caveat fix):
+    "csv_typed_roundtrip",
+    "chunked_export_roundtrip",
 ]
 
 

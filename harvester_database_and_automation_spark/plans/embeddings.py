@@ -832,13 +832,26 @@ def semantic_dedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _argmin_group(
         df: DataFrame, key: str, sim, pick: str, out: str, carry: tuple = ()
     ) -> DataFrame:
-        # ``carry`` columns are constant within a key group (each key is a
-        # vector id and carries its own payload), so first() is
-        # deterministic and the payload rides the ONE partial-agg shuffle
-        # instead of joining back against the corpus afterwards.
-        aggs = [F.min(F.struct((-sim).alias("neg"), F.col(pick).alias("pick"))).alias("b")]
-        aggs += [F.first(col).alias(col) for col in carry]
-        return df.groupBy(key).agg(*aggs).select(key, F.col("b.pick").alias(out), *carry)
+        """Per-key argmax over ``sim`` (min over the negation; ties break
+        on ``pick``), returning (key, out, *carry). The carry columns sit
+        INSIDE the min-struct, so they always come from the winning row —
+        determinism is structural, not an assumption that carries are
+        constant within the key group — and the payload rides the ONE
+        partial-agg shuffle instead of joining back against the corpus
+        afterwards. (Current callers do carry key-constant payloads; the
+        struct form just makes misuse impossible.)"""
+        b = F.min(
+            F.struct(
+                (-sim).alias("neg"),
+                F.col(pick).alias("pick"),
+                *[F.col(c).alias(c) for c in carry],
+            )
+        ).alias("b")
+        return (
+            df.groupBy(key)
+            .agg(b)
+            .select(key, F.col("b.pick").alias(out), *[F.col(f"b.{c}").alias(c) for c in carry])
+        )
 
     sg = _argmin_group(
         seeds.crossJoin(coarse),

@@ -63,8 +63,15 @@ def read_csv_strict(
     instead of `read_csv`'s quarantine split — which needs a cache plus
     a second action to assert emptiness, i.e. a full extra pass that
     scales with the input. The tripwire lives in a filter predicate so
-    column pruning can never drop it; conforming rows pay one null
-    check."""
+    column pruning can never drop it, and the predicate's pass branch
+    references EVERY schema field: Spark's CSV scan parses only the
+    columns an action requires, so without those references corruption
+    confined to an unselected column would never populate the
+    corrupt-record column (and an action needing only the corrupt
+    column is an AnalysisException). Full-row parsing IS the strict
+    contract — projecting callers keep the guarantee and pay the full
+    parse; use ``read_csv`` when prunable reads matter more than the
+    tripwire."""
     full = T.StructType(schema.fields + [T.StructField(CORRUPT_COL, T.StringType())])
     reader = (
         spark.read.option("mode", "PERMISSIVE")
@@ -79,8 +86,14 @@ def read_csv_strict(
     if date_format is not None:
         reader = reader.option("dateFormat", date_format)
     df = reader.schema(full).csv(path)
+    # Always-true but not constant-foldable, and it names every field —
+    # the filter's required columns then cover the whole schema, which
+    # defeats parser column pruning however the caller projects.
+    touch_all = (
+        F.length(F.concat_ws("", *[F.col(f.name).cast("string") for f in schema.fields])) >= 0
+    )
     tripwire = F.when(
         F.col(CORRUPT_COL).isNotNull(),
         F.raise_error(F.concat(F.lit("corrupt record in strict read: "), F.col(CORRUPT_COL))),
-    ).otherwise(F.lit(True))
+    ).otherwise(touch_all)
     return df.filter(tripwire).drop(CORRUPT_COL)

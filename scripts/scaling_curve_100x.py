@@ -94,15 +94,21 @@ def main() -> int:
             "ratio_10x_tail": round(tb / tm, 2) if tm > 0 else None,
         }
         print(f"{n}: {ta}s -> {tm}s -> {tb}s  (100x ratio {rows[n]['ratio_100x']})")
-    r100 = sorted(r["ratio_100x"] for r in rows.values() if r["ratio_100x"])
-    r10 = sorted(r["ratio_10x_tail"] for r in rows.values() if r["ratio_10x_tail"])
+    import statistics
+
+    r100 = sorted(r["ratio_100x"] for r in rows.values() if r["ratio_100x"] is not None)
+    r10 = sorted(r["ratio_10x_tail"] for r in rows.values() if r["ratio_10x_tail"] is not None)
+    n_excluded = sum(1 for r in rows.values() if r["ratio_100x"] is None)
+    if n_excluded:
+        print(f"note: {n_excluded} queries excluded from ratio stats (zero baseline)")
     out = {
         "data_step": "100x rows (sf0.01 -> derived sf1), same session, best-of-2 warm",
         "sf1_source": "scripts/make_sf1.py: FK-consistent 10x replication of the driver's sf0.1",
-        "median_ratio_100x": r100[len(r100) // 2],
+        "median_ratio_100x": round(statistics.median(r100), 2),
         "max_ratio_100x": r100[-1],
-        "median_ratio_10x_tail": r10[len(r10) // 2],
+        "median_ratio_10x_tail": round(statistics.median(r10), 2),
         "max_ratio_10x_tail": r10[-1],
+        "n_excluded_zero_baseline": n_excluded,
         "queries": dict(sorted(rows.items(), key=lambda kv: -(kv[1]["ratio_100x"] or 0))),
     }
     (Path(__file__).resolve().parent.parent / "SCALING_100x.json").write_text(

@@ -182,6 +182,35 @@ def test_read_csv_strict_one_pass_tripwire(spark, tmp_path):
         read_csv_strict(spark, str(bad), schema).collect()
 
 
+def test_read_csv_strict_guarantee_survives_column_pruning(spark, tmp_path):
+    """Spark's CSV scan parses only required columns — a projecting
+    caller must still trip on corruption confined to an UNSELECTED
+    column, and an action whose natural required schema would be only
+    the corrupt-record column (count) must work, not raise Spark's
+    corrupt-column AnalysisException."""
+    import pytest as _pytest
+
+    from harvester_database_and_automation_spark.sources.tabular import read_csv_strict
+
+    schema = T.StructType(
+        [
+            T.StructField("sample", T.StringType()),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+    bad = tmp_path / "bad_pruned.csv"
+    bad.write_text("sample,score\ns1,0.5\ns2,oops\n")
+    with _pytest.raises(Exception, match="corrupt record in strict read"):
+        read_csv_strict(spark, str(bad), schema).select("sample").collect()
+    with _pytest.raises(Exception, match="corrupt record in strict read"):
+        read_csv_strict(spark, str(bad), schema).count()
+
+    clean = tmp_path / "clean_pruned.csv"
+    clean.write_text("sample,score\ns1,0.5\ns2,1.25\n")
+    assert read_csv_strict(spark, str(clean), schema).count() == 2
+    assert {r["sample"] for r in read_csv_strict(spark, str(clean), schema).select("sample").collect()} == {"s1", "s2"}
+
+
 def test_validate_quarantine_reasons(spark):
     df = spark.createDataFrame(
         [
