@@ -22,6 +22,39 @@ from harvester_database_and_automation_spark.plans import QUERIES  # noqa: E402
 from harvester_database_and_automation_spark.session import get_spark  # noqa: E402
 
 
+def _calibration_sec(spark, sf_dir: str) -> float:
+    """Fixed calibration workload, PINNED from round 6 on: parquet scan of
+    lineitem + hash aggregate. Same-code bench totals on this box drift
+    +/-20-25% between rounds with foreign load (r04 125.6s vs r05 146.7s
+    was a uniform environment shift); recording this constant workload
+    alongside every bench lets per-round comparisons normalize out the
+    environment (scripts/bench_diff.py divides by the calibration ratio).
+    Median of 5 warm runs of a plan that never changes."""
+    import statistics
+
+    from pyspark.sql import functions as F
+
+    def run() -> float:
+        t0 = time.time()
+        (
+            spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.sum("l_quantity"),
+                F.sum("l_extendedprice"),
+                F.avg("l_discount"),
+                F.count(F.lit(1)),
+            )
+            .write.mode("overwrite")
+            .format("noop")
+            .save()
+        )
+        return time.time() - t0
+
+    run()  # warm (JIT + footer cache), untimed
+    return round(statistics.median(run() for _ in range(5)), 4)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -48,6 +81,8 @@ def main() -> None:
             if name not in per_query or dt < per_query[name]:
                 per_query[name] = dt
 
+    calibration = _calibration_sec(spark, sf_dir)
+
     total = round(sum(per_query.values()), 3)
     times = sorted(per_query.values())
     n = len(times)
@@ -63,6 +98,7 @@ def main() -> None:
         "unit": "sec",
         "n_queries": n,
         "sec_per_query": round(total / n, 4),
+        "calibration_sec": calibration,
         "queries": slowest_first,
         "sf": sf,
     }
@@ -79,6 +115,7 @@ def main() -> None:
         "sec_per_query": round(total / n, 4),
         "median_sec": round(times[n // 2], 3),
         "p90_sec": round(times[(9 * n) // 10], 3),
+        "calibration_sec": calibration,
         "queries": {},
     }
     budget = 1900

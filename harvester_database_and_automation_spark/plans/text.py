@@ -935,6 +935,68 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "minhash_lsh_candidates_served",
+    survey_ref="dedup-minhash,J1,A4",
+    oracle=f"""
+WITH sh AS ({_SHINGLES_SQL}),
+based AS (
+  SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS m FROM sh
+),
+perms(h, a, b) AS (VALUES {_MINHASH_PERMS_SQL}),
+hashes AS (
+  SELECT doc_id, h, min((a * m + b) % {_MINHASH_P}) AS minhash
+  FROM based, perms
+  GROUP BY doc_id, h
+),
+bands AS (
+  SELECT doc_id, h // 4 AS band,
+         md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY h)) AS band_sig
+  FROM hashes
+  GROUP BY doc_id, h // 4
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+""",
+)
+def minhash_lsh_candidates_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding over the MAINTAINED ``minhash_signatures`` derived
+    table (pipelines/derived.py `read_derived`): the steady-state dedup
+    plan a signature service runs per ingest — published-parquet scan,
+    band explode (map-side), one equi-join on (band, band_sig), distinct.
+    Signature GENERATION (the shingle explode + 16-way min agg) moves to
+    ingest time; `minhash_lsh_candidates` keeps the inline build as the
+    end-to-end certification. The oracle replays the whole derivation
+    from raw text, so the publish + read round-trip is hash-certified.
+    Reference analog: the MV serving layer, refreshes.sql:3-36."""
+    from harvester_database_and_automation_spark.pipelines.derived import read_derived
+
+    sigs = read_derived(spark, sf_dir, "minhash_signatures")
+    band_structs = [
+        F.struct(
+            F.lit(band).alias("band"),
+            F.md5(F.concat_ws(",", *[F.col(f"m{band * 4 + i}") for i in range(4)])).alias("band_sig"),
+        )
+        for band in range(4)
+    ]
+    bands = sigs.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bs")
+    ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.band_sig").alias("band_sig"))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+@register(
     "simhash_buckets",
     survey_ref="dedup-simhash",
     oracle="""

@@ -9,6 +9,7 @@ verified locally before the driver ever sees it.
 from __future__ import annotations
 
 import math
+import os
 from dataclasses import dataclass, field
 
 import duckdb
@@ -23,9 +24,12 @@ def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     driver's pre-registered views."""
     con = duckdb.connect()
     for name in TABLES:
-        con.execute(
-            f"CREATE OR REPLACE VIEW {name} AS SELECT * FROM read_parquet('{sf_dir}/{name}.parquet')"
-        )
+        src = f"{sf_dir}/{name}.parquet"
+        if os.path.isdir(src):
+            # Multi-file tables (the derived sf1 corpus writes 8 files
+            # per big table): DuckDB needs the glob, Spark reads the dir.
+            src = f"{src}/*.parquet"
+        con.execute(f"CREATE OR REPLACE VIEW {name} AS SELECT * FROM read_parquet('{src}')")
     return con
 
 

@@ -69,6 +69,19 @@ def main() -> int:
     if shared:
         ratios = sorted(t / a for a, t in shared)
         med = ratios[len(ratios) // 2]
+        # Calibration normalization (bench.py runs a PINNED scan+agg and
+        # records calibration_sec): the calibration ratio IS the
+        # environment shift, measured on a plan that never changes —
+        # dividing the per-query median by it separates real plan drift
+        # from box drift without eyeballing uniformity.
+        cal_old, cal_cur = old.get("calibration_sec"), cur.get("calibration_sec")
+        if cal_old and cal_cur:
+            env = cal_cur / cal_old
+            print(
+                f"[calibration] pinned workload {cal_old}s -> {cal_cur}s "
+                f"(env factor {env:.2f}x); normalized median per-query ratio "
+                f"{med / env:.2f}x across {len(shared)} shared queries"
+            )
         if med >= 1.1 or med <= 0.9:
             direction = "slower" if med > 1 else "faster"
             print(

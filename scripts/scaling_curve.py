@@ -46,11 +46,14 @@ def main() -> int:
         tb = timed(spec.fn, spark, SF_B)
         rows[name] = {"sf001": ta, "sf01": tb, "ratio": round(tb / ta, 2) if ta > 0 else None}
     ratios = sorted(r["ratio"] for r in rows.values() if r["ratio"])
+    from bench import _calibration_sec  # pinned env-drift workload
+
     out = {
         "data_step": "10x rows (sf0.01 -> sf0.1), same session, best-of-2 warm",
         "median_ratio": ratios[len(ratios) // 2],
         "p90_ratio": ratios[(9 * len(ratios)) // 10],
         "max_ratio": ratios[-1],
+        "calibration_sec": _calibration_sec(spark, SF_B),
         "queries": dict(sorted(rows.items(), key=lambda kv: -(kv[1]["ratio"] or 0))),
     }
     (Path(__file__).resolve().parent.parent / "SCALING.json").write_text(

@@ -54,6 +54,13 @@ DEFAULT_QUERIES = [
     "embedding_near_dup_pairs",
     "tfidf_top_terms",
     "hot_band_pair_stress",
+    # Serving-shape consumers (round 6): probe/report over the published
+    # derived tables — the production plans that replace the
+    # rebuild-bound ivf_topk_probe tail and the inline shingle recompute.
+    "ivf_probe_served",
+    "ngram_jaccard_pairs",
+    "minhash_lsh_candidates_served",
+    "derived_rebuild_parity",
 ]
 
 
@@ -101,9 +108,12 @@ def main() -> int:
     n_excluded = sum(1 for r in rows.values() if r["ratio_100x"] is None)
     if n_excluded:
         print(f"note: {n_excluded} queries excluded from ratio stats (zero baseline)")
+    from bench import _calibration_sec  # pinned env-drift workload
+
     out = {
         "data_step": "100x rows (sf0.01 -> derived sf1), same session, best-of-2 warm",
         "sf1_source": "scripts/make_sf1.py: FK-consistent 10x replication of the driver's sf0.1",
+        "calibration_sec": _calibration_sec(spark, SF_MID),
         "median_ratio_100x": round(statistics.median(r100), 2),
         "max_ratio_100x": r100[-1],
         "median_ratio_10x_tail": round(statistics.median(r10), 2),

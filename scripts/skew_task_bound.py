@@ -1,0 +1,175 @@
+#!/usr/bin/env python
+"""Measure the claim the skew family actually makes: NO STRAGGLER TASK.
+
+`hot_band_pair_stress`'s oracle hash-match proves the salted self-join
+loses/duplicates no pair; this script records the BOUND — max per-task
+wall-clock and max join-group pair product — for the salted plan vs the
+naive band self-join, under the same planted hot band (band -1 holds a
+third of the corpus). Two measurements per scale factor:
+
+- max_group_pairs: the largest join-group pair product, computed exactly
+  from the block-size distribution (deterministic; the quantity the
+  adaptive per-key salt bounds at ~hot_threshold^2 up to hash slack);
+- max_task_ms: the longest completed task's executorRunTime across the
+  stages of that run, read from the Spark UI REST API — the direct
+  straggler measurement.
+
+Writes SKEW_TASK_BOUND.json. Run on an otherwise-idle box: foreign load
+inflates task times. Usage: python scripts/skew_task_bound.py
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import urllib.request
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import os
+
+os.environ.setdefault("SPARK_UI", "true")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from harvester_database_and_automation_spark.catalog import load_table  # noqa: E402
+from harvester_database_and_automation_spark.operators.skew import salted_self_pairs  # noqa: E402
+from harvester_database_and_automation_spark.plans.shared import fanout  # noqa: E402
+from harvester_database_and_automation_spark.session import get_spark  # noqa: E402
+
+REPO = Path(__file__).resolve().parent.parent
+SFS = {"sf0.1": "/root/testdata/sf0.1", "sf1": str(REPO / ".scaling" / "sf1")}
+HOT_THRESHOLD = 100
+MAX_SALT = 64
+
+
+def _banded(spark, sf_dir):
+    return fanout(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id",
+            "n_chars",
+            F.when(F.col("doc_id") % 3 == 0, F.lit(-1))
+            .otherwise(F.col("doc_id") % 97)
+            .cast("long")
+            .alias("band"),
+        )
+    )
+
+
+def _agg(pairs):
+    return pairs.groupBy("band").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum(
+            F.when(F.abs(F.col("n_chars_a") - F.col("n_chars_b")) <= 5, F.lit(1)).otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("n_close"),
+    )
+
+
+def _rest(url: str):
+    with urllib.request.urlopen(url, timeout=30) as resp:
+        return json.load(resp)
+
+
+def _stage_ids(ui: str, app: str) -> set[tuple[int, int]]:
+    return {
+        (s["stageId"], s["attemptId"])
+        for s in _rest(f"{ui}/api/v1/applications/{app}/stages?status=complete")
+    }
+
+
+def _max_task_ms(ui: str, app: str, stages: set[tuple[int, int]]) -> float:
+    mx = 0.0
+    for sid, att in stages:
+        try:
+            summ = _rest(
+                f"{ui}/api/v1/applications/{app}/stages/{sid}/{att}/taskSummary?quantiles=1.0"
+            )
+            mx = max(mx, summ["executorRunTime"][0])
+        except Exception:
+            continue  # tiny stages may have no task summary
+    return round(mx, 1)
+
+
+def _max_group_pairs_salted(d) -> int:
+    freq = d.groupBy("band").agg(F.count(F.lit(1)).alias("kn"))
+    ns = F.least(F.lit(MAX_SALT), F.ceil(F.col("kn") / F.lit(HOT_THRESHOLD))).cast("int")
+    blocks = (
+        d.join(freq.select("band", ns.alias("ns")), "band")
+        .withColumn("salt", F.pmod(F.xxhash64("doc_id"), F.col("ns")).cast("int"))
+        .groupBy("band", "salt")
+        .agg(F.count(F.lit(1)).alias("b"))
+    ).collect()
+    by_band: dict = {}
+    for r in blocks:
+        by_band.setdefault(r["band"], {})[r["salt"]] = r["b"]
+    mx = 0
+    for sizes in by_band.values():
+        for i, bi in sizes.items():
+            for j, bj in sizes.items():
+                if i < j:
+                    mx = max(mx, bi * bj)
+                elif i == j:
+                    mx = max(mx, bi * (bi - 1) // 2)
+    return mx
+
+
+def _max_group_pairs_unsalted(d) -> int:
+    top = d.groupBy("band").agg(F.count(F.lit(1)).alias("kn")).agg(F.max("kn")).collect()[0][0]
+    return top * (top - 1) // 2
+
+
+def main() -> int:
+    spark = get_spark("skew-task-bound")
+    ui = f"http://localhost:{spark.sparkContext.uiWebUrl.rsplit(':', 1)[1]}" if spark.sparkContext.uiWebUrl else None
+    if ui is None:
+        print("Spark UI disabled; run with SPARK_UI=true", file=sys.stderr)
+        return 2
+    app = spark.sparkContext.applicationId
+    out: dict = {
+        "workload": "hot_band_pair_stress profile: band -1 holds 1/3 of documents, rest uniform over 97 bands",
+        "operator": f"salted_self_pairs(hot_threshold={HOT_THRESHOLD}, max_salt={MAX_SALT}) vs plain a.band=b.band AND a.id<b.id self-join",
+        "metric": "max completed-task executorRunTime (ms, Spark UI REST) + exact max join-group pair product",
+    }
+    for label, sf_dir in SFS.items():
+        if not Path(sf_dir).exists():
+            continue
+        d = _banded(spark, sf_dir).persist()
+        d.count()
+        naive = (
+            d.select("band", F.col("doc_id").alias("doc_id_a"), F.col("n_chars").alias("n_chars_a"))
+            .join(
+                d.select("band", F.col("doc_id").alias("doc_id_b"), F.col("n_chars").alias("n_chars_b")),
+                "band",
+            )
+            .filter(F.col("doc_id_a") < F.col("doc_id_b"))
+        )
+        runs = {}
+        for variant, pairs in (
+            ("unsalted", naive),
+            ("salted_adaptive", salted_self_pairs(d, ["band"], "doc_id", hot_threshold=HOT_THRESHOLD, max_salt=MAX_SALT)),
+        ):
+            # warm once so JIT/scan costs don't masquerade as skew
+            _agg(pairs).write.mode("overwrite").format("noop").save()
+            before = _stage_ids(ui, app)
+            _agg(pairs).write.mode("overwrite").format("noop").save()
+            stages = _stage_ids(ui, app) - before
+            runs[variant] = {"max_task_ms": _max_task_ms(ui, app, stages)}
+        runs["unsalted"]["max_group_pairs"] = _max_group_pairs_unsalted(d)
+        runs["salted_adaptive"]["max_group_pairs"] = _max_group_pairs_salted(d)
+        runs["salted_adaptive"]["pair_bound_note"] = (
+            f"adaptive bound ~hot_threshold^2 = {HOT_THRESHOLD ** 2} up to hash slack"
+            f" (cap {MAX_SALT} salts)"
+        )
+        d.unpersist()
+        out[label] = runs
+        print(label, json.dumps(runs))
+    (REPO / "SKEW_TASK_BOUND.json").write_text(json.dumps(out, indent=1) + "\n")
+    print("-> SKEW_TASK_BOUND.json")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
