@@ -14,6 +14,17 @@ third of the corpus). Two measurements per scale factor:
   stages of that run, read from the Spark UI REST API — the direct
   straggler measurement.
 
+The session disables auto-broadcast: at the corpus sizes this harness can
+hold, Spark turns the naive self-join into a broadcast hash join, whose
+probe rows spread the hot band evenly across input partitions — no
+straggler, but also not the 100 TB regime, where neither side of a
+corpus-scale self-join broadcasts and the hot band's whole pair product
+lands in one shuffle partition's task. (AQE's skew split does not rescue
+that task either: the hot partition is far under the 256 MB split
+threshold, and a split would still pair each input chunk against the full
+hot key.) Forcing the shuffle join measures the regime the operator
+exists for.
+
 Writes SKEW_TASK_BOUND.json. Run on an otherwise-idle box: foreign load
 inflates task times. Usage: python scripts/skew_task_bound.py
 """
@@ -122,7 +133,10 @@ def _max_group_pairs_unsalted(d) -> int:
 
 
 def main() -> int:
-    spark = get_spark("skew-task-bound")
+    spark = get_spark(
+        "skew-task-bound",
+        extra_conf={"spark.sql.autoBroadcastJoinThreshold": "-1"},
+    )
     ui = f"http://localhost:{spark.sparkContext.uiWebUrl.rsplit(':', 1)[1]}" if spark.sparkContext.uiWebUrl else None
     if ui is None:
         print("Spark UI disabled; run with SPARK_UI=true", file=sys.stderr)
