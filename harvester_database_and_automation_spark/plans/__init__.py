@@ -154,6 +154,11 @@ _CHANGED_IN_R6 = [
     # read_csv_strict now forces full-row parsing (pruning caveat fix):
     "csv_typed_roundtrip",
     "chunked_export_roundtrip",
+    # Fixed-size hash-drawn query/anchor batches (were corpus-proportional
+    # % 13 slices — the same O(N^2) sample defect class as the round-5
+    # kernel reworks, exposed by the refreshed 100x curve):
+    "ivf_topk_probe",
+    "contrastive_negative_sample",
 ]
 
 

@@ -312,8 +312,7 @@ WITH cents AS (
            row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rk
     FROM vc
   ) t WHERE rk = 1
-), queries AS (
-  SELECT vec_id AS query_id, vv AS qv FROM vecs WHERE vec_id % 13 = 0
+), queries AS ({_query_sample_sql(64)}
 ), probe AS (
   SELECT query_id, cid AS cell FROM (
     SELECT q.query_id, vc.cid,
@@ -350,10 +349,14 @@ def ivf_topk_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment is a broadcast crossJoin against k centroids (k ≪ N); the
     candidate join is an equi-join on cell, so rerank cost tracks cell
     occupancy (≈ 2N/k per query), never N² — the brute-force baseline
-    (`cosine_topk_bruteforce`) exists to measure that recall trade.
+    (`cosine_topk_bruteforce`) exists to measure that recall trade. The
+    query batch is a FIXED 64-vector hash draw (`_query_sample`): the
+    former % 13 filter grew the batch with the corpus, compounding the
+    per-query occupancy growth into an O(N²/k) scan (measured 9.8x on
+    the 100x step, previously mis-attributed to the index rebuild alone).
     """
     e = _emb_with_norm(spark, sf_dir)
-    queries = e.filter(F.col("vec_id") % 13 == 0).select(
+    queries = _query_sample(e, 64).select(
         F.col("vec_id").alias("query_id"), F.col("vec").alias("qv"), F.col("norm").alias("qn")
     )
     topk = _ivf_probe(spark, sf_dir, queries, n_probe=2, k=3)
@@ -423,8 +426,7 @@ WITH cents AS (
            row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rk
     FROM vc
   ) t WHERE rk = 1
-), queries AS (
-  SELECT vec_id AS query_id, vv AS qv FROM vecs WHERE vec_id % 11 = 0
+), queries AS ({_query_sample_sql(64)}
 ), probe AS (
   SELECT query_id, cid AS cell FROM (
     SELECT q.query_id, vc.cid,
@@ -463,14 +465,18 @@ def ivf_probe_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     `ivf_topk_probe` keeps the inline/session-shared build as the
     certification of the whole pipeline; this query is the steady-state
     plan a vector store actually executes per query batch, and the
-    100x scaling entry that replaces the rebuild-bound tail. The oracle
+    100x scaling entry that replaces the rebuild-bound tail. The query
+    batch is a FIXED 64-vector hash draw (`_query_sample`) — a
+    modulus filter would grow the batch with the corpus and turn the
+    probe into an O(N x N/cells) scan, the exact corpus-proportional
+    sample defect the round-5 kernel reworks removed. The oracle
     replays assignment + probe from the base table, so the publish +
     read round-trip is itself hash-certified."""
     from harvester_database_and_automation_spark.pipelines.derived import read_derived
 
     ranked = read_derived(spark, sf_dir, "ivf_index")
     e = _emb_with_norm(spark, sf_dir)
-    queries = e.filter(F.col("vec_id") % 11 == 0).select(
+    queries = _query_sample(e, 64).select(
         F.col("vec_id").alias("query_id"), F.col("vec").alias("qv"), F.col("norm").alias("qn")
     )
     topk = _ivf_probe(spark, sf_dir, queries, n_probe=2, k=3, ranked=ranked)
@@ -1323,9 +1329,13 @@ def ivf_cell_diverse_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "contrastive_negative_sample",
     survey_ref="pipeline-sampling,J6,W2",
-    oracle="""
+    oracle=f"""
 WITH q AS (
-  SELECT vec_id AS query_id, label AS qlabel FROM embeddings WHERE vec_id % 13 = 0
+  SELECT vec_id AS query_id, label AS qlabel FROM (
+    SELECT vec_id, label,
+           row_number() OVER (ORDER BY {_QHASH_SQL.format(id='vec_id')}, vec_id) AS qrk
+    FROM embeddings
+  ) t WHERE qrk <= 64
 ),
 cand AS (
   SELECT q.query_id, e.vec_id AS neg_id,
@@ -1343,19 +1353,21 @@ FROM (
 )
 def contrastive_negative_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic negative mining for contrastive training: for each
-    anchor (the % 13 query set), draw 4 pseudo-random different-label
-    negatives, ranked by a hash of (anchor, candidate) so every rerun —
-    and every backfill shard — picks the same negatives with no stored
-    state and no RNG seed plumbing.
+    anchor (a FIXED 64-vector hash draw), draw 4 pseudo-random
+    different-label negatives, ranked by a hash of (anchor, candidate)
+    so every rerun — and every backfill shard — picks the same negatives
+    with no stored state and no RNG seed plumbing.
 
     The candidate pool is pre-thinned to a deterministic quarter of the
     corpus (hash-gate on the candidate id alone) BEFORE the per-anchor
     join: at 100 TB the anchor×corpus blow-up never materializes — the
-    gate is the sampling knob that bounds per-anchor candidates, the
-    same map-side trick as the split router. Integer-only output."""
+    gate is the sampling knob, and the anchor batch is fixed-size (the
+    former % 13 anchor set grew with the corpus, making the mined pair
+    frame O(N²/52); a real trainer mines negatives for a batch, not for
+    a corpus-proportional slice in one query). Integer-only output."""
     e = _emb(spark, sf_dir)
     q = F.broadcast(
-        e.filter(F.col("vec_id") % 13 == 0).select(
+        _query_sample(e, 64).select(
             F.col("vec_id").alias("query_id"), F.col("label").alias("qlabel")
         )
     )

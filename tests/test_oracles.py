@@ -45,10 +45,11 @@ def test_ivf_recall_vs_bruteforce(spark):
     from harvester_database_and_automation_spark.plans.embeddings import (
         _dot,
         _emb_with_norm,
+        _query_sample,
     )
 
     e = _emb_with_norm(spark, sf)
-    q = e.filter(F.col("vec_id") % 13 == 0).select(
+    q = _query_sample(e, 64).select(
         F.col("vec_id").alias("query_id"), F.col("vec").alias("qv"), F.col("norm").alias("qn")
     )
     r = e.select(F.col("vec_id").alias("neighbor_id"), F.col("vec").alias("rv"), F.col("norm").alias("rn"))
