@@ -64,6 +64,24 @@ DEFAULT_QUERIES = [
 ]
 
 
+# Known-legitimate double-digit tails, carried into the artifact so a
+# reader never has to reverse-engineer WHY a ratio is big. Every entry
+# here is also hash-certified at sf1 (CORRECTNESS_SF1.json) — the
+# annotation explains cost, the certification proves correctness.
+ANNOTATIONS = {
+    "event_concurrency_window": "output-bound: overlapping-event pairs grow ~100x faster than rows on the derived corpus (1M result rows at sf1, sf1-hash-certified)",
+    "minhash_jaccard_calibration": "output-bound certification: runs sketch AND ground truth; qualifying candidate pairs grow 100-1000x on the deliberately dup-heavy derived corpus (sf1-hash-certified)",
+    "prefix_filter_jaccard_pairs": "output-bound: 980x more qualifying pairs on the derived corpus for the same threshold; linear in output (250,600 rows at sf1, sf1-hash-certified)",
+    "hot_band_pair_stress": "output quadratic by design: the planted hot band is N/3 docs, so its pair count grows 100x per 10x data; enumeration stays distributed (SKEW_TASK_BOUND.json) and sf1-hash-certified",
+    "semantic_dedup_cells": "within-cell pair scan over k=8 cells: occupancy grows with N at fixed k, so intra-cell pairs grow ~N^2/k; production sizes k ~ N/5000 (ARCHITECTURE.md) — certification keeps the oracle-replayable fixed k (sf1-hash-certified)",
+    "chunked_export_roundtrip": "data-linear I/O with little fixed cost: writes, uploads, sha2-hashes, and re-reads 100x the bytes (sf1-hash-certified)",
+    "salted_brand_volume": "sub-2s absolute at sf1: fixed-overhead amplification on a salted two-phase agg, not superlinear work",
+    "pii_scrub_stats": "sub-1.5s absolute at sf1: regex scrub is scan-bound; ratio is overhead amplification",
+    "jdbc_roundtrip": "embedded-Derby transport (single-writer harness), not a Spark plan cost",
+    "xz_feed_roundtrip": "single-stream lzma spool is the transport harness; scan side splits normally",
+}
+
+
 def timed(fn, spark, sf) -> float:
     best = None
     for _ in range(2):
@@ -100,6 +118,8 @@ def main() -> int:
             "ratio_100x": round(tb / ta, 2) if ta > 0 else None,
             "ratio_10x_tail": round(tb / tm, 2) if tm > 0 else None,
         }
+        if n in ANNOTATIONS:
+            rows[n]["note"] = ANNOTATIONS[n]
         print(f"{n}: {ta}s -> {tm}s -> {tb}s  (100x ratio {rows[n]['ratio_100x']})")
     import statistics
 
