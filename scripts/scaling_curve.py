@@ -35,16 +35,28 @@ def timed(fn, spark, sf) -> float:
 
 
 def main() -> int:
+    names = sys.argv[1:] or list(QUERIES)
+    unknown = [n for n in names if n not in QUERIES]
+    if unknown:
+        print(f"unknown queries: {unknown}", file=sys.stderr)
+        return 2
     spark = get_spark("scaling-curve")
     # Warm both scale factors fully first (JIT + footer caches).
-    for spec in QUERIES.values():
+    for n in names:
         for sf in (SF_A, SF_B):
-            spec.fn(spark, sf).write.mode("overwrite").format("noop").save()
+            QUERIES[n].fn(spark, sf).write.mode("overwrite").format("noop").save()
     rows = {}
-    for name, spec in QUERIES.items():
-        ta = timed(spec.fn, spark, SF_A)
-        tb = timed(spec.fn, spark, SF_B)
-        rows[name] = {"sf001": ta, "sf01": tb, "ratio": round(tb / ta, 2) if ta > 0 else None}
+    for n in names:
+        ta = timed(QUERIES[n].fn, spark, SF_A)
+        tb = timed(QUERIES[n].fn, spark, SF_B)
+        rows[n] = {"sf001": ta, "sf01": tb, "ratio": round(tb / ta, 2) if ta > 0 else None}
+    artifact = Path(__file__).resolve().parent.parent / "SCALING.json"
+    if sys.argv[1:] and artifact.exists():
+        # Explicit-query rerun (a rework remeasure): merge into the
+        # existing artifact instead of shrinking it to the rerun slice.
+        prior = json.loads(artifact.read_text()).get("queries", {})
+        prior.update(rows)
+        rows = prior
     ratios = sorted(r["ratio"] for r in rows.values() if r["ratio"])
     from bench import _calibration_sec  # pinned env-drift workload
 

@@ -73,7 +73,7 @@ ANNOTATIONS = {
     "minhash_jaccard_calibration": "output-bound certification: runs sketch AND ground truth; qualifying candidate pairs grow 100-1000x on the deliberately dup-heavy derived corpus (sf1-hash-certified)",
     "prefix_filter_jaccard_pairs": "output-bound: 980x more qualifying pairs on the derived corpus for the same threshold; linear in output (250,600 rows at sf1, sf1-hash-certified)",
     "hot_band_pair_stress": "output quadratic by design: the planted hot band is N/3 docs, so its pair count grows 100x per 10x data; enumeration stays distributed (SKEW_TASK_BOUND.json) and sf1-hash-certified",
-    "semantic_dedup_cells": "within-cell pair scan over k=8 cells: occupancy grows with N at fixed k, so intra-cell pairs grow ~N^2/k; production sizes k ~ N/5000 (ARCHITECTURE.md) — certification keeps the oracle-replayable fixed k (sf1-hash-certified)",
+    "semantic_dedup_cells": "linear within-cell scan (k = N/250 cells, ~250-vector occupancy at any N) plus an O(N*sqrt(k)) two-level assignment — the sqrt factor is the residual super-linearity; a third level/ANN probe generalizes when sqrt(k)-sized frames matter (sf1-hash-certified)",
     "chunked_export_roundtrip": "data-linear I/O with little fixed cost: writes, uploads, sha2-hashes, and re-reads 100x the bytes (sf1-hash-certified)",
     "salted_brand_volume": "sub-2s absolute at sf1: fixed-overhead amplification on a salted two-phase agg, not superlinear work",
     "pii_scrub_stats": "sub-1.5s absolute at sf1: regex scrub is scan-bound; ratio is overhead amplification",
@@ -121,6 +121,13 @@ def main() -> int:
         if n in ANNOTATIONS:
             rows[n]["note"] = ANNOTATIONS[n]
         print(f"{n}: {ta}s -> {tm}s -> {tb}s  (100x ratio {rows[n]['ratio_100x']})")
+    artifact = Path(__file__).resolve().parent.parent / "SCALING_100x.json"
+    if sys.argv[1:] and artifact.exists():
+        # Explicit-query rerun (a rework remeasure): merge into the
+        # existing artifact instead of shrinking it to the rerun slice.
+        prior = json.loads(artifact.read_text()).get("queries", {})
+        prior.update(rows)
+        rows = prior
     import statistics
 
     r100 = sorted(r["ratio_100x"] for r in rows.values() if r["ratio_100x"] is not None)
