@@ -353,6 +353,45 @@ def dup_components(spark: SparkSession, sf_dir: str, deps) -> DataFrame:
     )
 
 
+@LAYER.register("mutation_table")
+def mutation_table(spark: SparkSession, sf_dir: str, deps) -> DataFrame:
+    """Layer 6 — the exploded (doc_id, pos, base) mutation triple table,
+    the hub of the kernel family. The reference MATERIALIZES exactly this
+    relation (consensus_sequence_mutation_nucleotide, init.sql:403-410)
+    and rebuilds it per ingest; published here it serves K3/K4's
+    distance-batch queries without re-deriving the explode per consumer
+    (K1 and the lineage-counts table keep the inline build as the
+    end-to-end certification of the derivation itself)."""
+    from harvester_database_and_automation_spark.plans.kernels import _mutations
+
+    _, muts, _ = _mutations(spark, sf_dir)
+    return muts
+
+
+@LAYER.register("winnow_fingerprints")
+def winnow_fingerprints(spark: SparkSession, sf_dir: str, deps) -> DataFrame:
+    """Layer 6 — the winnow fingerprint frame (doc_id, block, fp): the
+    inverted-index input of the substring-overlap dedup signal. A dedup
+    service persists fingerprints per ingest and pairs against the stored
+    table; `doc_winnow_fingerprints` keeps the inline rolling-hash build
+    as the derivation certification."""
+    from harvester_database_and_automation_spark.plans.text import _winnow_fps
+
+    return _winnow_fps(spark, sf_dir)
+
+
+@LAYER.register("pq_recon")
+def pq_recon(spark: SparkSession, sf_dir: str, deps) -> DataFrame:
+    """Layer 6 — per-vector PQ reconstructions (vec_id, rv): the decode of
+    the stored 8-byte PQ codes against the broadcast codebook. In a vector
+    store the codes table is the persisted artifact; publishing the decoded
+    frame serves the composed IVF-PQ probe the same way (the flat
+    `pq_adc_topk` keeps the inline encode as the recall certification)."""
+    from harvester_database_and_automation_spark.plans.embeddings import _pq_recon
+
+    return _pq_recon(spark, sf_dir)
+
+
 @LAYER.register("copurchase_edges")
 def copurchase_edges(spark: SparkSession, sf_dir: str, deps) -> DataFrame:
     """Layer 6 — the weighted part co-purchase edge list (pa < pb, weight

@@ -17,7 +17,7 @@ from harvester_database_and_automation_spark.catalog import load_table
 from harvester_database_and_automation_spark.operators.ids import add_running_total
 from harvester_database_and_automation_spark.plans.registry import register
 from harvester_database_and_automation_spark.plans.shared import fanout as _fanout
-from harvester_database_and_automation_spark.plans.text import _SHINGLES_SQL, _jaccard_pairs
+from harvester_database_and_automation_spark.plans.text import _SHINGLES_SQL
 
 # Context-window budget for sequence packing (tokens per training sample).
 _PACK_BUDGET = 2048
@@ -202,12 +202,15 @@ def curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     starts from, and the stage-by-stage shrinkage is the report a curation
     review asks for.
 
-    Composition reuses the session-shared frames (the scored Jaccard pair
-    table); every stage flag is boolean/integer and the one float (the
-    Jaccard threshold) is computed identically on both engines, so the
-    funnel is hash-exact. Scale shape: flags are projections over the scan
-    plus one content-hash aggregate; the near-dup stage joins the pair
-    frame the dedup family already maintains — nothing new shuffles at
+    The near-dup stage reads the MAINTAINED `dup_pairs` derived table
+    (pipelines/derived.py `read_derived` — the inverted-index self-join
+    runs once per ingest in the LAYER publish; parquet round-trips the
+    unrounded double exactly, so thresholding the stored score at 0.5
+    matches the inline computation bit-for-bit, and the oracle replays
+    the whole derivation from raw text). Every stage flag is
+    boolean/integer, so the funnel is hash-exact. Scale shape: flags are
+    projections over the scan plus one content-hash aggregate; the
+    near-dup stage is a published-parquet scan — nothing new shuffles at
     corpus scale."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
     words = F.split("text", " ")
@@ -242,8 +245,11 @@ def curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     surv = ex.filter("is_e").select("doc_id")
+    from harvester_database_and_automation_spark.pipelines.derived import read_derived
+
     pairs = (
-        _jaccard_pairs(spark, sf_dir, 0.5)
+        read_derived(spark, sf_dir, "dup_pairs")
+        .filter(F.col("jaccard") >= 0.5)
         .join(surv.withColumnRenamed("doc_id", "doc_a"), "doc_a", "left_semi")
         .join(surv.withColumnRenamed("doc_id", "doc_b"), "doc_b", "left_semi")
     )
@@ -467,17 +473,26 @@ def source_boilerplate_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     reports what fraction of its distinct shingles are source-boilerplate
     — the signal a curation pipeline thresholds to drop templated pages.
 
-    Scale shape: reuses the session-shared shingle hub (the explode +
-    distinct runs once per session across the whole dedup family); the
-    document-frequency table is a hash aggregation on (source, shingle) —
-    map-side partial agg, no skewed window; the boilerplate set stays
-    (source, shingle) pairs and joins back shuffle-on-shingle, never
-    touching document text. The 30% threshold compares integers
-    (n_docs_with * 10 >= n_docs * 3) so the gate is float-free."""
-    from harvester_database_and_automation_spark.plans.text import _shingles
+    Scale shape: reads the MAINTAINED `shingle_index` derived table
+    (pipelines/derived.py `read_derived` — digests only, the explode +
+    distinct runs once per ingest in the LAYER publish, and the oracle
+    replays the derivation from raw text so publish + read stays
+    hash-certified; every operation here is digest-equality, so the md5
+    projection changes nothing); the document-frequency table is a hash
+    aggregation on (source, digest) — map-side partial agg, no skewed
+    window; the boilerplate set stays (source, digest) pairs and joins
+    back shuffle-on-digest, never touching document text. The 30%
+    threshold compares integers (n_docs_with * 10 >= n_docs * 3) so the
+    gate is float-free."""
+    from harvester_database_and_automation_spark.pipelines.derived import read_derived
 
     src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
-    labeled = _shingles(spark, sf_dir).join(src, "doc_id").select("doc_id", "source", "shingle")
+    labeled = (
+        read_derived(spark, sf_dir, "shingle_index")
+        .withColumnRenamed("shingle_digest", "shingle")
+        .join(src, "doc_id")
+        .select("doc_id", "source", "shingle")
+    )
     src_totals = src.groupBy("source").agg(F.countDistinct("doc_id").alias("n_docs"))
     df_tab = labeled.groupBy("source", "shingle").agg(F.count(F.lit(1)).alias("n_docs_with"))
     boiler = (

@@ -1132,18 +1132,25 @@ def ivfpq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ: the billion-vector deployment shape — the coarse inverted
     file prunes the candidate set (probe each query's top-2 cells), and
     PQ's asymmetric distance scores only those candidates from 8-byte
-    codes. Composes the two session-shared index frames the flat queries
-    maintain (`_ivf_ranked` for cells, `_pq_recon` for reconstructions):
-    per query the ADC scan touches ~2N/k cell members instead of the full
-    corpus, so total work is O(Q · N/k) narrow rows with the codebook and
-    query block broadcast — no vector ever shuffles, and the flat
-    `pq_adc_topk` remains the recall ceiling certification for this
-    composed index."""
+    codes. Production shape end to end: BOTH index frames are read from
+    the MAINTAINED derived tables (`ivf_index` for cells, `pq_recon` for
+    reconstructions — pipelines/derived.py `read_derived`), rebuilt per
+    ingest and scanned per query batch, exactly the reference's MV
+    serving layer (sequences_gisaid_api_based.sql:22-113). Per query the
+    ADC scan touches ~2N/k cell members instead of the full corpus, so
+    total work is O(Q · N/k) narrow rows with the codebook and query
+    block broadcast — no vector ever shuffles. The flat `pq_adc_topk`
+    keeps the inline PQ encode as the recall-ceiling certification and
+    `ivf_topk_probe` the inline IVF build; this query's oracle replays
+    both derivations from the base table, so the publish + read
+    round-trip is itself hash-certified."""
+    from harvester_database_and_automation_spark.pipelines.derived import read_derived
+
     e = _emb_with_norm(spark, sf_dir)
     queries = _query_sample(e.select("vec_id", "vec", "norm"), 100).select(
         F.col("vec_id").alias("query_id"), F.col("vec").alias("qv"), F.col("norm").alias("qn")
     )
-    ranked = _ivf_ranked(spark, sf_dir)
+    ranked = read_derived(spark, sf_dir, "ivf_index")
     assign = ranked.filter(F.col("rk") == 1).select("vec_id", F.col("cid").alias("cell"))
     probe = (
         ranked.join(queries.select(F.col("query_id").alias("vec_id")), "vec_id", "inner")
@@ -1155,7 +1162,7 @@ def ivfpq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vec_id") != F.col("query_id"))
         .select("query_id", F.col("vec_id").alias("neighbor_id"))
     )
-    recon = _pq_recon(spark, sf_dir)
+    recon = read_derived(spark, sf_dir, "pq_recon")
     scores = (
         cand.join(F.broadcast(queries.select("query_id", "qv")), "query_id")
         .join(recon.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")

@@ -143,7 +143,19 @@ def _pair_distances(spark: SparkSession, sf_dir: str, n_queries: int, r_cols):
     genome strings never enter a shuffle (SURVEY.md §7 risk register).
     """
     def build_msets() -> DataFrame:
-        _, muts, _ = _mutations(spark, sf_dir)
+        # Production shape: the mutation triple table is read from the
+        # MAINTAINED `mutation_table` derived table (pipelines/derived.py),
+        # not re-exploded per consumer — the reference materializes exactly
+        # this relation (consensus_sequence_mutation_nucleotide,
+        # init.sql:403-410) and serves every kernel from it. K1 keeps the
+        # inline explode as the derivation's end-to-end certification, and
+        # K3/K4's oracles replay the derivation from raw text, so the
+        # publish + read round-trip stays hash-certified.
+        from harvester_database_and_automation_spark.pipelines.derived import (
+            read_derived,
+        )
+
+        muts = read_derived(spark, sf_dir, "mutation_table")
         enc = (F.col("pos") * 256 + F.ascii("base")).cast("int")
         return muts.groupBy("doc_id").agg(F.array_sort(F.collect_list(enc)).alias("mset"))
 

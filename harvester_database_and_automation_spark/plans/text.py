@@ -429,11 +429,16 @@ def substring_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     windows — no dedup signal, unbounded join buckets).
 
     Scale shape: an inverted-index equi-join on the fingerprint value over
-    the session-shared winnow frame — cost tracks fingerprint-bucket
-    collisions, never |docs|²; text itself never enters the join. The
-    all-window rolling hash stays map-side exactly as in
-    `doc_winnow_fingerprints`."""
-    dfp = _winnow_fps(spark, sf_dir).select("doc_id", "fp").distinct()
+    the MAINTAINED `winnow_fingerprints` derived table (pipelines/
+    derived.py `read_derived` — fingerprinting runs once per ingest, the
+    pair search scans the published table; `doc_winnow_fingerprints`
+    keeps the inline rolling-hash build as the derivation certification,
+    and this oracle replays it from raw text so publish + read is
+    hash-certified) — cost tracks fingerprint-bucket collisions, never
+    |docs|²; text itself never enters the join."""
+    from harvester_database_and_automation_spark.pipelines.derived import read_derived
+
+    dfp = read_derived(spark, sf_dir, "winnow_fingerprints").select("doc_id", "fp").distinct()
     sizes = dfp.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fps"))
     # Document-frequency pruning before the self-join: a fingerprint in a
     # single doc can't pair, and one in >64 docs is stop-phrase noise
@@ -659,11 +664,19 @@ def shingle_novelty_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-crawling content the corpus already has — the signal used to
     down-weight or stop a feed before dedup pays for it.
 
-    Reuses the session-shared shingle hub; first-occurrence is one
-    min-aggregate on the shingle key joined back by the same key — the
-    paragraph-dedup shape, integer-exact throughout except the final
-    per-source ratio (one division, both engines)."""
-    sh = _shingles(spark, sf_dir)
+    Reads the MAINTAINED `shingle_index` derived table (pipelines/
+    derived.py `read_derived`): the explode + distinct runs once per
+    ingest in the LAYER publish, and every operation here is
+    digest-equality (min-aggregate on the shingle key joined back by the
+    same key — the paragraph-dedup shape), so the md5 projection changes
+    nothing; the oracle replays the derivation from raw text, keeping
+    publish + read hash-certified. Integer-exact throughout except the
+    final per-source ratio (one division, both engines)."""
+    from harvester_database_and_automation_spark.pipelines.derived import read_derived
+
+    sh = read_derived(spark, sf_dir, "shingle_index").withColumnRenamed(
+        "shingle_digest", "shingle"
+    )
     first_seen = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
     per_doc = (
         sh.join(first_seen, "shingle")
