@@ -392,6 +392,19 @@ def pq_recon(spark: SparkSession, sf_dir: str, deps) -> DataFrame:
     return _pq_recon(spark, sf_dir)
 
 
+@LAYER.register("semdedup_assign")
+def semdedup_assign(spark: SparkSession, sf_dir: str, deps) -> DataFrame:
+    """Layer 6 — the SemDeDup cell assignment (vec_id, cell, vec, norm):
+    the two-level nearest-seed argmin runs once per ingest and the
+    within-cell pair scan (`semantic_dedup_served`) reads the published
+    frame — the O(N·sqrt(k)) assignment cost moves off the query path."""
+    from harvester_database_and_automation_spark.plans.embeddings import (
+        _semdedup_members,
+    )
+
+    return _semdedup_members(spark, sf_dir)
+
+
 @LAYER.register("copurchase_edges")
 def copurchase_edges(spark: SparkSession, sf_dir: str, deps) -> DataFrame:
     """Layer 6 — the weighted part co-purchase edge list (pa < pb, weight
