@@ -61,6 +61,7 @@ DEFAULT_QUERIES = [
     "hot_band_pair_stress",
     "ngram_jaccard_pairs",
     "ivf_probe_served",
+    "semantic_dedup_served",
     "derived_rebuild_parity",
     "csv_typed_roundtrip",
     "chunked_export_roundtrip",

@@ -60,6 +60,7 @@ DEFAULT_QUERIES = [
     "ivf_probe_served",
     "ngram_jaccard_pairs",
     "minhash_lsh_candidates_served",
+    "semantic_dedup_served",
     "derived_rebuild_parity",
 ]
 
