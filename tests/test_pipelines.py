@@ -297,3 +297,56 @@ def test_copurchase_edges_table_feeds_graph_queries(spark, tmp_path):
     inline = QUERIES["part_copurchase_triangles"].fn(spark, "/root/testdata/sf0.001")
     inline_total = inline.agg(F.sum("n_triangles")).collect()[0][0] or 0
     assert inline_total == 3 * tris  # each triangle counted once per vertex
+
+
+def test_read_derived_serving_store(spark, tmp_path, monkeypatch):
+    """The serving-store contract: first reader publishes (transitive
+    deps included, each through the store), later readers scan the
+    published version without bumping it, and an already-published
+    version is authoritative (the concurrent-publisher fallback)."""
+    import harvester_database_and_automation_spark.pipelines.derived as dv
+    from harvester_database_and_automation_spark.operators.publish import (
+        current_version,
+        publish_versioned,
+    )
+
+    monkeypatch.setattr(dv, "_SERVE_ROOT", str(tmp_path / "store"))
+    sf = "/root/testdata/sf0.001"
+
+    # First read publishes v1 of dup_pairs AND its dep shingle_index.
+    pairs1 = dv.read_derived(spark, sf, "dup_pairs")
+    pairs_dir = dv._serve_dir(sf, "dup_pairs")
+    dep_dir = dv._serve_dir(sf, "shingle_index")
+    assert current_version(pairs_dir) == 1
+    assert current_version(dep_dir) == 1
+    n1 = pairs1.count()
+
+    # Second read serves the SAME published version — no rebuild, no bump.
+    pairs2 = dv.read_derived(spark, sf, "dup_pairs")
+    assert current_version(pairs_dir) == 1
+    assert pairs2.count() == n1
+
+    # The store key carries the builder-source fingerprint, so a builder
+    # change re-keys the directory instead of serving a stale table.
+    fp = dv._build_fingerprint("dup_pairs")
+    assert pairs_dir.endswith(f"dup_pairs-{fp}")
+    assert fp != dv._build_fingerprint("shingle_index")
+    # The fingerprint hashes transitive deps too: dup_pairs' key differs
+    # from what hashing only its own builder source would give.
+    import hashlib
+    import inspect
+
+    own_only = hashlib.sha256(
+        "\n".join(sorted([inspect.getsource(dv.LAYER.tables["dup_pairs"].build)])).encode()
+    ).hexdigest()[:10]
+    assert fp != own_only
+
+    # Concurrent-publisher fallback: a table dir that already has a
+    # published version is authoritative — read_derived must NOT overwrite
+    # it (corpora are immutable, existence == freshness).
+    sentinel_dir = dv._serve_dir(sf, "minhash_signatures")
+    sentinel = spark.range(3).selectExpr("id AS doc_id")
+    publish_versioned(sentinel, sentinel_dir)
+    served = dv.read_derived(spark, sf, "minhash_signatures")
+    assert current_version(sentinel_dir) == 1
+    assert served.count() == 3 and served.columns == ["doc_id"]
