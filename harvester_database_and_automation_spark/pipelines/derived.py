@@ -392,6 +392,45 @@ def pq_recon(spark: SparkSession, sf_dir: str, deps) -> DataFrame:
     return _pq_recon(spark, sf_dir)
 
 
+@LAYER.register("kmv_sketches")
+def kmv_sketches(spark: SparkSession, sf_dir: str, deps) -> DataFrame:
+    """Layer 6 — per-segment KMV sketches: the 64 smallest key hashes per
+    order-priority segment, ≤64 (segment, hv) rows each. Mergeability is
+    the point of the sketch: any union of segments is estimable from the
+    published 64-double rows alone, no raw re-scan — so a sketch service
+    maintains exactly this table per ingest. Top-64 per segment is a
+    TWO-LEVEL bounded window (per (segment, hash-sub-bucket) top-64, then
+    per segment over the ≤64·256 survivors) so no task ever sorts a
+    segment's full distinct-key set; the global per-segment top-64 is
+    preserved exactly because every global winner survives its
+    sub-bucket's local cut."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    keys = o.select(
+        F.col("o_orderpriority").alias("segment"), "o_custkey"
+    ).distinct()
+    hv = (
+        F.expr("cast(conv(substr(md5(cast(o_custkey as string)), 1, 15), 16, 10) as bigint)")
+        / F.lit(1152921504606846976).cast("double")
+    )
+    hashed = keys.select("segment", hv.alias("hv"))
+    sub = F.pmod(F.crc32(F.col("hv").cast("string")), F.lit(256))
+    w1 = Window.partitionBy("segment", "sub").orderBy("hv")
+    lvl1 = (
+        hashed.withColumn("sub", sub)
+        .withColumn("rk", F.row_number().over(w1))
+        .filter(F.col("rk") <= 64)
+        .drop("rk", "sub")
+    )
+    w2 = Window.partitionBy("segment").orderBy("hv")
+    return (
+        lvl1.withColumn("rk", F.row_number().over(w2))
+        .filter(F.col("rk") <= 64)
+        .drop("rk")
+    )
+
+
 @LAYER.register("semdedup_assign")
 def semdedup_assign(spark: SparkSession, sf_dir: str, deps) -> DataFrame:
     """Layer 6 — the SemDeDup cell assignment (vec_id, cell, vec, norm):

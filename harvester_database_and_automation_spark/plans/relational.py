@@ -1154,6 +1154,66 @@ def kmv_segment_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "kmv_sketch_merge_served",
+    survey_ref="sketch-cardinality,U2,A3",
+    oracle=f"""
+WITH a_keys AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'),
+b_keys AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH'),
+a_min AS (SELECT {_KMV_HASH_SQL.format(key='o_custkey')} AS hv FROM a_keys ORDER BY hv LIMIT 64),
+b_min AS (SELECT {_KMV_HASH_SQL.format(key='o_custkey')} AS hv FROM b_keys ORDER BY hv LIMIT 64),
+u_min AS (
+  SELECT hv FROM (SELECT hv FROM a_min UNION SELECT hv FROM b_min) t ORDER BY hv LIMIT 64
+),
+est AS (
+  SELECT (SELECT (count(*) - 1) / max(hv) FROM a_min) AS est_a,
+         (SELECT (count(*) - 1) / max(hv) FROM b_min) AS est_b,
+         (SELECT (count(*) - 1) / max(hv) FROM u_min) AS est_union
+)
+SELECT round(est_a, 2) AS est_a,
+       round(est_b, 2) AS est_b,
+       round(est_union, 2) AS est_union,
+       round(est_a + est_b - est_union, 2) AS est_intersection
+FROM est
+""",
+)
+def kmv_sketch_merge_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-shape KMV sketch algebra: reads the MAINTAINED
+    ``kmv_sketches`` derived table (pipelines/derived.py `read_derived`
+    — ≤64 (segment, hv) rows per segment, rebuilt per ingest) and
+    estimates two segments' cardinalities, their union (merge + re-
+    truncate to k), and their intersection (inclusion-exclusion) from
+    the published doubles ALONE — no raw key re-scan anywhere in the
+    plan, which is the entire reason a sketch service maintains this
+    table. `kmv_segment_overlap` stays registered as the certification
+    that runs sketch AND exact counts side by side; this oracle replays
+    the sketch derivation from the raw keys, so the publish + read
+    round-trip is hash-certified."""
+    from harvester_database_and_automation_spark.pipelines.derived import read_derived
+
+    sk = read_derived(spark, sf_dir, "kmv_sketches")
+    a_min = sk.filter(F.col("segment") == "1-URGENT").select("hv")
+    b_min = sk.filter(F.col("segment") == "2-HIGH").select("hv")
+    u_min = a_min.union(b_min).distinct().orderBy("hv").limit(64)
+
+    def est(kmin: DataFrame, name: str) -> DataFrame:
+        return kmin.agg(((F.count(F.lit(1)) - 1) / F.max("hv")).alias(name))
+
+    row = (
+        est(a_min, "est_a_raw")
+        .crossJoin(est(b_min, "est_b_raw"))
+        .crossJoin(est(u_min, "est_union_raw"))
+    )
+    return row.select(
+        F.round("est_a_raw", 2).alias("est_a"),
+        F.round("est_b_raw", 2).alias("est_b"),
+        F.round("est_union_raw", 2).alias("est_union"),
+        F.round(
+            F.col("est_a_raw") + F.col("est_b_raw") - F.col("est_union_raw"), 2
+        ).alias("est_intersection"),
+    )
+
+
 _PROFILE_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
 
 _PROFILE_ORACLE = (
