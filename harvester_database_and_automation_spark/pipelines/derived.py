@@ -495,19 +495,46 @@ def _build_fingerprint(name: str) -> str:
     return hashlib.sha256("\n".join(sorted(parts)).encode()).hexdigest()[:10]
 
 
+def _corpus_fingerprint(sf_dir: str) -> str:
+    """Short hash over (relative path, size, mtime) of every parquet file
+    under ``sf_dir``. A corpus REGENERATED AT THE SAME PATH (the driver
+    rewrites /root/testdata each round) must not be served another
+    corpus's published tables — the path alone is not an identity. Sizes
+    and mtimes change on regeneration, so the store re-keys and the first
+    reader rebuilds; a byte-identical copy at most costs one spurious
+    rebuild."""
+    import hashlib
+
+    entries: list[str] = []
+    root = os.path.abspath(sf_dir)
+    for dirpath, _dirnames, filenames in os.walk(root):
+        for fn in filenames:
+            if not fn.endswith(".parquet"):
+                continue
+            p = os.path.join(dirpath, fn)
+            st = os.stat(p)
+            entries.append(f"{os.path.relpath(p, root)}:{st.st_size}:{int(st.st_mtime)}")
+    return hashlib.sha256("\n".join(sorted(entries)).encode()).hexdigest()[:10]
+
+
 def _serve_dir(sf_dir: str, name: str) -> str:
     tag = os.path.abspath(sf_dir).strip(os.sep).replace(os.sep, "__")
-    return os.path.join(_SERVE_ROOT, tag, f"{name}-{_build_fingerprint(name)}")
+    return os.path.join(
+        _SERVE_ROOT,
+        f"{tag}-{_corpus_fingerprint(sf_dir)}",
+        f"{name}-{_build_fingerprint(name)}",
+    )
 
 
 def read_derived(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read derived table ``name`` for the corpus at ``sf_dir`` from the
     published serving store, building and publishing it (and its
     transitive deps, each from the PUBLISHED layer below) once per
-    (corpus, builder-version). Corpora at a path are immutable (the
-    driver's testdata, the derived sf1), so existence of a published
-    version is the freshness check; builder code changes re-key the
-    store directory via the source fingerprint."""
+    (corpus-content, builder-version). Freshness is structural: the
+    store directory is keyed by a corpus fingerprint (file sizes +
+    mtimes — a corpus regenerated at the same path re-keys) AND a
+    builder-source fingerprint (code changes re-key), so existence of
+    a published version IS the freshness check."""
     spec = LAYER.tables[name]
     table_dir = _serve_dir(sf_dir, name)
     try:

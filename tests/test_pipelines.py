@@ -350,3 +350,17 @@ def test_read_derived_serving_store(spark, tmp_path, monkeypatch):
     served = dv.read_derived(spark, sf, "minhash_signatures")
     assert current_version(sentinel_dir) == 1
     assert served.count() == 3 and served.columns == ["doc_id"]
+
+    # Corpus fingerprint: a corpus REGENERATED at the same path (the
+    # driver rewrites testdata each round) re-keys the store, so stale
+    # published tables are never served for new data.
+    fake = tmp_path / "corpus"
+    fake.mkdir()
+    (fake / "t.parquet").write_bytes(b"v1-bytes")
+    fp1 = dv._corpus_fingerprint(str(fake))
+    (fake / "t.parquet").write_bytes(b"regenerated-bytes")
+    fp2 = dv._corpus_fingerprint(str(fake))
+    assert fp1 != fp2
+    assert fp1 in dv._serve_dir(str(fake), "dup_pairs") or fp2 in dv._serve_dir(
+        str(fake), "dup_pairs"
+    )
