@@ -764,10 +764,11 @@ def k10_base_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "lineage_mutation_counts",
-    survey_ref="K1,K2,A1,A7,J1,J2",
-    oracle=f"""
+# Shared by `lineage_mutation_counts` (inline end-to-end certification of
+# the K1 x K2 + share-of-group composition) and
+# `lineage_mutation_counts_served` (reads the MAINTAINED derived table):
+# the oracle always replays the full derivation from raw text.
+_LINEAGE_MUTATION_ORACLE = f"""
 WITH {_MUTS_CTES},
 defs AS (SELECT * FROM (VALUES {_VARIANT_VALUES_SQL}) AS v(variant, pos, base)),
 calls AS (
@@ -797,7 +798,13 @@ SELECT mc.lang, mc.lineage, mc.pos, mc.base,
        CAST(mc.n_seqs AS BIGINT) AS n_seqs,
        round(mc.n_seqs * 1.0 / g.n_group, 6) AS share
 FROM mut_counts mc JOIN group_sizes g ON mc.lang = g.lang AND mc.lineage = g.lineage
-""",
+"""
+
+
+@register(
+    "lineage_mutation_counts",
+    survey_ref="K1,K2,A1,A7,J1,J2",
+    oracle=_LINEAGE_MUTATION_ORACLE,
 )
 def lineage_mutation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mutation counts per (lang, lineage, mutation) with share-of-group —
@@ -841,6 +848,27 @@ def lineage_mutation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_seqs").cast("bigint").alias("n_seqs"),
         F.round(F.col("n_seqs") * 1.0 / F.col("n_group"), 6).alias("share"),
     )
+
+
+@register(
+    "lineage_mutation_counts_served",
+    survey_ref="K1,K2,A1,A7,J1,J2",
+    oracle=_LINEAGE_MUTATION_ORACLE,
+)
+def lineage_mutation_counts_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MV-cascade serving read: the spectrum_pangolin_lineage_mutation
+    analog as users actually consume it — a scan of the MAINTAINED
+    `lineage_mutation_counts` derived table (pipelines/derived.py
+    `read_derived`, lang-partitioned, rebuilt/incrementally maintained
+    per ingest — the reference's refreshes.sql:3-36 cadence), ZERO
+    derivation exchanges in the plan. The oracle replays the full
+    K1 x K2 + share-of-group derivation from raw text, so the publish +
+    read round-trip is hash-certified; `lineage_mutation_counts` stays
+    registered as the inline certification of the derivation itself."""
+    from harvester_database_and_automation_spark.pipelines.derived import read_derived
+
+    t = read_derived(spark, sf_dir, "lineage_mutation_counts")
+    return t.select("lang", "lineage", "pos", "base", "n_seqs", "share")
 
 
 @register(
