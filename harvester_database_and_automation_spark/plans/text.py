@@ -578,18 +578,19 @@ reach(src, node) AS (
   UNION
   SELECT r.src, s.v FROM reach r JOIN sym s ON s.u = r.node
 ),
-comp AS (SELECT src AS doc_id, min(node) AS component_id FROM reach GROUP BY src),
-canon AS (
-  SELECT component_id, doc_id AS keep_doc_id FROM (
-    SELECT c.component_id, d.doc_id,
-           row_number() OVER (PARTITION BY c.component_id
-                              ORDER BY length(d.text) DESC, d.doc_id) AS rn
-    FROM comp c JOIN documents d USING (doc_id)
-  ) WHERE rn = 1
-)
-SELECT c.doc_id, c.component_id, k.keep_doc_id,
-       c.doc_id <> k.keep_doc_id AS is_duplicate
-FROM comp c JOIN canon k USING (component_id)
+comp AS (SELECT src AS doc_id, min(node) AS component_id FROM reach GROUP BY src)
+-- canonical-doc election as ONE window pass so `comp` is referenced once:
+-- DuckDB 1.0 inlines a non-recursive CTE per reference (AS MATERIALIZED is
+-- not honored inside WITH RECURSIVE lists), and the former comp-join-canon
+-- form re-ran the whole 113M-row pair chain twice — out-of-disk at sf1.
+SELECT doc_id, component_id, keep_doc_id, doc_id <> keep_doc_id AS is_duplicate
+FROM (
+  SELECT c.doc_id, c.component_id,
+         first_value(c.doc_id) OVER (
+           PARTITION BY c.component_id
+           ORDER BY length(d.text) DESC, c.doc_id) AS keep_doc_id
+  FROM comp c JOIN documents d USING (doc_id)
+) t
 """,
 )
 def dup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
