@@ -34,6 +34,14 @@ class DerivedTable:
     build: Callable[[SparkSession, str, dict[str, DataFrame]], DataFrame]
     depends_on: tuple[str, ...] = ()
     partition_by: tuple[str, ...] = ()
+    # Package modules (dotted, relative to this package) whose code the
+    # builder DELEGATES to — a one-line `return _helper(spark, sf_dir)`
+    # builder re-keys the serving store only if the helper's module is
+    # fingerprinted too. Whole-module hashing is deliberately coarse: an
+    # unrelated edit in the module costs one spurious rebuild (seconds),
+    # while an uncaptured helper edit would serve a STALE table against a
+    # freshly-changed oracle — a correctness bug.
+    code_deps: tuple[str, ...] = ()
 
 
 @dataclass
@@ -45,6 +53,7 @@ class DerivedLayer:
         name: str,
         depends_on: tuple[str, ...] = (),
         partition_by: tuple[str, ...] = (),
+        code_deps: tuple[str, ...] = (),
     ):
         def deco(fn):
             if name in self.tables:
@@ -52,7 +61,7 @@ class DerivedLayer:
             for dep in depends_on:
                 if dep not in self.tables:
                     raise ValueError(f"{name!r} depends on unknown table {dep!r}")
-            self.tables[name] = DerivedTable(name, fn, depends_on, partition_by)
+            self.tables[name] = DerivedTable(name, fn, depends_on, partition_by, code_deps)
             return fn
 
         return deco
@@ -193,7 +202,7 @@ def lang_term_intensity(spark: SparkSession, sf_dir: str, deps) -> DataFrame:
     )
 
 
-@LAYER.register("weekly_dashboard")
+@LAYER.register("weekly_dashboard", code_deps=("functions.recode",))
 def weekly_dashboard(spark: SparkSession, sf_dir: str, deps) -> DataFrame:
     """The dashboard_main_view analog (init.sql:783-948): two sources
     conformed and unioned (cases+tests there; events+orders here), value
@@ -257,7 +266,7 @@ def daily_event_intensity(spark: SparkSession, sf_dir: str, deps) -> DataFrame:
     )
 
 
-@LAYER.register("lineage_mutation_counts", partition_by=("lang",))
+@LAYER.register("lineage_mutation_counts", partition_by=("lang",), code_deps=("plans.kernels",))
 def lineage_mutation_counts_table(spark: SparkSession, sf_dir: str, deps) -> DataFrame:
     """Layer 5 — the spectrum_pangolin_lineage_mutation MV family
     (sequences_gisaid_api_based.sql:435-471): mutation counts + share per
@@ -278,7 +287,7 @@ def lineage_mutation_counts_table(spark: SparkSession, sf_dir: str, deps) -> Dat
 # rebuilt per ingest (incrementally via the churn predicate), consumed by
 # every dedup query without re-deriving the explode/join.
 # ---------------------------------------------------------------------------
-@LAYER.register("shingle_index")
+@LAYER.register("shingle_index", code_deps=("plans.text",))
 def shingle_index(spark: SparkSession, sf_dir: str, deps) -> DataFrame:
     """Layer 6 — (doc_id, shingle_digest): the inverted-index hub of the
     dedup family, digests only so the table never carries text."""
@@ -287,7 +296,7 @@ def shingle_index(spark: SparkSession, sf_dir: str, deps) -> DataFrame:
     return _shingles(spark, sf_dir).select("doc_id", F.md5("shingle").alias("shingle_digest"))
 
 
-@LAYER.register("minhash_signatures")
+@LAYER.register("minhash_signatures", code_deps=("plans.text",))
 def minhash_signatures(spark: SparkSession, sf_dir: str, deps) -> DataFrame:
     """Layer 6 — per-doc 16-component MinHash signature table (what a
     dedup service keys its LSH banding off between ingests)."""
@@ -324,7 +333,7 @@ def dup_pairs(spark: SparkSession, sf_dir: str, deps) -> DataFrame:
     )
 
 
-@LAYER.register("ivf_index")
+@LAYER.register("ivf_index", code_deps=("plans.embeddings",))
 def ivf_index(spark: SparkSession, sf_dir: str, deps) -> DataFrame:
     """Layer 6 — the ANN inverted file (vec_id, cid, sim, rk): per-vector
     centroid similarities with assignment rank, the table a vector store
@@ -336,7 +345,7 @@ def ivf_index(spark: SparkSession, sf_dir: str, deps) -> DataFrame:
     return _ivf_ranked(spark, sf_dir)
 
 
-@LAYER.register("dup_components", depends_on=("dup_pairs",))
+@LAYER.register("dup_components", depends_on=("dup_pairs",), code_deps=("operators.components",))
 def dup_components(spark: SparkSession, sf_dir: str, deps) -> DataFrame:
     """Layer 8 — the published (doc_id, component_id) map over the 0.5
     edge slice of dup_pairs; the table `incremental_components` maintains
@@ -353,7 +362,7 @@ def dup_components(spark: SparkSession, sf_dir: str, deps) -> DataFrame:
     )
 
 
-@LAYER.register("mutation_table")
+@LAYER.register("mutation_table", code_deps=("plans.kernels",))
 def mutation_table(spark: SparkSession, sf_dir: str, deps) -> DataFrame:
     """Layer 6 — the exploded (doc_id, pos, base) mutation triple table,
     the hub of the kernel family. The reference MATERIALIZES exactly this
@@ -368,7 +377,7 @@ def mutation_table(spark: SparkSession, sf_dir: str, deps) -> DataFrame:
     return muts
 
 
-@LAYER.register("winnow_fingerprints")
+@LAYER.register("winnow_fingerprints", code_deps=("plans.text",))
 def winnow_fingerprints(spark: SparkSession, sf_dir: str, deps) -> DataFrame:
     """Layer 6 — the winnow fingerprint frame (doc_id, block, fp): the
     inverted-index input of the substring-overlap dedup signal. A dedup
@@ -380,7 +389,7 @@ def winnow_fingerprints(spark: SparkSession, sf_dir: str, deps) -> DataFrame:
     return _winnow_fps(spark, sf_dir)
 
 
-@LAYER.register("pq_recon")
+@LAYER.register("pq_recon", code_deps=("plans.embeddings",))
 def pq_recon(spark: SparkSession, sf_dir: str, deps) -> DataFrame:
     """Layer 6 — per-vector PQ reconstructions (vec_id, rv): the decode of
     the stored 8-byte PQ codes against the broadcast codebook. In a vector
@@ -431,7 +440,7 @@ def kmv_sketches(spark: SparkSession, sf_dir: str, deps) -> DataFrame:
     )
 
 
-@LAYER.register("semdedup_assign")
+@LAYER.register("semdedup_assign", code_deps=("plans.embeddings",))
 def semdedup_assign(spark: SparkSession, sf_dir: str, deps) -> DataFrame:
     """Layer 6 — the SemDeDup cell assignment (vec_id, cell, vec, norm):
     the two-level nearest-seed argmin runs once per ingest and the
@@ -444,7 +453,7 @@ def semdedup_assign(spark: SparkSession, sf_dir: str, deps) -> DataFrame:
     return _semdedup_members(spark, sf_dir)
 
 
-@LAYER.register("copurchase_edges")
+@LAYER.register("copurchase_edges", code_deps=("plans.text",))
 def copurchase_edges(spark: SparkSession, sf_dir: str, deps) -> DataFrame:
     """Layer 6 — the weighted part co-purchase edge list (pa < pb, weight
     = co-occurring orders, pruned at weight >= 2): the graph hub that
@@ -473,17 +482,21 @@ _SERVE_ROOT = os.path.join(
 
 
 def _build_fingerprint(name: str) -> str:
-    """Short hash over the builder source of ``name`` and its transitive
-    deps, so a code change to any builder in the chain republish rather
-    than serving a stale table across rounds. Helpers the builders call
-    are not captured — a helper-only change needs a manual store wipe
-    (rm -rf .derived), which the round workflow does on rework anyway."""
+    """Short hash over the builder source of ``name``, its transitive
+    deps, AND the full source of every ``code_deps`` module in the chain,
+    so a code change to any builder — or to the plans/operators helper a
+    one-line builder delegates to — republishes rather than serving a
+    stale table across rounds. Module-level hashing captures the
+    helper's own intra-module helpers too; helpers in modules NOT named
+    by any code_deps (catalog, shared) still need a manual store wipe."""
     import hashlib
+    import importlib
     import inspect
 
     parts: list[str] = []
     stack = [name]
     seen: set[str] = set()
+    mods: set[str] = set()
     while stack:
         n = stack.pop()
         if n in seen:
@@ -491,18 +504,24 @@ def _build_fingerprint(name: str) -> str:
         seen.add(n)
         spec = LAYER.tables[n]
         parts.append(inspect.getsource(spec.build))
+        mods.update(spec.code_deps)
         stack.extend(spec.depends_on)
+    pkg = __name__.rsplit(".", 2)[0]  # harvester_database_and_automation_spark
+    for mod in sorted(mods):
+        parts.append(inspect.getsource(importlib.import_module(f"{pkg}.{mod}")))
     return hashlib.sha256("\n".join(sorted(parts)).encode()).hexdigest()[:10]
 
 
 def _corpus_fingerprint(sf_dir: str) -> str:
-    """Short hash over (relative path, size, mtime) of every parquet file
-    under ``sf_dir``. A corpus REGENERATED AT THE SAME PATH (the driver
-    rewrites /root/testdata each round) must not be served another
+    """Short hash over (relative path, size, mtime_ns) of every parquet
+    file under ``sf_dir``. A corpus REGENERATED AT THE SAME PATH (the
+    driver rewrites /root/testdata each round) must not be served another
     corpus's published tables — the path alone is not an identity. Sizes
     and mtimes change on regeneration, so the store re-keys and the first
     reader rebuilds; a byte-identical copy at most costs one spurious
-    rebuild."""
+    rebuild. Nanosecond mtimes: a small deterministic fixture can be
+    regenerated same-size within one SECOND, which whole-second
+    truncation would silently alias to the previous corpus."""
     import hashlib
 
     entries: list[str] = []
@@ -513,7 +532,7 @@ def _corpus_fingerprint(sf_dir: str) -> str:
                 continue
             p = os.path.join(dirpath, fn)
             st = os.stat(p)
-            entries.append(f"{os.path.relpath(p, root)}:{st.st_size}:{int(st.st_mtime)}")
+            entries.append(f"{os.path.relpath(p, root)}:{st.st_size}:{st.st_mtime_ns}")
     return hashlib.sha256("\n".join(sorted(entries)).encode()).hexdigest()[:10]
 
 
@@ -546,7 +565,16 @@ def read_derived(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     try:
         publish_versioned(df, table_dir, partition_by=list(spec.partition_by) or None)
     except Exception:
-        # A concurrent publisher won the version directory; its marker is
-        # authoritative — fall through to read what it published.
-        pass
+        # Only a concurrent publisher winning the version directory is
+        # recoverable (its marker is authoritative — read what it
+        # published). Any other publish failure (disk full, schema error,
+        # interrupted write) leaves NO current version; re-raising here
+        # keeps the root cause instead of a misleading FileNotFoundError
+        # from the follow-up read.
+        from harvester_database_and_automation_spark.operators.publish import (
+            current_version,
+        )
+
+        if current_version(table_dir) is None:
+            raise
     return read_published(spark, table_dir)

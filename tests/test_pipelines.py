@@ -358,9 +358,28 @@ def test_read_derived_serving_store(spark, tmp_path, monkeypatch):
     fake.mkdir()
     (fake / "t.parquet").write_bytes(b"v1-bytes")
     fp1 = dv._corpus_fingerprint(str(fake))
+    dir_before = dv._serve_dir(str(fake), "dup_pairs")
     (fake / "t.parquet").write_bytes(b"regenerated-bytes")
     fp2 = dv._corpus_fingerprint(str(fake))
+    dir_after = dv._serve_dir(str(fake), "dup_pairs")
     assert fp1 != fp2
-    assert fp1 in dv._serve_dir(str(fake), "dup_pairs") or fp2 in dv._serve_dir(
-        str(fake), "dup_pairs"
-    )
+    # The serve directory itself must move with the regeneration — the
+    # post-rewrite path carries the NEW fingerprint, not the old one.
+    assert dir_before != dir_after
+    assert fp1 in dir_before and fp2 in dir_after and fp1 not in dir_after
+
+    # SAME-SIZE regeneration within the same wall-clock second must still
+    # re-key (nanosecond mtimes; whole-second truncation aliased this).
+    (fake / "t.parquet").write_bytes(b"regenerated-bytez")
+    assert dv._corpus_fingerprint(str(fake)) != fp2
+
+    # code_deps: the delegated helper module's source is part of the
+    # build fingerprint, so a helper-only edit re-keys the store.
+    fp_with = dv._build_fingerprint("semdedup_assign")
+    spec = dv.LAYER.tables["semdedup_assign"]
+    stripped = dv.DerivedTable(spec.name, spec.build, spec.depends_on, spec.partition_by, ())
+    dv.LAYER.tables["semdedup_assign"] = stripped
+    try:
+        assert dv._build_fingerprint("semdedup_assign") != fp_with
+    finally:
+        dv.LAYER.tables["semdedup_assign"] = spec
