@@ -1,0 +1,91 @@
+#!/usr/bin/env python
+"""Full-registry, HEAD-keyed self-certification at sf0.01 —
+CORRECTNESS_SELF.json.
+
+The external driver's per-round rotation samples a SUBSET of the
+registry, so a query repointed this round can go uncertified for a
+round if the rotation happens to skip it (it did for seven queries in
+round 6). This script is the repo's own proof: EVERY registered query,
+run against its DuckDB oracle on the driver's sf0.01 corpus, recorded
+with the git head the sweep ran at — the reconciliation-query habit of
+the reference (database/sql/gisaid_our_sequences.sql:1-67: run the
+checks where you changed the code), applied to the whole registry every
+round.
+
+Usage: python scripts/self_check.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from harvester_database_and_automation_spark.plans import QUERIES  # noqa: E402
+from harvester_database_and_automation_spark.session import get_spark  # noqa: E402
+from harvester_database_and_automation_spark.testing import (  # noqa: E402
+    check_query,
+    duckdb_connection,
+)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if sys.argv[1:] else "/root/testdata/sf0.01"
+    spark = get_spark("self-check")
+    con = duckdb_connection(sf_dir)
+    head = subprocess.run(
+        ["git", "rev-parse", "HEAD"], capture_output=True, text=True, check=True
+    ).stdout.strip()
+    dirty = bool(
+        subprocess.run(
+            ["git", "status", "--porcelain"], capture_output=True, text=True, check=True
+        ).stdout.strip()
+    )
+    results: dict[str, dict] = {}
+    n_fail = 0
+    t_start = time.time()
+    for name in QUERIES:
+        t0 = time.time()
+        try:
+            res = check_query(spark, con, name, sf_dir)
+            entry = {
+                "ok": res.ok,
+                "spark_rows": res.spark_rows,
+                "oracle_rows": res.oracle_rows,
+                "sec": round(time.time() - t0, 2),
+            }
+            if res.problems:
+                entry["problems"] = res.problems
+        except Exception as exc:  # pragma: no cover - diagnostic path
+            entry = {"ok": False, "error": f"{type(exc).__name__}: {exc}"}
+        if not entry["ok"]:
+            n_fail += 1
+            print(f"[FAIL] {name}: {entry}")
+        results[name] = entry
+    out = {
+        "git_head": head,
+        "git_dirty": dirty,
+        "sf_dir": sf_dir,
+        "n_queries": len(results),
+        "n_pass": len(results) - n_fail,
+        "n_fail": n_fail,
+        "wall_sec": round(time.time() - t_start, 1),
+        "check": "row-count + schema + order-insensitive value compare vs DuckDB oracle "
+        "(rows-only for queries without an oracle)",
+        "queries": results,
+    }
+    artifact = Path(__file__).resolve().parent.parent / "CORRECTNESS_SELF.json"
+    artifact.write_text(json.dumps(out, indent=1) + "\n")
+    print(
+        f"\n{out['n_pass']}/{out['n_queries']} queries pass at {sf_dir} "
+        f"(head {head[:10]}{' DIRTY' if dirty else ''}) -> CORRECTNESS_SELF.json"
+    )
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -171,17 +171,21 @@ def test_paragraph_dedup_joins_on_digest_not_text(spark):
     assert "text#" not in exchange_args, "paragraph text must not be a shuffle key"
 
 
-def test_semantic_dedup_pairs_is_cell_equi_join(spark):
-    """SemDeDup's whole point: the pair comparison is an equi-join on the
-    cluster cell, never an all-pairs product over the corpus."""
+def test_semantic_dedup_pairs_is_cell_colocated(spark):
+    """SemDeDup's whole point: the pair comparison touches only vectors
+    CO-LOCATED by cell, never an all-pairs product over the corpus. The
+    plan shape is: cogrouped tree-descent assignment (FlatMapCoGroups) +
+    per-cell grouped pair scan (FlatMapGroups) — no join node carries the
+    pair fan-out, so shuffled bytes stay O(N)."""
     plan = fmt_plan(spark, "semantic_dedup_cells")
     assert count_nodes(plan, "CartesianProduct") == 0
-    n_equi = (
-        count_nodes(plan, "SortMergeJoin")
-        + count_nodes(plan, "ShuffledHashJoin")
-        + count_nodes(plan, "BroadcastHashJoin")
-    )
-    assert n_equi >= 1
+    assert count_nodes(plan, "BroadcastNestedLoopJoin") == 0
+    assert "FlatMapCoGroupsInPandas" in plan  # seed-level assignment
+    assert "FlatMapGroupsInPandas" in plan  # per-cell BLAS pair scan
+    # bounded exchanges: corpus fan-out, the cogroup's two hash inputs,
+    # the (tiny) seed-frame repartition, and the cell co-location shuffle
+    # — crucially NONE of them carries a comparison fan-out, only rows.
+    assert count_nodes(plan, "Exchange") <= 5
 
 
 def test_pq_codebook_joins_are_broadcast(spark):
