@@ -440,17 +440,27 @@ def kmv_sketches(spark: SparkSession, sf_dir: str, deps) -> DataFrame:
     )
 
 
-@LAYER.register("semdedup_assign", code_deps=("plans.embeddings",))
+@LAYER.register(
+    "semdedup_assign", partition_by=("cell_bucket",), code_deps=("plans.embeddings",)
+)
 def semdedup_assign(spark: SparkSession, sf_dir: str, deps) -> DataFrame:
-    """Layer 6 — the SemDeDup cell assignment (vec_id, cell, vec, norm):
-    the two-level nearest-seed argmin runs once per ingest and the
-    within-cell pair scan (`semantic_dedup_served`) reads the published
-    frame — the O(N·sqrt(k)) assignment cost moves off the query path."""
+    """Layer 6 — the SemDeDup cell assignment (vec_id, cell, vec, norm,
+    cell_bucket): the three-level tree-descent assignment runs once per
+    ingest and the within-cell pair scan (`semantic_dedup_served`) reads
+    the published frame — the assignment cost moves off the query path.
+    Published partitioned by a 16-way cell bucket (cells hash-folded so
+    the partition count stays constant as k = N/250 grows): a dedup
+    review that re-scores churned cells scans only their buckets, and
+    the incremental rebuild path can overwrite per bucket — the same
+    partitioning-replaces-indexes serving shape as the lang-partitioned
+    tables (SURVEY §4)."""
     from harvester_database_and_automation_spark.plans.embeddings import (
         _semdedup_members,
     )
 
-    return _semdedup_members(spark, sf_dir)
+    return _semdedup_members(spark, sf_dir).withColumn(
+        "cell_bucket", F.pmod(F.col("cell"), F.lit(16)).cast("int")
+    )
 
 
 @LAYER.register("copurchase_edges", code_deps=("plans.text",))

@@ -764,6 +764,7 @@ def incremental_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 # either engine. Constants are fixed (not runtime-random) so the Spark side
 # and the DuckDB oracle share them via this module.
 _MINHASH_P = 4294967311  # prime > 2^32
+_CALIB_SAMPLE_PER_BUCKET = 40  # exact-Jaccard pairs per signature-match bucket
 _MINHASH_PERMS = [(h * 613651 + 100003, h * 368041 + 15485863) for h in range(16)]
 _MINHASH_PERMS_SQL = ", ".join(
     f"({h}, {a}::BIGINT, {b}::BIGINT)" for h, (a, b) in enumerate(_MINHASH_PERMS)
@@ -820,7 +821,7 @@ cands AS (
 
 @register(
     "minhash_jaccard_calibration",
-    survey_ref="dedup-minhash,A1,A7",
+    survey_ref="dedup-minhash,A1,A7,J8",
     oracle=f"""
 WITH sh AS ({_SHINGLES_SQL}),
 {_MINHASH_CANDS_SQL.format(perms=_MINHASH_PERMS_SQL).strip().lstrip()},
@@ -832,38 +833,64 @@ match AS (
   JOIN hashes sb ON sb.doc_id = c.doc_b AND sb.h = sa.h
   GROUP BY 1, 2
 ),
+ph AS (
+  SELECT doc_a, doc_b, n_sig_match,
+         ((((doc_a % 1000000007) * 1000003 + (doc_b % 1000000007)) % 1000000007)
+          * 2654435761) % 1000000007 AS ph
+  FROM match
+),
+samp AS (
+  SELECT doc_a, doc_b, n_sig_match FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY n_sig_match ORDER BY ph, doc_a, doc_b) AS rk
+    FROM ph
+  ) t WHERE rk <= {_CALIB_SAMPLE_PER_BUCKET}
+),
+totals AS (SELECT n_sig_match, CAST(count(*) AS BIGINT) AS n_pairs FROM match GROUP BY 1),
 sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
 inter AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  SELECT s.doc_a, s.doc_b, count(*) AS n_common
+  FROM samp s
+  JOIN sh a ON a.doc_id = s.doc_a
+  JOIN sh b ON b.doc_id = s.doc_b AND b.shingle = a.shingle
   GROUP BY 1, 2
 ),
-pairj AS (
-  SELECT m.doc_a, m.doc_b, m.n_sig_match,
+sampj AS (
+  SELECT s.n_sig_match,
          COALESCE(i.n_common, 0) * 1.0
            / (s1.sz + s2.sz - COALESCE(i.n_common, 0)) AS j
-  FROM match m
-  LEFT JOIN inter i ON i.doc_a = m.doc_a AND i.doc_b = m.doc_b
-  JOIN sizes s1 ON s1.doc_id = m.doc_a
-  JOIN sizes s2 ON s2.doc_id = m.doc_b
+  FROM samp s
+  LEFT JOIN inter i ON i.doc_a = s.doc_a AND i.doc_b = s.doc_b
+  JOIN sizes s1 ON s1.doc_id = s.doc_a
+  JOIN sizes s2 ON s2.doc_id = s.doc_b
 )
-SELECT n_sig_match, CAST(count(*) AS BIGINT) AS n_pairs,
+SELECT t.n_sig_match, t.n_pairs,
+       CAST(count(*) AS BIGINT) AS n_sampled,
        round(avg(j), 6) AS avg_jaccard
-FROM pairj GROUP BY n_sig_match
+FROM sampj sj JOIN totals t USING (n_sig_match)
+GROUP BY 1, 2
 """,
 )
 def minhash_jaccard_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash estimator calibration: for every LSH candidate pair, compare
-    the sketch's Jaccard estimate (matching signature components / 16)
-    against the TRUE shingle Jaccard, grouped by match count — the
-    measurement that justifies the sketch's band/row configuration before
-    switching dedup to it at scale (the same certify-the-approximation
-    discipline as `ivf_recall_at_3`).
+    """MinHash estimator calibration: per signature-match count (the
+    sketch's Jaccard estimate bucket, matching components / 16), the TOTAL
+    candidate-pair count and the average TRUE shingle Jaccard of a FIXED
+    40-pair hash-drawn sample (_CALIB_SAMPLE_PER_BUCKET) — the measurement
+    that justifies the sketch's band/row configuration before switching
+    dedup to it at scale (the same certify-the-approximation discipline
+    as `ivf_recall_at_3`).
 
-    Both sides are session-shared intermediates: signatures from
-    `_minhash_sigs`, true Jaccards from the scored pair frame the dedup
-    family already maintains — this query adds only narrow int joins on
-    candidate pairs."""
+    Bounded by design: a calibration curve is a statistical claim per
+    bucket, so exact ground truth is computed for a CONSTANT number of
+    pairs per bucket (portable-hash order — DuckDB draws the identical
+    sample), never for the full candidate set. The former version scored
+    every candidate pair against the full inverted-index Jaccard frame,
+    which made a certification query output-bound on dup-heavy corpora
+    (10x tail 11.62 at derived sf1); the sampled exact joins touch
+    ~17 buckets x 40 pairs regardless of corpus size. The per-bucket top-k is TWO-LEVEL (per (bucket, hash-sub) then
+    per bucket over the <=64k survivors) so no task ever sorts a whole
+    bucket's candidate set; the global per-bucket sample is preserved
+    exactly because every global winner survives its sub-bucket cut."""
     cands = minhash_lsh_candidates(spark, sf_dir)
     sigs = _minhash_sigs(spark, sf_dir)
     sa = sigs.select(F.col("doc_id").alias("doc_a"), *[F.col(f"m{h}").alias(f"a{h}") for h in range(16)])
@@ -879,13 +906,67 @@ def minhash_jaccard_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_sig_match"),
         )
     )
-    true_j = _jaccard_pairs(spark, sf_dir, 0.0)
-    pairj = matched.join(true_j, ["doc_a", "doc_b"], "left").select(
-        "n_sig_match", F.coalesce("jaccard", F.lit(0.0)).alias("j")
+    pair_hash = (
+        (
+            (F.col("doc_a") % F.lit(1_000_000_007)) * F.lit(1_000_003)
+            + (F.col("doc_b") % F.lit(1_000_000_007))
+        )
+        % F.lit(1_000_000_007)
+        * F.lit(2_654_435_761)
+    ) % F.lit(1_000_000_007)
+    hashed = matched.withColumn("ph", pair_hash)
+    s_cap = _CALIB_SAMPLE_PER_BUCKET
+    w1 = Window.partitionBy("n_sig_match", "sub").orderBy("ph", "doc_a", "doc_b")
+    lvl1 = (
+        hashed.withColumn("sub", F.pmod(F.col("ph"), F.lit(64)))
+        .withColumn("rk", F.row_number().over(w1))
+        .filter(F.col("rk") <= s_cap)
+        .drop("rk", "sub")
     )
-    return pairj.groupBy("n_sig_match").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
-        F.round(F.avg("j"), 6).alias("avg_jaccard"),
+    w2 = Window.partitionBy("n_sig_match").orderBy("ph", "doc_a", "doc_b")
+    sample = (
+        lvl1.withColumn("rk", F.row_number().over(w2))
+        .filter(F.col("rk") <= s_cap)
+        .select("doc_a", "doc_b", "n_sig_match")
+    )
+    totals = matched.groupBy("n_sig_match").agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+
+    # Exact Jaccard for the sampled pairs ONLY: prune the shingle frame to
+    # the <=2 x 17 x sample docs first (broadcast semi-join), then the
+    # intersection join touches sample-proportional rows, not the corpus.
+    sh = _shingles(spark, sf_dir)
+    docs_needed = (
+        sample.select(F.explode(F.array("doc_a", "doc_b")).alias("doc_id")).distinct()
+    )
+    sh_s = sh.join(F.broadcast(docs_needed), "doc_id", "left_semi")
+    sizes = sh_s.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    inter = (
+        F.broadcast(sample)
+        .join(sh_s.alias("a"), F.col("a.doc_id") == F.col("doc_a"))
+        .join(
+            sh_s.alias("b"),
+            (F.col("b.doc_id") == F.col("doc_b")) & (F.col("a.shingle") == F.col("b.shingle")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    jac = F.coalesce(F.col("n_common"), F.lit(0)) * 1.0 / (
+        F.col("s1.sz") + F.col("s2.sz") - F.coalesce(F.col("n_common"), F.lit(0))
+    )
+    sampj = (
+        sample.join(inter, ["doc_a", "doc_b"], "left")
+        .join(F.broadcast(sizes.alias("s1")), F.col("doc_a") == F.col("s1.doc_id"))
+        .join(F.broadcast(sizes.alias("s2")), F.col("doc_b") == F.col("s2.doc_id"))
+        .select("n_sig_match", jac.alias("j"))
+    )
+    return (
+        sampj.groupBy("n_sig_match")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sampled"),
+            F.round(F.avg("j"), 6).alias("avg_jaccard"),
+        )
+        .join(totals, "n_sig_match")
+        .select("n_sig_match", "n_pairs", "n_sampled", "avg_jaccard")
     )
 
 

@@ -180,9 +180,87 @@ def main() -> int:
         d.unpersist()
         out[label] = runs
         print(label, json.dumps(runs))
+    sf1 = SFS.get("sf1")
+    if sf1 and Path(sf1).exists():
+        out["cc_contraction_sf1"] = measure_cc(spark, ui, app, sf1)
+        print("cc_contraction_sf1", json.dumps(out["cc_contraction_sf1"]))
     (REPO / "SKEW_TASK_BOUND.json").write_text(json.dumps(out, indent=1) + "\n")
     print("-> SKEW_TASK_BOUND.json")
     return 0
+
+
+def measure_cc(spark, ui: str, app: str, sf_dir: str) -> dict:
+    """Straggler bound for the connected-components contraction under a
+    planted mega-cluster: ONE component holding 1/3 of all documents
+    (hierarchical stars of ~1000 under a root chain — linear edge count,
+    low diameter, the shape an LSH dup family hands the clustering step),
+    the rest isolated pairs. Control: the same edge COUNT as uniform
+    isolated pairs. The alternating-star algorithm needs no salting —
+    per-round work is min-aggregations (map-side combinable partials)
+    plus equi-joins whose hot-key row count is the node DEGREE (bounded
+    by the edge list), never a pair product — and this measures that
+    claim per contraction round instead of assuming it."""
+    from harvester_database_and_automation_spark.operators.components import (
+        _large_star,
+        _small_star,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    members = docs.filter(F.col("doc_id") % 3 == 0)
+    # star edges: member -> base of its 3000-wide block; block roots -> 0
+    stars = members.filter(F.col("doc_id") % 3000 != 0).select(
+        F.col("doc_id").alias("u"), (F.col("doc_id") - F.col("doc_id") % 3000).alias("v")
+    )
+    roots = members.filter((F.col("doc_id") % 3000 == 0) & (F.col("doc_id") != 0)).select(
+        F.col("doc_id").alias("u"), F.lit(0).cast("long").alias("v")
+    )
+    mega = stars.union(roots)
+    others = docs.filter((F.col("doc_id") % 3 != 0) & (F.col("doc_id") % 2 == 0)).select(
+        F.col("doc_id").alias("u"), (F.col("doc_id") + 1).alias("v")
+    )
+    planted = fanout(mega.union(others))
+    uniform = fanout(
+        docs.filter(F.col("doc_id") % 2 == 0).select(
+            F.col("doc_id").alias("u"), (F.col("doc_id") + 1).alias("v")
+        )
+    )
+
+    def run_rounds(edges) -> dict:
+        cur = (
+            edges.select(
+                F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+            )
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        per_round: list[float] = []
+        prev_sig = None
+        for _ in range(30):
+            before = _stage_ids(ui, app)
+            cur = _small_star(_large_star(cur)).localCheckpoint(eager=True)
+            row = cur.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.coalesce(F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)).alias("h"),
+            ).first()
+            per_round.append(_max_task_ms(ui, app, _stage_ids(ui, app) - before))
+            sig = (row["n"], row["h"])
+            if sig == prev_sig:
+                break
+            prev_sig = sig
+        return {
+            "n_rounds": len(per_round),
+            "max_task_ms_per_round": per_round,
+            "max_task_ms": max(per_round),
+        }
+
+    out = {
+        "workload": "1/3 of documents planted as ONE component (stars of ~1000 under a root chain), rest isolated pairs; control = same-size uniform pair list",
+        "planted_mega_cluster": run_rounds(planted),
+        "uniform_control": run_rounds(uniform),
+        "note": "alternating-star contraction needs no salting: min-aggregations partial-aggregate map-side and the hot node's join fan-in is its DEGREE (edge-bounded), never a pair product; the mega-cluster bound should therefore track the uniform control",
+    }
+    return out
 
 
 if __name__ == "__main__":

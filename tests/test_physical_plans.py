@@ -317,3 +317,25 @@ def test_prefix_filter_prunes_hot_shingles_from_candidates(spark):
         F.col("pos") <= F.col("sz") - F.expr("(sz + 1) div 2") + 1
     ).count()
     assert prefix_n < full * 0.6, (prefix_n, full)
+
+
+def test_served_reads_prune_partitions(spark):
+    """The serving store publishes its hub tables hive-partitioned by
+    their natural key (lang / cell bucket) — the SURVEY §4 'partitioning
+    replaces the ~90 indexes' claim. A keyed consumer read must show the
+    predicate as a PARTITION filter on the scan (directories pruned at
+    planning), not a row filter over a full scan."""
+    from harvester_database_and_automation_spark.pipelines.derived import read_derived
+
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    for table, col, value in [
+        ("lineage_mutation_counts", "lang", F.lit("en")),
+        ("doc_term_projection", "lang", F.lit("en")),
+        ("semdedup_assign", "cell_bucket", F.lit(3)),
+    ]:
+        df = read_derived(spark, SF_DIR, table).filter(F.col(col) == value)
+        plan = df._jdf.queryExecution().explainString(mode)
+        m = re.search(rf"PartitionFilters: \[[^\]]*{col}", plan)
+        assert m, f"{table}: {col} predicate did not reach PartitionFilters:\n{plan[:2000]}"
+        # and the data filters must NOT re-apply it as a row filter
+        assert not re.search(rf"PushedFilters: \[[^\]]*{col}", plan), table
