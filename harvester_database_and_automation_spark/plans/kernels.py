@@ -260,12 +260,7 @@ def k3_origin_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch of new sequences, so cost is O(N·batch); the earlier modulus
     split made both sides corpus-proportional (an O(N²) scan the 100x
     curve measured at 42x for 10x data)."""
-    pairs = _pair_distances(spark, sf_dir, 60, [F.col("lang")]).withColumn(
-        "fold", F.col("rid") % 5
-    )
-    w = Window.partitionBy("qid", "fold").orderBy("dist", "rid")
-    nn = pairs.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") == 1)
-    votes = nn.groupBy("qid", "lang").agg(F.count(F.lit(1)).alias("n_votes"))
+    votes = _k3_fold_votes(spark, sf_dir)
     wv = Window.partitionBy("qid").orderBy(F.col("n_votes").desc(), F.col("lang"))
     return (
         votes.withColumn("rk", F.row_number().over(wv))
@@ -274,6 +269,100 @@ def k3_origin_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("qid").alias("doc_id"),
             F.when(F.col("n_votes") >= 3, F.col("lang")).otherwise("UNDECIDED").alias("origin_lang"),
             F.col("n_votes").cast("bigint").alias("n_votes"),
+        )
+    )
+
+
+def _k3_fold_votes(spark: SparkSession, sf_dir: str):
+    """K3's per-(query, lang) fold votes — the gisaid_sequence_close_country
+    analog (10 close-country estimates per strain there; 5 deterministic
+    fold NNs here). Shared by the estimator itself and its consumer
+    rollup `close_country_majority`."""
+    pairs = _pair_distances(spark, sf_dir, 60, [F.col("lang")]).withColumn(
+        "fold", F.col("rid") % 5
+    )
+    w = Window.partitionBy("qid", "fold").orderBy("dist", "rid")
+    nn = pairs.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") == 1)
+    return nn.groupBy("qid", "lang").agg(F.count(F.lit(1)).alias("n_votes"))
+
+
+_K3_VOTES_SQL = """
+pairs AS (
+  SELECT q.doc_id AS qid, r.doc_id AS rid, r.lang, r.doc_id % 5 AS fold,
+         sq.sz + sr.sz - 2 * coalesce(i.n_common, 0) AS dist
+  FROM qsample q
+  CROSS JOIN (SELECT doc_id, lang FROM documents
+              WHERE doc_id NOT IN (SELECT doc_id FROM qsample)) r
+  JOIN mut_sizes sq ON sq.doc_id = q.doc_id
+  JOIN mut_sizes sr ON sr.doc_id = r.doc_id
+  LEFT JOIN (
+    SELECT a.doc_id AS qid, b.doc_id AS rid, count(*) AS n_common
+    FROM muts a JOIN muts b ON a.pos = b.pos AND a.base = b.base
+    WHERE a.doc_id IN (SELECT doc_id FROM qsample)
+      AND b.doc_id NOT IN (SELECT doc_id FROM qsample)
+    GROUP BY 1, 2
+  ) i ON i.qid = q.doc_id AND i.rid = r.doc_id
+),
+nn AS (
+  SELECT qid, fold, lang,
+         row_number() OVER (PARTITION BY qid, fold ORDER BY dist, rid) AS rk
+  FROM pairs
+),
+votes AS (SELECT qid, lang, count(*) AS n_votes FROM nn WHERE rk = 1 GROUP BY 1, 2)
+"""
+
+
+@register(
+    "close_country_majority",
+    survey_ref="K3,A1,A7,J1",
+    oracle=f"""
+WITH {{muts_ctes}},
+qsample AS ({{qsample}}),
+{{votes}},
+majority AS (
+  SELECT qid, lang FROM votes WHERE n_votes >= 3
+),
+strat AS (
+  SELECT d.source, m.lang AS origin_lang, CAST(count(*) AS BIGINT) AS n_docs
+  FROM majority m JOIN documents d ON d.doc_id = m.qid
+  GROUP BY 1, 2
+)
+SELECT s.source, s.origin_lang, s.n_docs,
+       round(s.n_docs * 1.0 / t.total, 6) AS share
+FROM strat s
+JOIN (SELECT source, sum(n_docs) AS total FROM strat GROUP BY source) t
+  ON t.source = s.source
+""".format(muts_ctes=_MUTS_CTES, qsample=_doc_sample_sql(60), votes=_K3_VOTES_SQL.strip()),
+)
+def close_country_majority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The K3 CONSUMER rollup — the reference's close-country analysis
+    (database/sql/close_country_analysis.sql:2-37, 39-91): keep only
+    query sequences whose estimates reach an ABSOLUTE majority (>= 6 of
+    10 close-country draws there; >= 3 of 5 fold NNs here — at most one
+    winner per query by construction), then roll the winners up per
+    stratum with a share-of-stratum denominator (the month-share pattern
+    of lines 68-91; `source` plays the month stratum — the synthetic
+    corpus carries no date column). Composes K3's vote frame with the A7
+    share pattern: everything downstream of the vote frame is
+    dimension-sized (60 queries x <=5 langs), so the rollup adds two
+    broadcast-scale aggregations to the K3 plan, nothing
+    corpus-proportional."""
+    votes = _k3_fold_votes(spark, sf_dir)
+    majority = votes.filter(F.col("n_votes") >= 3).select("qid", "lang")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    strat = (
+        majority.join(docs, majority.qid == docs.doc_id)
+        .groupBy("source", F.col("lang").alias("origin_lang"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )
+    totals = strat.groupBy("source").agg(F.sum("n_docs").alias("total"))
+    return (
+        strat.join(F.broadcast(totals), "source")
+        .select(
+            "source",
+            "origin_lang",
+            "n_docs",
+            F.round(F.col("n_docs") * 1.0 / F.col("total"), 6).alias("share"),
         )
     )
 

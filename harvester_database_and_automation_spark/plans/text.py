@@ -891,21 +891,29 @@ def minhash_jaccard_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     per bucket over the <=64k survivors) so no task ever sorts a whole
     bucket's candidate set; the global per-bucket sample is preserved
     exactly because every global winner survives its sub-bucket cut."""
-    cands = minhash_lsh_candidates(spark, sf_dir)
-    sigs = _minhash_sigs(spark, sf_dir)
-    sa = sigs.select(F.col("doc_id").alias("doc_a"), *[F.col(f"m{h}").alias(f"a{h}") for h in range(16)])
-    sb = sigs.select(F.col("doc_id").alias("doc_b"), *[F.col(f"m{h}").alias(f"b{h}") for h in range(16)])
-    matched = (
-        cands.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            sum((F.col(f"a{h}") == F.col(f"b{h}")).cast("int") for h in range(16))
-            .cast("int")
-            .alias("n_sig_match"),
+    def build_matched() -> DataFrame:
+        cands = minhash_lsh_candidates(spark, sf_dir)
+        sigs = _minhash_sigs(spark, sf_dir)
+        sa = sigs.select(F.col("doc_id").alias("doc_a"), *[F.col(f"m{h}").alias(f"a{h}") for h in range(16)])
+        sb = sigs.select(F.col("doc_id").alias("doc_b"), *[F.col(f"m{h}").alias(f"b{h}") for h in range(16)])
+        return (
+            cands.join(sa, "doc_a")
+            .join(sb, "doc_b")
+            .select(
+                "doc_a",
+                "doc_b",
+                sum((F.col(f"a{h}") == F.col(f"b{h}")).cast("int") for h in range(16))
+                .cast("int")
+                .alias("n_sig_match"),
+            )
         )
-    )
+
+    # Session-shared: the scored-candidate frame feeds FOUR branches
+    # (sample windows, bucket totals, and the sample's two exact-Jaccard
+    # probes) — uncached, each branch would replay the signature joins.
+    # At scale this frame is the maintained scored-pair table a dedup
+    # service keeps anyway (narrow int triples).
+    matched = shared_df(spark, ("minhash_calib_matched", sf_dir), build_matched)
     pair_hash = (
         (
             (F.col("doc_a") % F.lit(1_000_000_007)) * F.lit(1_000_003)
@@ -924,10 +932,13 @@ def minhash_jaccard_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("rk", "sub")
     )
     w2 = Window.partitionBy("n_sig_match").orderBy("ph", "doc_a", "doc_b")
+    # <=17 buckets x 40 rows: checkpoint so the three consuming branches
+    # read the materialized sample, not three replays of the windows.
     sample = (
         lvl1.withColumn("rk", F.row_number().over(w2))
         .filter(F.col("rk") <= s_cap)
         .select("doc_a", "doc_b", "n_sig_match")
+        .localCheckpoint(eager=True)
     )
     totals = matched.groupBy("n_sig_match").agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
 

@@ -71,7 +71,7 @@ DEFAULT_QUERIES = [
 # annotation explains cost, the certification proves correctness.
 ANNOTATIONS = {
     "event_concurrency_window": "output-bound: overlapping-event pairs grow ~100x faster than rows on the derived corpus (1M result rows at sf1, sf1-hash-certified)",
-    "minhash_jaccard_calibration": "output-bound certification: runs sketch AND ground truth; qualifying candidate pairs grow 100-1000x on the deliberately dup-heavy derived corpus (sf1-hash-certified)",
+    "minhash_jaccard_calibration": "bounded certification: exact ground truth computed for a FIXED 40-pair hash-drawn sample per signature bucket; the remaining growth is the candidate count + two-level sample windows over narrow int triples (sf1-hash-certified)",
     "prefix_filter_jaccard_pairs": "output-bound: 980x more qualifying pairs on the derived corpus for the same threshold; linear in output (250,600 rows at sf1, sf1-hash-certified)",
     "hot_band_pair_stress": "output quadratic by design: the planted hot band is N/3 docs, so its pair count grows 100x per 10x data; enumeration stays distributed (SKEW_TASK_BOUND.json) and sf1-hash-certified",
     "semantic_dedup_cells": "three-level tree-descent assignment (~3*k^(1/3) BLAS-batched comparisons per vector; corpus-sized exchanges are one fan-out and one cell co-location shuffle) plus the linear per-cell BLAS pair scan (sf1-hash-certified)",
