@@ -950,7 +950,16 @@ def _semdedup_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     twice: the fan-out repartition of the scan and the one co-location
     shuffle by l2 parent; the former two-level scheme instead shuffled
     the full N·sqrt(k) comparison fan-out through its arg-min
-    aggregations."""
+    aggregations.
+
+    Seed selection note: levels are EXACT ranked prefixes of the hash
+    order (TakeOrderedAndProject — a single merge of per-partition
+    top-k) so the SQL oracle replays membership bit-for-bit; with k
+    corpus-proportional, a 100 TB deployment would draw seeds by qhash
+    THRESHOLD instead (expected-k members, nesting still by
+    construction since t1 < t2 < t_seed) — an expected-size seed set
+    changes nothing downstream, the descent and pair scan are agnostic
+    to how the level sets were drawn."""
     import pandas as pd
     from pyspark.sql import types as T
 
@@ -1143,17 +1152,18 @@ def _semdedup_report(spark: SparkSession, members: DataFrame) -> DataFrame:
 )
 def semantic_dedup_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Production-shape SemDeDup: reads the MAINTAINED ``semdedup_assign``
-    derived table (pipelines/derived.py `read_derived` — the two-level
-    nearest-seed assignment runs once per ingest, like the reference's
+    derived table (pipelines/derived.py `read_derived` — the three-level
+    tree-descent assignment runs once per ingest, like the reference's
     per-ingest MV refresh) and executes ONLY the within-cell pair scan:
-    one vector shuffle to co-locate cells, then O(N · 250) pair work —
+    one shuffle to co-locate cells, then a ~250×250 BLAS block per cell —
     linear in the corpus, the steady-state plan a dedup service runs per
-    review. The O(N·sqrt(k)) assignment term that shows in
-    `semantic_dedup_cells`' 100x curve entry moves to ingest time here,
-    the same split `ivf_probe_served` makes for the ANN index rebuild.
-    The oracle replays the FULL assignment + scan from the base table,
-    so publish + read is hash-certified; `semantic_dedup_cells` stays
-    registered as the inline end-to-end certification."""
+    review; the cell-bucket partitioning of the published table lets a
+    churn-scoped review prune to dirty buckets. The assignment cost moves
+    to ingest time here, the same split `ivf_probe_served` makes for the
+    ANN index rebuild. The oracle replays the FULL assignment + scan from
+    the base table, so publish + read is hash-certified;
+    `semantic_dedup_cells` stays registered as the inline end-to-end
+    certification."""
     from harvester_database_and_automation_spark.pipelines.derived import read_derived
 
     members = read_derived(spark, sf_dir, "semdedup_assign")
