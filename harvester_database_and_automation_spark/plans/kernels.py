@@ -351,19 +351,20 @@ def close_country_majority(spark: SparkSession, sf_dir: str) -> DataFrame:
     majority = votes.filter(F.col("n_votes") >= 3).select("qid", "lang")
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
     strat = (
-        majority.join(docs, majority.qid == docs.doc_id)
+        F.broadcast(majority).join(docs, majority.qid == docs.doc_id)
         .groupBy("source", F.col("lang").alias("origin_lang"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
     )
-    totals = strat.groupBy("source").agg(F.sum("n_docs").alias("total"))
-    return (
-        strat.join(F.broadcast(totals), "source")
-        .select(
-            "source",
-            "origin_lang",
-            "n_docs",
-            F.round(F.col("n_docs") * 1.0 / F.col("total"), 6).alias("share"),
-        )
+    # Share denominator as a window over the GROUPED frame, not a second
+    # aggregate joined back: a groupBy+join would duplicate the whole K3
+    # vote subtree in the plan (two corpus passes); the window reuses the
+    # one strat subtree and partitions a dimension-sized frame.
+    w_tot = Window.partitionBy("source")
+    return strat.select(
+        "source",
+        "origin_lang",
+        "n_docs",
+        F.round(F.col("n_docs") * 1.0 / F.sum("n_docs").over(w_tot), 6).alias("share"),
     )
 
 
