@@ -961,6 +961,284 @@ def lineage_mutation_counts_served(spark: SparkSession, sf_dir: str) -> DataFram
     return t.select("lang", "lineage", "pos", "base", "n_seqs", "share")
 
 
+def _served_muts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The maintained (doc_id, pos, base) mutation triple table — the
+    consensus_sequence_mutation_nucleotide analog every ad-hoc analysis
+    in the reference's sql/ directory queries directly."""
+    from harvester_database_and_automation_spark.pipelines.derived import read_derived
+
+    return read_derived(spark, sf_dir, "mutation_table")
+
+
+@register(
+    "lineage_common_mutations",
+    survey_ref="K1,A8,A5,J5",
+    oracle=f"""
+WITH {_MUTS_CTES},
+cohort AS (
+  SELECT d.doc_id FROM documents d
+  WHERE d.lang = 'de'
+    AND EXISTS (SELECT 1 FROM muts m WHERE m.doc_id = d.doc_id)
+),
+tot AS (SELECT count(*) AS n_cohort FROM cohort)
+SELECT m.pos, m.base,
+       CAST(count(*) AS BIGINT) AS n_seqs,
+       round(count(*) * 1.0 / t.n_cohort, 6) AS proportion
+FROM cohort c
+JOIN muts m ON c.doc_id = m.doc_id
+CROSS JOIN tot t
+GROUP BY m.pos, m.base, t.n_cohort
+HAVING count(*) * 1.0 / t.n_cohort >= 0.2
+""",
+)
+def lineage_common_mutations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The common mutations of a lineage — database/sql/
+    gisaid_mutations.sql:15-34: restrict to the lineage's sequences that
+    HAVE mutation rows (the EXISTS gate), count each (position, base)
+    mutation, and keep those carried by >= 20% of the cohort, with the
+    cohort size as a scalar-subquery denominator (A8).
+
+    Production shape: the mutation triples come from the MAINTAINED
+    `mutation_table` (the reference queries the materialized
+    gisaid_sequence_mutation_nucleotide directly); the cohort size is
+    counted from the SAME joined frame (a doc is in the cohort iff it has
+    >= 1 mutation row, so distinct doc_id over the join IS the EXISTS
+    cohort — no second pass over documents), and the 1-row total
+    broadcasts onto the <= |positions|x4 count frame. The oracle replays
+    the mutation derivation from raw text, keeping the publish + read
+    round-trip hash-certified."""
+    muts = _served_muts(spark, sf_dir)
+    lineage_docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("lang") == "de")
+        .select("doc_id")
+    )
+    joined = muts.join(lineage_docs, "doc_id")
+    tot = joined.agg(F.countDistinct("doc_id").alias("n_cohort"))
+    counts = joined.groupBy("pos", "base").agg(F.count(F.lit(1)).alias("n_raw"))
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .filter(F.col("n_raw") * 1.0 / F.col("n_cohort") >= 0.2)
+        .select(
+            "pos",
+            "base",
+            F.col("n_raw").cast("bigint").alias("n_seqs"),
+            F.round(F.col("n_raw") * 1.0 / F.col("n_cohort"), 6).alias("proportion"),
+        )
+    )
+
+
+# The variant-defining mutation panel of the omicron detector — the
+# (position, base) analog of the S-gene substitution list in
+# database/sql/omicron_analysis.sql:14-19 (phe-genomics variant_definitions).
+_PANEL_DEFS = [(2, "T"), (5, "A"), (9, "A"), (11, "C"), (13, "G"), (17, "T")]
+_PANEL_VALUES_SQL = ", ".join(f"({p}, '{b}')" for p, b in _PANEL_DEFS)
+
+
+@register(
+    "variant_panel_detection",
+    survey_ref="K1,A5,U2,J2,P3",
+    oracle=f"""
+WITH {_MUTS_CTES},
+panel AS (SELECT * FROM (VALUES {_PANEL_VALUES_SQL}) AS p(pos, base)),
+hits AS (
+  SELECT m.doc_id
+  FROM muts m JOIN panel p ON m.pos = p.pos AND m.base = p.base
+  GROUP BY m.doc_id
+  HAVING count(*) >= 2
+),
+detected AS (
+  SELECT doc_id FROM hits
+  UNION
+  SELECT doc_id FROM documents WHERE lang LIKE 'd%'
+)
+SELECT d.doc_id, d.lang, d.source, d.n_chars,
+       CAST(coalesce(s.sz, 0) AS BIGINT) AS n_muts
+FROM detected t
+JOIN documents d ON d.doc_id = t.doc_id
+LEFT JOIN mut_sizes s ON s.doc_id = d.doc_id
+""",
+)
+def variant_panel_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The is-the-new-variant-in-our-data detector — database/sql/
+    omicron_analysis.sql:1-34: sequences carrying >= 2 mutations from a
+    fixed defining panel (IN-list join + HAVING), UNION'd with sequences
+    whose lineage label already matches the variant's pattern (the
+    'B.1.1.529%'/'BA%' LIKE branch, lang here), then enriched back against
+    the master table with a LEFT JOIN to the per-doc mutation load (the
+    nextclade-data hop).
+
+    Scale shape: the panel is a 6-row broadcast VALUES frame, the
+    band-hit HAVING runs as a partial-agg over the panel join's output
+    (rows ∝ panel hits, not corpus), the union dedups doc ids only, and
+    the mutation-load LEFT JOIN aggregates the served `mutation_table`
+    once. Every join is on doc_id — AQE broadcasts the detected set when
+    small and falls back to shuffle when a real outbreak makes it big."""
+    muts = _served_muts(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    panel = spark.createDataFrame(_PANEL_DEFS, "pos int, base string")
+    hits = (
+        muts.join(F.broadcast(panel), ["pos", "base"])
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .filter(F.col("n_hits") >= 2)
+        .select("doc_id")
+    )
+    by_lineage = docs.filter(F.col("lang").like("d%")).select("doc_id")
+    detected = hits.union(by_lineage).distinct()
+    sizes = muts.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    return (
+        detected.join(docs.select("doc_id", "lang", "source", "n_chars"), "doc_id")
+        .join(sizes, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            "n_chars",
+            F.coalesce(F.col("sz"), F.lit(0)).cast("bigint").alias("n_muts"),
+        )
+    )
+
+
+_ALPHA_VALUES_SQL = ", ".join(
+    f"({p}, '{b}')" for v, p, b in _VARIANT_DEFS if v == "ALPHA"
+)
+
+_AGE_BIN_SQL = """CASE
+  WHEN age < 10 THEN '0-9' WHEN age < 20 THEN '10-19' WHEN age < 30 THEN '20-29'
+  WHEN age < 40 THEN '30-39' WHEN age < 50 THEN '40-49' WHEN age < 60 THEN '50-59'
+  WHEN age < 70 THEN '60-69' WHEN age < 80 THEN '70-79' ELSE '80+' END"""
+
+
+@register(
+    "variant_outcome_contingency",
+    survey_ref="K2,J11,A2,P4,J2",
+    oracle=f"""
+WITH {_MUTS_CTES},
+adefs AS (SELECT * FROM (VALUES {_ALPHA_VALUES_SQL}) AS v(pos, base)),
+flags AS (
+  SELECT s.doc_id, coalesce(h.n_hit, 0) >= 0.8 * (SELECT count(*) FROM adefs) AS voc
+  FROM mut_sizes s
+  LEFT JOIN (
+    SELECT m.doc_id, count(*) AS n_hit
+    FROM muts m JOIN adefs a ON m.pos = a.pos AND m.base = a.base
+    GROUP BY m.doc_id
+  ) h ON h.doc_id = s.doc_id
+),
+unique_cs AS (
+  SELECT CAST(floor(d.doc_id / 2) AS BIGINT) AS ethid,
+         min(struct_pack(a := s.sz, b := d.doc_id, c := d.n_chars,
+                         d := d.source, e := f.voc)) AS pick
+  FROM documents d
+  JOIN mut_sizes s ON s.doc_id = d.doc_id
+  JOIN flags f ON f.doc_id = d.doc_id
+  GROUP BY 1
+),
+samples AS (
+  SELECT struct_extract(pick, 'e') AS voc,
+         struct_extract(pick, 'c') >= 150 AS hospitalized,
+         struct_extract(pick, 'd') = 'src3' AS dead,
+         struct_extract(pick, 'c') % 90 AS age
+  FROM unique_cs
+)
+SELECT {_AGE_BIN_SQL} AS age_group,
+       CAST(count(*) AS BIGINT) AS total,
+       CAST(sum(CASE WHEN hospitalized AND voc THEN 1 ELSE 0 END) AS BIGINT)         AS voc_hospitalized,
+       CAST(sum(CASE WHEN NOT hospitalized AND voc THEN 1 ELSE 0 END) AS BIGINT)     AS voc_not_hospitalized,
+       CAST(sum(CASE WHEN hospitalized AND NOT voc THEN 1 ELSE 0 END) AS BIGINT)     AS not_voc_hospitalized,
+       CAST(sum(CASE WHEN NOT hospitalized AND NOT voc THEN 1 ELSE 0 END) AS BIGINT) AS not_voc_not_hospitalized,
+       CAST(sum(CASE WHEN dead AND voc THEN 1 ELSE 0 END) AS BIGINT)                 AS voc_dead,
+       CAST(sum(CASE WHEN NOT dead AND voc THEN 1 ELSE 0 END) AS BIGINT)             AS voc_not_dead,
+       CAST(sum(CASE WHEN dead AND NOT voc THEN 1 ELSE 0 END) AS BIGINT)             AS not_voc_dead,
+       CAST(sum(CASE WHEN NOT dead AND NOT voc THEN 1 ELSE 0 END) AS BIGINT)         AS not_voc_not_dead
+FROM samples
+GROUP BY 1
+""",
+)
+def variant_outcome_contingency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variant-vs-outcome contingency by age band — database/sql/
+    b117_analysis.sql:1-62: flag each sequence as the variant when it
+    carries >= 80% of the variant's defining mutations (the same rule K2
+    certifies, here over the served mutation triples with the panel size
+    as a scalar subquery), dedup to ONE sequence per patient entity
+    keeping the fewest-mutations row with id tie-break (the fewest-Ns
+    NOT-EXISTS argmin of b117_analysis.sql:17-23, expressed as the J11
+    min-struct so no per-entity window or self-join runs), derive the
+    outcome booleans with COALESCE'd defaults, and report the 2x2x2
+    contingency counts per age band via conditional sums.
+
+    Entity/outcome stand-ins (documented, deterministic): patient entity
+    := floor(doc_id / 2) (two sequencing attempts per patient),
+    hospitalized := n_chars >= 150, dead := source = 'src3', age :=
+    n_chars % 90 binned by decade — same expressions both engines.
+
+    Scale shape: the argmin dedup is a single map-side-combinable
+    min-struct aggregation keyed by entity (no window sort, no
+    NOT-EXISTS self-join), the variant flag joins the served
+    `mutation_table` against a 5-row broadcast panel, and the final
+    contingency is a 9-group conditional agg."""
+    muts = _served_muts(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    adefs = spark.createDataFrame(
+        [(p, b) for v, p, b in _VARIANT_DEFS if v == "ALPHA"], "pos int, base string"
+    )
+    n_defs = len([1 for v, _, _ in _VARIANT_DEFS if v == "ALPHA"])
+    hitc = (
+        muts.join(F.broadcast(adefs), ["pos", "base"])
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    sizes = muts.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_mut"))
+    scored = (
+        docs.select("doc_id", "n_chars", "source")
+        .join(sizes, "doc_id", "left")
+        .join(hitc, "doc_id", "left")
+        .select(
+            F.floor(F.col("doc_id") / 2).cast("bigint").alias("ethid"),
+            F.struct(
+                F.coalesce(F.col("n_mut"), F.lit(0)).alias("a"),
+                F.col("doc_id").alias("b"),
+                F.col("n_chars").alias("c"),
+                F.col("source").alias("d"),
+                (F.coalesce(F.col("n_hit"), F.lit(0)) >= 0.8 * n_defs).alias("e"),
+            ).alias("row"),
+        )
+    )
+    picked = scored.groupBy("ethid").agg(F.min("row").alias("pick"))
+    age = F.col("pick.c") % 90
+    samples = picked.select(
+        F.col("pick.e").alias("voc"),
+        (F.col("pick.c") >= 150).alias("hospitalized"),
+        (F.col("pick.d") == "src3").alias("dead"),
+        F.when(age < 10, "0-9")
+        .when(age < 20, "10-19")
+        .when(age < 30, "20-29")
+        .when(age < 40, "30-39")
+        .when(age < 50, "40-49")
+        .when(age < 60, "50-59")
+        .when(age < 70, "60-69")
+        .when(age < 80, "70-79")
+        .otherwise("80+")
+        .alias("age_group"),
+    )
+
+    def cell(cond, name):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("bigint").alias(name)
+
+    voc, hosp, dead = F.col("voc"), F.col("hospitalized"), F.col("dead")
+    return samples.groupBy("age_group").agg(
+        F.count(F.lit(1)).alias("total"),
+        cell(hosp & voc, "voc_hospitalized"),
+        cell(~hosp & voc, "voc_not_hospitalized"),
+        cell(hosp & ~voc, "not_voc_hospitalized"),
+        cell(~hosp & ~voc, "not_voc_not_hospitalized"),
+        cell(dead & voc, "voc_dead"),
+        cell(~dead & voc, "voc_not_dead"),
+        cell(dead & ~voc, "not_voc_dead"),
+        cell(~dead & ~voc, "not_voc_not_dead"),
+    )
+
+
 @register(
     "feed_reconciliation",
     survey_ref="§5.3,J9,P3,A2",
