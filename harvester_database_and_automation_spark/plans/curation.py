@@ -478,12 +478,27 @@ def source_boilerplate_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct runs once per ingest in the LAYER publish, and the oracle
     replays the derivation from raw text so publish + read stays
     hash-certified; every operation here is digest-equality, so the md5
-    projection changes nothing); the document-frequency table is a hash
-    aggregation on (source, digest) — map-side partial agg, no skewed
-    window; the boilerplate set stays (source, digest) pairs and joins
-    back shuffle-on-digest, never touching document text. The 30%
-    threshold compares integers (n_docs_with * 10 >= n_docs * 3) so the
-    gate is float-free."""
+    projection changes nothing). The 30% threshold compares integers
+    (n_docs_with * 10 >= n_docs * 3) so the gate is float-free.
+
+    The oracle states the labeled frame three times (DF table, boiler
+    set, final rollup); a literal translation re-planned the whole
+    scan + doc_id join per consumer (inferred isnotnull filters make the
+    subtrees non-identical, so ReuseExchange never fires — the
+    binned-quantile lesson in PLANS.md: 16 exchanges, three scans of the
+    published index, SHUFFLE_BYTES.json flagged it). Registered form
+    states it ONCE: the per-(source, shingle) document frequency is a
+    COUNT WINDOW over the single shuffled frame rather than a separate
+    aggregate joined back, the boilerplate verdict is then a per-row
+    integer compare against the broadcast source totals, and the only
+    other exchange is the final per-doc rollup — the two shuffles are
+    the algorithm's inherent minimum, and no join of corpus-sized frames
+    remains at all. Window partitions are (source, shingle) groups,
+    bounded by a source's document count, so no single-partition sort
+    appears at any scale. Measured 1.45 s → 1.10 s warm at sf0.1 (and
+    localCheckpoint materialization, the alternative barrier, measured
+    SLOWER than both at this scale: ~100 MB of block writes to save
+    three dictionary-compressed 32 MB scans)."""
     from harvester_database_and_automation_spark.pipelines.derived import read_derived
 
     src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
@@ -494,24 +509,18 @@ def source_boilerplate_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", "shingle")
     )
     src_totals = src.groupBy("source").agg(F.countDistinct("doc_id").alias("n_docs"))
-    df_tab = labeled.groupBy("source", "shingle").agg(F.count(F.lit(1)).alias("n_docs_with"))
-    boiler = (
-        df_tab.join(F.broadcast(src_totals), "source")
-        .filter(F.col("n_docs_with") * 10 >= F.col("n_docs") * 3)
-        .select(F.col("source").alias("b_source"), F.col("shingle").alias("b_shingle"))
+    w = Window.partitionBy("source", "shingle")
+    flagged = (
+        labeled.withColumn("n_docs_with", F.count(F.lit(1)).over(w))
+        .join(F.broadcast(src_totals), "source")
+        .withColumn("is_boiler", F.col("n_docs_with") * 10 >= F.col("n_docs") * 3)
     )
-    return (
-        labeled.join(
-            boiler,
-            (F.col("source") == F.col("b_source")) & (F.col("shingle") == F.col("b_shingle")),
-            "left",
-        )
-        .groupBy("doc_id", "source")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
-            F.count("b_shingle").cast("bigint").alias("n_boiler"),
-            F.round(F.count("b_shingle") * 1.0 / F.count(F.lit(1)), 6).alias("boiler_frac"),
-        )
+    return flagged.groupBy("doc_id", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+        F.sum(F.col("is_boiler").cast("int")).cast("bigint").alias("n_boiler"),
+        F.round(F.sum(F.col("is_boiler").cast("int")) * 1.0 / F.count(F.lit(1)), 6).alias(
+            "boiler_frac"
+        ),
     )
 
 

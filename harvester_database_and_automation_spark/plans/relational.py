@@ -1981,6 +1981,106 @@ def supplier_plate_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# O2/W1 — boolean triage ordering with a group-level contains-flag sort key
+# (database/sql/a_collection_of_intesting_one_time_queries.sql:1-38 — "take
+# a look at the order clause :)").
+# ---------------------------------------------------------------------------
+@register(
+    "plate_triage_order",
+    survey_ref="O2,W1,J1,P5",
+    oracle="""
+WITH sl AS (
+  SELECT l.l_orderkey AS o_orderkey, l.l_linenumber,
+         n.n_name = 'NATION_7' AS sample_is_vs,
+         coalesce(l.l_discount >= CAST(0.1 AS DOUBLE), false) AS comment_flag,
+         o.o_orderdate > TIMESTAMP '1996-04-01' AS plate_is_new
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  WHERE l.l_returnflag = 'R'
+    AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o.o_orderdate <  TIMESTAMP '1996-07-01'
+    AND o.o_orderstatus = 'F'
+),
+fl AS (
+  SELECT *,
+         max(CASE WHEN sample_is_vs THEN 1 ELSE 0 END)
+           OVER (PARTITION BY o_orderkey) = 1 AS plate_contains_vs
+  FROM sl
+)
+SELECT o_orderkey, l_linenumber, sample_is_vs, comment_flag, plate_is_new,
+       plate_contains_vs,
+       row_number() OVER (ORDER BY sample_is_vs DESC, comment_flag DESC,
+                          plate_is_new DESC, plate_contains_vs DESC,
+                          o_orderkey DESC, l_linenumber) AS triage_rank
+FROM fl
+""",
+)
+def plate_triage_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sequencing-triage ordering of database/sql/
+    a_collection_of_intesting_one_time_queries.sql:1-38: a bounded
+    dispatch-window slice of positive samples, ordered entirely by BOOLEAN
+    priority keys — sample-level canton membership, a COALESCE'd comment
+    flag, plate recency, and "the plate CONTAINS a priority sample"
+    (a correlated EXISTS in the reference, promoted here to a group-max
+    window over the plate key so the flag is computed in one pass instead
+    of one subquery probe per row). Lineitems stand in for samples, orders
+    for plates, the supplier's nation for the canton.
+
+    The rank itself is part of the certified OUTPUT (the driver's compare
+    is order-insensitive, so ordering must be materialized to be checked):
+    assigned with operators.ids.assign_global_ids — range-repartition on
+    the sort keys + per-partition offsets — because a bare
+    row_number() OVER (ORDER BY ...) forces the whole slice through one
+    partition (the W1 scale rule; the oracle keeps the single window,
+    DuckDB's problem not ours)."""
+    from harvester_database_and_automation_spark.operators.ids import assign_global_ids
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    sl = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(
+            o.filter(
+                (F.col("o_orderdate") >= _ntz("1996-01-01"))
+                & (F.col("o_orderdate") < _ntz("1996-07-01"))
+                & (F.col("o_orderstatus") == "F")
+            ).select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(s.select("s_suppkey", "s_nationkey"), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n.select("n_nationkey", "n_name")), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            "o_orderkey",
+            "l_linenumber",
+            (F.col("n_name") == "NATION_7").alias("sample_is_vs"),
+            F.coalesce(F.col("l_discount") >= 0.1, F.lit(False)).alias("comment_flag"),
+            (F.col("o_orderdate") > _ntz("1996-04-01")).alias("plate_is_new"),
+        )
+    )
+    plate_w = Window.partitionBy("o_orderkey")
+    fl = sl.withColumn(
+        "plate_contains_vs",
+        F.max(F.col("sample_is_vs").cast("int")).over(plate_w) == 1,
+    )
+    return assign_global_ids(
+        fl,
+        [
+            F.col("sample_is_vs").desc(),
+            F.col("comment_flag").desc(),
+            F.col("plate_is_new").desc(),
+            F.col("plate_contains_vs").desc(),
+            F.col("o_orderkey").desc(),
+            F.col("l_linenumber").asc(),
+        ],
+        id_col="triage_rank",
+    )
+
+
+# ---------------------------------------------------------------------------
 # A6 — GROUPING SETS with grouping_id (rollup/cube's general form).
 # ---------------------------------------------------------------------------
 @register(
