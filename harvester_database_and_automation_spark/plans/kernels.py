@@ -1240,6 +1240,128 @@ def variant_outcome_contingency(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "seq_method_concordance",
+    survey_ref="A4,K2,J5,A2",
+    oracle=f"""
+WITH {_MUTS_CTES},
+defs AS (SELECT * FROM (VALUES {_VARIANT_VALUES_SQL}) AS v(variant, pos, base)),
+calls AS (
+  SELECT s.doc_id, d.variant,
+         sum(CASE WHEN substr(s.seq, d.pos, 1) = d.base THEN 1 ELSE 0 END) AS n_confirmed,
+         count(*) AS n_sites
+  FROM seqs s CROSS JOIN defs d
+  GROUP BY s.doc_id, d.variant
+),
+lineage AS (
+  SELECT doc_id,
+         min(struct_pack(a := -n_confirmed, b := variant))
+           FILTER (WHERE n_confirmed >= 0.8 * n_sites) AS pick
+  FROM calls GROUP BY doc_id
+),
+per_doc AS (
+  SELECT d.doc_id,
+         CAST(floor(d.doc_id / 2) AS BIGINT) AS ethid,
+         CASE WHEN d.doc_id % 2 = 0 THEN 'pacbioNormalized'
+              ELSE 'pacbioNotNormalized' END AS seq_method,
+         coalesce(struct_extract(l.pick, 'b'), 'NONE') AS lineage,
+         s.sz AS n_ins,
+         d.source
+  FROM documents d
+  JOIN mut_sizes s ON s.doc_id = d.doc_id
+  LEFT JOIN lineage l ON l.doc_id = d.doc_id
+),
+cohort AS (SELECT DISTINCT ethid FROM per_doc WHERE source = 'src2')
+SELECT p.ethid,
+       string_agg(p.lineage, ', ' ORDER BY p.seq_method) AS lineage_assignments,
+       string_agg(CAST(p.n_ins AS VARCHAR), ', ' ORDER BY p.seq_method) AS insertions,
+       string_agg(p.seq_method, ', ' ORDER BY p.seq_method) AS seq_methods,
+       CAST(sum(p.n_ins) AS BIGINT) > 0 AS some_method_has_insertion
+FROM per_doc p JOIN cohort c ON c.ethid = p.ethid
+GROUP BY p.ethid
+""",
+)
+def seq_method_concordance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PacBio-vs-Illumina concordance report — database/sql/
+    fgcz_pacbio_experiment.sql:48-95: classify each consensus by its
+    sequencing method, restrict to entities touched by the experiment
+    batch (the pacbio_test view's EXISTS-or-batch cohort), and report one
+    row per patient entity with the per-method lineage assignments and
+    insertion counts as ORDERED string_aggs (ordered by a different
+    column than the aggregated one — A4) plus the
+    some_method_has_insertion boolean flag the experiment was judged by.
+
+    Stand-ins (deterministic, both engines): entity := floor(doc_id/2),
+    method := doc_id parity, lineage := K2's best 80%-rule call ('NONE'
+    when nothing reaches 80%), insertion count := the doc's mutation
+    load from the served `mutation_table`, experiment batch := source
+    'src2'.
+
+    Scale shape: the lineage call reuses the session-shared K2 calls
+    frame (broadcast 10-row definition panel); the EXISTS cohort is a
+    LEFT SEMI against the broadcast batch id list, derived from the raw
+    table rather than from per_doc (a per_doc-derived cohort would state
+    the whole K2 subtree twice — the audit's exchange-storm rule caught
+    that in the first cut); string_aggs are collect_list + array_sort
+    over per-entity groups of exactly two rows, so no group ever exceeds
+    the method count."""
+    muts = _served_muts(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    calls = _variant_calls(spark, sf_dir)
+    lineage = calls.groupBy("doc_id").agg(
+        F.min(
+            F.when(
+                F.col("n_confirmed") >= 0.8 * F.col("n_sites"),
+                F.struct((-F.col("n_confirmed")).alias("a"), F.col("variant").alias("b")),
+            )
+        ).alias("pick")
+    )
+    sizes = muts.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_mut"))
+    per_doc = (
+        docs.select("doc_id", "source")
+        .join(sizes, "doc_id", "left")
+        .join(lineage, "doc_id", "left")
+        .select(
+            F.floor(F.col("doc_id") / 2).cast("bigint").alias("ethid"),
+            F.when(F.col("doc_id") % 2 == 0, "pacbioNormalized")
+            .otherwise("pacbioNotNormalized")
+            .alias("seq_method"),
+            F.coalesce(F.col("pick.b"), F.lit("NONE")).alias("lineage"),
+            F.coalesce(F.col("n_mut"), F.lit(0)).alias("n_ins"),
+            "source",
+        )
+    )
+    # The cohort predicate touches only (doc_id, source): derive it from
+    # the raw table, NOT from per_doc — a per_doc-derived cohort states
+    # the whole K2 calls/lineage subtree a second time and Catalyst plans
+    # it twice (the audit's exchange-storm flag caught exactly that). The
+    # EXISTS lands as a LEFT SEMI against the raw id list (no distinct
+    # aggregation needed — semi ignores duplicates by definition), with
+    # the batch-sized cohort broadcast like the reference's subquery.
+    cohort = docs.filter(F.col("source") == "src2").select(
+        F.floor(F.col("doc_id") / 2).cast("bigint").alias("c_ethid")
+    )
+    def agg_by_method(col):
+        return F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("seq_method").alias("k"), col.alias("v")))),
+                lambda s: s["v"],
+            ),
+            ", ",
+        )
+
+    return (
+        per_doc.join(F.broadcast(cohort), F.col("ethid") == F.col("c_ethid"), "left_semi")
+        .groupBy("ethid")
+        .agg(
+            agg_by_method(F.col("lineage")).alias("lineage_assignments"),
+            agg_by_method(F.col("n_ins").cast("string")).alias("insertions"),
+            agg_by_method(F.col("seq_method")).alias("seq_methods"),
+            (F.sum("n_ins") > 0).alias("some_method_has_insertion"),
+        )
+    )
+
+
+@register(
     "feed_reconciliation",
     survey_ref="§5.3,J9,P3,A2",
     oracle=f"""

@@ -102,6 +102,15 @@ def audit_one(spark, name: str, sf_dir: str) -> list[str]:
     if "CartesianProduct" in nodes:
         flags.append("cartesian")
     n_exchange = sum(1 for n in nodes if n == "Exchange")
+    # Spark injects runtime bloom-filter subqueries on selective joins
+    # (spark.sql.optimizer.runtimeFilter): the ~1 MB filter assembles
+    # through a SinglePartition Exchange of per-partition buffers — an
+    # optimization artifact that lets probe rows die map-side, not a data
+    # shuffle. Discount those subqueries' exchanges, the same exemption
+    # the single-partition-window rule makes for the same machinery.
+    for blk in re.split(r"^Subquery:\d+ ", plan, flags=re.MULTILINE)[1:]:
+        if "bloom_filter_agg" in blk:
+            n_exchange -= sum(1 for n in node_headers(blk) if n == "Exchange")
     if n_exchange > 6:
         flags.append(f"exchange-storm({n_exchange})")
     # Window over unpartitioned data: a windowspecdefinition whose FIRST
