@@ -339,3 +339,48 @@ def test_served_reads_prune_partitions(spark):
         assert m, f"{table}: {col} predicate did not reach PartitionFilters:\n{plan[:2000]}"
         # and the data filters must NOT re-apply it as a row filter
         assert not re.search(rf"PushedFilters: \[[^\]]*{col}", plan), table
+
+
+def test_boilerplate_frame_states_subtree_once(spark):
+    """source_boilerplate_fraction computes the per-source document
+    frequency as a WINDOW over the single labeled frame (PLANS.md: the
+    aggregate-joined-back form planned the scan + doc_id join three
+    times — 16 exchanges, caught by the shuffle-BYTE audit). Lock in:
+    one scan of the published shingle index, no SortMergeJoin of
+    corpus-sized frames, and an exchange count at the algorithm's
+    inherent minimum."""
+    plan = fmt_plan(spark, "source_boilerplate_fraction")
+    shingle_scans = len(re.findall(r"shingle_index", plan))
+    # one Scan parquet over the published table (the name appears in the
+    # scan's Location line; details repeat it once more)
+    assert shingle_scans <= 2, f"shingle_index scanned more than once:\n{plan[:1500]}"
+    assert count_nodes(plan, "Window") == 1
+    assert count_nodes(plan, "Exchange") <= 6, plan[:1500]
+
+
+def test_triage_rank_has_no_global_window(spark):
+    """plate_triage_order certifies its ordering via the distributed id
+    path (range repartition + per-partition offsets) — the plan must not
+    contain a window at all (the oracle's row_number() OVER (ORDER BY)
+    is DuckDB's single-threaded problem, not ours), and the group-level
+    contains-flag window must be partitioned by the plate key."""
+    plan = fmt_plan(spark, "plate_triage_order")
+    # The rank column arrives via assign_global_ids (executed eagerly:
+    # the returned frame is an RDD scan) — a regression back to
+    # row_number().over(Window.orderBy(...)) would surface as a global
+    # windowspecdefinition here instead.
+    assert "windowspecdefinition" not in plan, plan[:1200]
+    assert "Scan ExistingRDD" in plan, plan[:1200]
+
+
+def test_concordance_cohort_is_semi_not_subtree(spark):
+    """seq_method_concordance's EXISTS cohort must be a broadcast LEFT
+    SEMI against the raw id list — the first cut derived the cohort from
+    the enriched per_doc frame and Catalyst planned the whole K2
+    calls/lineage subtree twice (exchange-storm flagged)."""
+    plan = fmt_plan(spark, "seq_method_concordance")
+    assert re.search(r"BroadcastHashJoin.*LeftSemi|LeftSemi.*BroadcastHashJoin", plan) or (
+        "LeftSemi" in plan and "BroadcastExchange" in plan
+    ), plan[:1200]
+    # the variant-calls hub must appear once, not per consumer
+    assert len(re.findall(r"InMemoryRelation", plan)) <= 2, plan[:1200]
