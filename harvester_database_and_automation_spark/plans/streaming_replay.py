@@ -396,3 +396,108 @@ def streaming_upsert_publish_replay(spark: SparkSession, sf_dir: str) -> DataFra
     return read_published(spark, table).select(
         "user_id", "etype", F.col("cents").cast("bigint").alias("cents")
     )
+
+
+@register(
+    "streaming_session_window_replay",
+    survey_ref="streaming-state,streaming-watermark,W2,A1",
+    oracle="""
+WITH ev AS (
+  SELECT datediff('second', TIMESTAMP '2024-01-01', ts) AS s, user_id,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents, event_id
+  FROM events
+),
+g AS (
+  SELECT *, CASE WHEN lag(s) OVER w IS NULL OR s - lag(s) OVER w > 1800
+                 THEN 1 ELSE 0 END AS ns
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY s, event_id)
+),
+sess AS (
+  SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY s, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM g
+),
+agg AS (
+  SELECT user_id,
+         CAST(min(s) AS BIGINT)        AS start_s,
+         CAST(max(s) + 1800 AS BIGINT) AS end_s,
+         CAST(count(*) AS BIGINT)      AS n_events,
+         CAST(sum(cents) AS BIGINT)    AS total_cents
+  FROM sess GROUP BY user_id, sid
+),
+wm AS (SELECT max(s) - 7200 AS w FROM ev)
+SELECT start_s, end_s, user_id, n_events, total_cents
+FROM agg, wm WHERE end_s <= w
+""",
+)
+def streaming_session_window_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based SESSION windows through a real two-micro-batch stream
+    (`streaming/windows.py::session_windowed_counts`,
+    ``F.session_window`` + watermark): batch 0 is the first ~15 days of
+    events, batch 1 the rest — every session that STRADDLES the split
+    must merge with the open-session state persisted in the checkpoint
+    from batch 0, so the value hash certifies the session-merge state
+    round-trip, not just the gap logic. The oracle states the same
+    semantics relationally (the islands pattern: lag + cumulative sum,
+    the batch twin `event_sessionization` uses identically), with both
+    engine boundary rules pinned EMPIRICALLY on synthetic edge rows:
+    an event exactly ``gap`` after its predecessor CONTINUES the session
+    (strict ``>`` starts a new one — session_window merges on
+    next_start < current_end), and append mode emits a session whose
+    end equals the final watermark (``end_s <= w``, same rule the
+    tumbling-window replay measured). Sessions ending inside the
+    trailing 2 h stay open and unemitted at stream end, exactly like
+    the reference's poll-loop imports leave the current batch pending.
+
+    Scale shape: state is one open session per (user, gap-island),
+    evicted at the watermark; corpus-sized exchanges ship (user, s,
+    cents) triples; the spool is Spark-written (coalesce + rename) — no
+    driver-side collection at any corpus size. The event-time column
+    travels as INTEGER seconds and converts via ``timestamp_seconds``
+    (withWatermark requires TIMESTAMP); session bounds come back out as
+    integer seconds via ``unix_timestamp``, so no timezone rendering
+    touches the contract under any driver session TZ."""
+    from harvester_database_and_automation_spark.streaming.windows import (
+        session_windowed_counts,
+    )
+
+    epoch_2024 = 1_704_067_200  # 2024-01-01T00:00:00Z
+    e = load_table(spark, sf_dir, "events").select(
+        F.expr("timestampdiff(SECOND, TIMESTAMP_NTZ'2024-01-01 00:00:00', ts)")
+        .cast("long")
+        .alias("s"),
+        "user_id",
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    b0 = e.filter(F.col("s") < 1_296_000)
+    b1 = e.filter(F.col("s") >= 1_296_000)
+
+    root = tempfile.mkdtemp(prefix="session_replay_")
+    feed = _spool_batches(spark, root, [b0, b1])
+    stream = (
+        spark.readStream.schema("s long, user_id long, cents long")
+        .option("maxFilesPerTrigger", 1)
+        .json(feed)
+        .withColumn("ts", F.timestamp_seconds(F.col("s") + epoch_2024))
+    )
+    agg = session_windowed_counts(
+        stream, ts_col="ts", key_col="user_id", gap="30 minutes",
+        watermark="2 hours", value_col="cents",
+    )
+    out = os.path.join(root, "sessions")
+    q = (
+        agg.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out).select(
+        (F.unix_timestamp("session_start") - epoch_2024).cast("bigint").alias("start_s"),
+        (F.unix_timestamp("session_end") - epoch_2024).cast("bigint").alias("end_s"),
+        "user_id",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.col("total_value").cast("bigint").alias("total_cents"),
+    )
