@@ -501,3 +501,86 @@ def streaming_session_window_replay(spark: SparkSession, sf_dir: str) -> DataFra
         F.col("n_events").cast("bigint").alias("n_events"),
         F.col("total_value").cast("bigint").alias("total_cents"),
     )
+
+
+@register(
+    "streaming_stateful_ledger_replay",
+    survey_ref="streaming-state,M6,A1",
+    oracle="""
+WITH ev AS (
+  SELECT user_id, datediff('second', TIMESTAMP '2024-01-01', ts) AS s
+  FROM events
+),
+c AS (
+  SELECT user_id,
+         sum(CASE WHEN s < 1296000 THEN 1 ELSE 0 END) AS n0,
+         sum(CASE WHEN s >= 1296000 THEN 1 ELSE 0 END) AS n1
+  FROM ev GROUP BY user_id
+)
+SELECT CAST(user_id AS VARCHAR) AS key,
+       CAST(n0 AS BIGINT) AS total_seen,
+       CAST(n0 AS BIGINT) AS new_in_batch
+FROM c WHERE n0 > 0
+UNION ALL
+SELECT CAST(user_id AS VARCHAR),
+       CAST(n0 + n1 AS BIGINT),
+       CAST(n1 AS BIGINT)
+FROM c WHERE n1 > 0
+""",
+)
+def streaming_stateful_ledger_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CUSTOM stateful operator (`streaming/stateful.py::
+    running_dedup_counts`, ``applyInPandasWithState``) as driver-hash
+    evidence — previously pytest-only, the last §2.11 family without a
+    green driver row. Two micro-batches of events keyed by user flow
+    through the per-key running ledger (the reference's
+    process-new-remember-progress loops, import_nextclade.R:197-209 /
+    OriginCountryEstimator.java:189-209): batch 1's ``total_seen`` must
+    equal batch 0's checkpointed total plus the increment, so the value
+    hash certifies the GroupState round-trip arithmetic itself. Update
+    mode emits one row per touched key per batch; parquet doesn't
+    support update sinks, so the stream lands through ``foreachBatch``
+    append — exactly the ledger shape a production incremental job
+    writes. The oracle states both emissions relationally from the
+    batch-range counts.
+
+    Scale shape: state is ONE bigint per key sharded across the state
+    store; each micro-batch shuffles only (key) rows into their state
+    partitions; Arrow-batched pandas transport (the applyInPandasWithState
+    contract), no driver-side collection — the spool is Spark-written."""
+    from harvester_database_and_automation_spark.streaming.stateful import (
+        running_dedup_counts,
+    )
+
+    e = load_table(spark, sf_dir, "events").select(
+        F.expr("timestampdiff(SECOND, TIMESTAMP_NTZ'2024-01-01 00:00:00', ts)")
+        .cast("long")
+        .alias("s"),
+        F.col("user_id").cast("string").alias("key"),
+    )
+    b0 = e.filter(F.col("s") < 1_296_000).select("key")
+    b1 = e.filter(F.col("s") >= 1_296_000).select("key")
+
+    root = tempfile.mkdtemp(prefix="ledger_replay_")
+    feed = _spool_batches(spark, root, [b0, b1])
+    stream = (
+        spark.readStream.schema("key string")
+        .option("maxFilesPerTrigger", 1)
+        .json(feed)
+    )
+    out = os.path.join(root, "ledger")
+    os.makedirs(out)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out)
+
+    q = (
+        running_dedup_counts(stream, key_col="key")
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out).select("key", "total_seen", "new_in_batch")
