@@ -118,7 +118,13 @@ def _spool_batches(spark: SparkSession, root: str, batches) -> str:
     os.makedirs(feed)
     for i, df in enumerate(batches):
         stage = os.path.join(root, f"stage_{i}")
-        df.coalesce(1).write.json(stage)
+        # repartition(1), not coalesce(1): coalesce collapses the whole
+        # upstream scan+derivation into the single writer task (measured
+        # 3.6x on the 100x step for the CMS sink); repartition computes
+        # upstream at full parallelism and ships only the batch rows to
+        # one writer. Row order within the file is immaterial — every
+        # replay's state contract is order-independent within a batch.
+        df.repartition(1).write.json(stage)
         part = glob.glob(os.path.join(stage, "part-*"))[0]
         dst = os.path.join(feed, f"batch_{i}.json")
         shutil.move(part, dst)
@@ -584,3 +590,106 @@ def streaming_stateful_ledger_replay(spark: SparkSession, sf_dir: str) -> DataFr
     )
     q.awaitTermination()
     return spark.read.parquet(out).select("key", "total_seen", "new_in_batch")
+
+
+def _cms_replay_oracle() -> str:
+    from harvester_database_and_automation_spark.plans.text import _split_md5_sql
+
+    return f"""
+WITH keys AS (SELECT event_type AS k FROM events),
+truth AS (SELECT k, count(*) AS true_count FROM keys GROUP BY k),
+kh AS ({_split_md5_sql("k", cols="", src="keys")}),
+cells AS (
+  SELECT j, (h1 + j * h2) % 1024 AS pos, count(*) AS c
+  FROM kh CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS j)
+  GROUP BY 1, 2
+),
+ph AS ({_split_md5_sql("k", cols="true_count,", src="truth")}),
+est AS (
+  SELECT k, true_count, min(COALESCE(c.c, 0)) AS cms_estimate
+  FROM (
+    SELECT k, true_count, j, (h1 + j * h2) % 1024 AS pos
+    FROM ph CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS j)
+  ) q
+  LEFT JOIN cells c ON c.j = q.j AND c.pos = q.pos
+  GROUP BY k, true_count
+)
+SELECT k AS event_type,
+       CAST(true_count AS BIGINT)                AS true_count,
+       CAST(cms_estimate AS BIGINT)              AS cms_estimate,
+       CAST(cms_estimate - true_count AS BIGINT) AS overcount
+FROM est
+"""
+
+
+@register(
+    "streaming_cms_sink_replay",
+    survey_ref="streaming-state,sketch-frequency,M4,A1",
+    oracle=_cms_replay_oracle(),
+)
+def streaming_cms_sink_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming SKETCH SINK as driver-hash evidence (previously
+    pytest-only): two micro-batches of event keys flow through
+    `streaming/sketch_sink.py::stream_cms_into_published` — each batch
+    sketches ONLY its own rows into a (4 x 1024) Count-Min delta grid and
+    the published table advances prior ⊕ delta through the versioned
+    atomic pointer (exactly-once: the producing batch id publishes with
+    the grid). The final published grid must be CELL-IDENTICAL to a
+    single-shot sketch of all rows (sketch mergeability is exact integer
+    algebra), so estimating every event type from the published grid and
+    hash-comparing against the oracle's single-shot grid certifies the
+    merge loop, the idempotence metadata, and the publish protocol in
+    one row set. The frequency-monitoring shape of the reference's
+    per-ingest refresh cadence (refreshes.sql) — the summary stays
+    current without ever rescanning the accumulated corpus.
+
+    Scale shape: per batch, the raw key stream reduces map-side to
+    <= 4096 (j, pos, c) cells; the published grid is KB-sized; the merge
+    is a groupBy over <= 2*4096 rows. No corpus-sized state anywhere."""
+    from pyspark.sql import types as T
+
+    from harvester_database_and_automation_spark.operators.publish import read_published
+    from harvester_database_and_automation_spark.operators.sketches import (
+        count_min_estimate,
+    )
+    from harvester_database_and_automation_spark.streaming.sketch_sink import (
+        stream_cms_into_published,
+    )
+
+    e = load_table(spark, sf_dir, "events").select(
+        F.expr("timestampdiff(SECOND, TIMESTAMP_NTZ'2024-01-01 00:00:00', ts)")
+        .cast("long")
+        .alias("s"),
+        F.col("event_type").alias("k"),
+    )
+    b0 = e.filter(F.col("s") < 1_296_000).select("k")
+    b1 = e.filter(F.col("s") >= 1_296_000).select("k")
+
+    root = tempfile.mkdtemp(prefix="cms_sink_replay_")
+    feed = _spool_batches(spark, root, [b0, b1])
+    table_dir = os.path.join(root, "cms_table")
+    stream_cms_into_published(
+        spark,
+        feed,
+        T.StructType([T.StructField("k", T.StringType())]),
+        checkpoint_dir=os.path.join(root, "ckpt"),
+        table_dir=table_dir,
+        col="k",
+        width=1024,
+        depth=4,
+        fmt="json",
+        reader_options={"maxFilesPerTrigger": "1"},
+    )
+    cells = read_published(spark, table_dir)
+    truth = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.col("event_type").alias("k"))
+        .agg(F.count(F.lit(1)).alias("true_count"))
+    )
+    est = count_min_estimate(cells, truth, "k", width=1024, depth=4)
+    return est.select(
+        F.col("k").alias("event_type"),
+        F.col("true_count").cast("bigint").alias("true_count"),
+        F.col("cms_estimate").cast("bigint").alias("cms_estimate"),
+        (F.col("cms_estimate") - F.col("true_count")).cast("bigint").alias("overcount"),
+    )

@@ -81,6 +81,14 @@ def stream_cms_into_published(
         meta = published_metadata(table_dir)
         if meta and batch_id <= meta.get("batch_id", -1):
             return  # replay after a publish/checkpoint race — already merged
+        # A micro-batch of one small file arrives as ONE input partition,
+        # which would serialize the whole sketch map work in a single
+        # task (the single-file-scan gotcha). Production batches arrive
+        # as many files and skip this; a narrow batch pays one fan-out
+        # shuffle of its raw keys to buy full-parallel sketching.
+        par = batch_df.sparkSession.sparkContext.defaultParallelism
+        if batch_df.rdd.getNumPartitions() < min(4, par):
+            batch_df = batch_df.repartition(par)
         delta = count_min_cells(batch_df, col, width, depth)
         if current_version(table_dir) is not None:
             prior = read_published(batch_df.sparkSession, table_dir)
