@@ -868,3 +868,85 @@ def neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("a_h") / F.col("a_tot"), 6).alias("share"),
         F.floor(F.col("a_h") / F.col("a_tot") * 1000 + 0.5).cast("bigint").alias("n_alloc"),
     )
+
+
+@register(
+    "release_qc_report",
+    survey_ref="W4,P4,A7,A1,pipeline-release",
+    oracle="""
+WITH annotated AS (
+  SELECT doc_id, source, lang, n_chars,
+         row_number() OVER (PARTITION BY floor(doc_id / 2)
+                            ORDER BY n_chars, doc_id) AS duplicate_idx
+  FROM documents
+),
+reasons AS (
+  SELECT source,
+         CASE WHEN n_chars < 150 THEN 'too_short'
+              WHEN duplicate_idx >= 2 THEN 'duplicate'
+              WHEN lang NOT IN ('en', 'de', 'fr', 'es') THEN 'unsupported_lang'
+              ELSE 'release' END AS reason
+  FROM annotated
+),
+report AS (SELECT source, reason, count(*) AS n FROM reasons GROUP BY 1, 2),
+tot AS (SELECT source, sum(n) AS n_total FROM report GROUP BY source),
+rel AS (SELECT source, n AS n_released FROM report WHERE reason = 'release')
+SELECT r.source, r.reason, CAST(r.n AS BIGINT) AS n,
+       round(r.n * 1.0 / t.n_total, 6) AS frac_batch,
+       coalesce(rl.n_released, 0) * 1.0 / t.n_total < 0.8 AS suspicious
+FROM report r
+JOIN tot t ON t.source = r.source
+LEFT JOIN rel rl ON rl.source = r.source
+""",
+)
+def release_qc_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The release rule-cascade's QC report as driver-hash evidence —
+    `pipelines/release.py::build_release_plan` (the SPSP submission
+    pipeline core, database/R/export_spsp_submission.R:142-375) was
+    previously pytest-only. Per-key window dedup (fewest-chars-best with
+    id tie-break — the W4 group-ranked index), an ordered first-match
+    rule cascade (too-short, worse-duplicate, unsupported language,
+    else release — exactly one reason per row, as case_when does), the
+    per-batch rollup with frac_batch (the aggregate-of-aggregate share,
+    :308-329), and the <80%-release suspicious-batch alert (:335-375)
+    carried as a per-batch boolean.
+
+    Stand-ins (deterministic): sample key := floor(doc_id/2) (duplicate
+    pairs), quality := n_chars, batch := source.
+
+    Scale shape: the dedup window partitions by sample key (groups of
+    ~2, never a global sort); the cascade is one codegen'd CASE; the
+    report is a dimension-sized aggregate and every join after it is
+    dimension-sized."""
+    from harvester_database_and_automation_spark.pipelines.release import (
+        REASON_RELEASE,
+        build_release_plan,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "k", F.floor(F.col("doc_id") / 2).cast("bigint")
+    )
+    rules = [
+        ("too_short", F.col("n_chars") < 150),
+        ("duplicate", F.col("duplicate_idx") >= 2),
+        ("unsupported_lang", ~F.col("lang").isin("en", "de", "fr", "es")),
+    ]
+    _, report = build_release_plan(
+        docs, key_col="k", quality_col="n_chars", batch_col="source",
+        rules=rules, tiebreak_col="doc_id",
+    )
+    # The alert is a SHARE over the already-grouped dimension-sized
+    # report — a window, not aggregate-joins (a tot/released join pair
+    # stated the report subtree three times; the audit's exchange-storm
+    # rule caught it, the close_country_majority lesson exactly).
+    wb = Window.partitionBy("source")
+    release_rate = F.sum(
+        F.when(F.col("reason") == REASON_RELEASE, F.col("frac_batch")).otherwise(0.0)
+    ).over(wb)
+    return report.select(
+        "source",
+        "reason",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(F.col("frac_batch"), 6).alias("frac_batch"),
+        (release_rate < 0.8).alias("suspicious"),
+    )
