@@ -111,6 +111,48 @@ def classify_changes(
     return classified.unionByName(deletes, allowMissingColumns=True)
 
 
+def update_from(
+    current: DataFrame,
+    source: DataFrame,
+    keys: Sequence[str],
+    set_cols: Sequence[str],
+) -> DataFrame:
+    """M5 — SQL ``UPDATE current SET col = source.col FROM source WHERE
+    keys match`` (the reference flips flags from an inline VALUES frame,
+    database/sql/viollier_test.sql:98-112).
+
+    Unlike :func:`merge_upsert`: unmatched SOURCE rows are dropped (an
+    UPDATE never inserts), unmatched current rows are untouched, and only
+    ``set_cols`` change — every other column survives verbatim. Source
+    keys must be unique (SQL UPDATE..FROM semantics are undefined on
+    duplicate matches; we enforce instead of silently duplicating rows).
+
+    Scale shape: the updates frame is typically tiny (an inline VALUES
+    list / a day's worth of corrections), so the join broadcasts and the
+    big table never shuffles.
+    """
+    missing = [c for c in set_cols if c not in source.columns]
+    if missing:
+        raise ValueError(f"set_cols absent from source: {missing}")
+    dups = source.groupBy(*keys).count().filter(F.col("count") > 1)
+    if dups.take(1):
+        raise ValueError(f"update_from source has duplicate keys: {dups.take(3)}")
+    src = source.select(*keys, *set_cols).withColumn("_upd", F.lit(True)).alias("upd")
+    cur = current.alias("cur")
+    joined = cur.join(F.broadcast(src), on=list(keys), how="left")
+    take_upd = F.col("upd._upd").isNotNull()
+    return joined.select(
+        *[F.col(k) for k in keys],
+        *[
+            F.when(take_upd, F.col(f"upd.{c}")).otherwise(F.col(f"cur.{c}")).alias(c)
+            if c in set_cols
+            else F.col(f"cur.{c}").alias(c)
+            for c in current.columns
+            if c not in keys
+        ],
+    )
+
+
 def apply_deletes(current: DataFrame, tombstones: DataFrame, keys: Sequence[str]) -> DataFrame:
     """M3 — drop rows whose keys appear in ``tombstones`` (anti-join)."""
     return current.join(tombstones.select(*keys).distinct(), on=list(keys), how="left_anti")

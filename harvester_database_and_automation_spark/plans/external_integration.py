@@ -356,6 +356,87 @@ def erasure_publish_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "values_flag_update",
+    survey_ref="M5,M4,J10",
+    oracle="""
+WITH plates AS (
+  SELECT CAST(s_suppkey AS BIGINT) AS sample_number,
+         'PLATE_' || CAST(s_suppkey % 23 AS VARCHAR) AS plate_name,
+         chr(65 + CAST(s_suppkey % 8 AS INT)) || CAST(s_suppkey % 12 + 1 AS VARCHAR)
+           AS well_position,
+         s_name
+  FROM supplier
+),
+vals AS (
+  SELECT * FROM (VALUES ('PLATE_1','B2'), ('PLATE_3','D4'), ('PLATE_7','H8'),
+                        ('PLATE_99','Z9'))
+           AS t(plate_name, well_position)
+)
+SELECT p.sample_number, p.plate_name, p.well_position, p.s_name,
+       EXISTS(SELECT 1 FROM vals v
+              WHERE v.plate_name = p.plate_name
+                AND v.well_position = p.well_position) AS seq_request
+FROM plates p
+""",
+)
+def values_flag_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M5 — UPDATE from an inline VALUES frame, driver-hash-certified
+    THROUGH the write path: the reference flips ``seq_request = TRUE`` on
+    the (plate, well) pairs listed literally in the script
+    (database/sql/viollier_test.sql:98-112). Here: publish the plate
+    table (version 1, flag false everywhere), run
+    ``operators/merge.update_from`` with a 4-row in-memory VALUES frame,
+    republish (version 2), and read the published table back.
+
+    The VALUES list includes ('PLATE_99','Z9'), which matches no plate —
+    certifying UPDATE (never insert) semantics: the oracle's EXISTS
+    yields the same row count as the source table, so a spurious insert
+    breaks both the row count and the hash. Multiple samples can share a
+    (plate, well) key at larger SFs (suppkey mod-cycle 552) — UPDATE
+    flags them all, matching SQL UPDATE..FROM.
+
+    Scale shape: the VALUES frame is broadcast, so the fact table never
+    shuffles; publish is an atomic directory swap (M4)."""
+    import tempfile
+
+    from harvester_database_and_automation_spark.operators.merge import update_from
+    from harvester_database_and_automation_spark.operators.publish import (
+        publish_versioned,
+        read_published,
+    )
+
+    s = load_table(spark, sf_dir, "supplier")
+    plates = s.select(
+        F.col("s_suppkey").cast("bigint").alias("sample_number"),
+        F.concat(F.lit("PLATE_"), (F.col("s_suppkey") % 23).cast("string")).alias("plate_name"),
+        F.concat(
+            F.char(F.lit(65) + (F.col("s_suppkey") % 8).cast("int")),
+            (F.col("s_suppkey") % 12 + 1).cast("string"),
+        ).alias("well_position"),
+        "s_name",
+        F.lit(False).alias("seq_request"),
+    )
+    table = tempfile.mkdtemp(prefix="values_upd_") + "/plates"
+    publish_versioned(plates, table)
+
+    vals = spark.createDataFrame(
+        [("PLATE_1", "B2"), ("PLATE_3", "D4"), ("PLATE_7", "H8"), ("PLATE_99", "Z9")],
+        "plate_name string, well_position string",
+    ).withColumn("seq_request", F.lit(True))
+    updated = update_from(
+        read_published(spark, table),
+        vals,
+        keys=["plate_name", "well_position"],
+        set_cols=["seq_request"],
+    )
+    publish_versioned(updated, table)
+
+    return read_published(spark, table).select(
+        "sample_number", "plate_name", "well_position", "s_name", "seq_request"
+    )
+
+
+@register(
     "http_fetch_roundtrip",
     survey_ref="S6,source-roundtrip",
     oracle="""

@@ -92,6 +92,68 @@ def node_headers(plan: str) -> list[str]:
     return re.findall(r"^\(\d+\) (\S+)", plan, flags=re.MULTILINE)
 
 
+def superseded_ids(plan: str) -> set[int]:
+    """Node ids that appear ONLY inside an AQE ``== Initial Plan ==``
+    tree section.
+
+    When a cached/adaptive subplan has already executed (e.g. a
+    session-shared persisted frame that some earlier query materialized),
+    formatted explain prints it TWICE — ``== Final Plan ==`` then the
+    superseded ``== Initial Plan ==``. Counting the Initial copy
+    double-counts exchanges that AQE replaced at runtime, which made the
+    exchange-storm gate depend on whether the shared frame happened to be
+    materialized before this query was explained — clean standalone,
+    flagged mid-sweep. Ids shared with live sections (the engine reuses
+    node numbers across the two copies for common subtrees) stay counted.
+    """
+    kept: set[int] = set()
+    skipped: set[int] = set()
+    skip_col: int | None = None
+    in_tree = True  # the plan tree precedes the per-node detail blocks
+    for line in plan.splitlines():
+        if re.match(r"^\(\d+\) ", line):  # first detail header ends the tree
+            in_tree = False
+            skip_col = None
+        elif re.match(r"^Subquery:\d+ ", line):  # each subquery restarts one
+            in_tree = True
+        if not in_tree:
+            continue
+        col = len(line) - len(line.lstrip(" :+-"))
+        ids = {int(x) for x in re.findall(r"\((\d+)\)$|\((\d+)\), Statistics", line) for x in x if x}
+        if skip_col is not None and col >= skip_col:
+            skipped |= ids
+            continue
+        skip_col = None
+        if "== Initial Plan ==" in line:
+            skip_col = col
+        else:
+            kept |= ids
+    return skipped - kept
+
+
+def count_exchanges(plan: str) -> int:
+    """Count data-shuffling Exchange nodes once each.
+
+    Excludes (a) superseded ``== Initial Plan ==`` copies and (b)
+    SinglePartition exchanges assembling Spark's injected runtime
+    bloom-filter subqueries (spark.sql.optimizer.runtimeFilter) — a ~1 MB
+    buffer merge that lets probe rows die map-side, not a data shuffle.
+    Only the bloom block's own SinglePartition assembly is discounted; a
+    genuine data-shuffling Exchange inside such a subquery still counts.
+    """
+    dead = superseded_ids(plan)
+    headers = re.findall(r"^\((\d+)\) (\S+)", plan, flags=re.MULTILINE)
+    n = sum(1 for i, name in headers if name == "Exchange" and int(i) not in dead)
+    for blk in re.split(r"^Subquery:\d+ ", plan, flags=re.MULTILINE)[1:]:
+        if "bloom_filter_agg" not in blk:
+            continue
+        for chunk in blk.split("\n\n"):
+            m = re.match(r"^\((\d+)\) Exchange", chunk)
+            if m and "SinglePartition" in chunk and int(m.group(1)) not in dead:
+                n -= 1
+    return n
+
+
 def audit_one(spark, name: str, sf_dir: str) -> list[str]:
     df = QUERIES[name].fn(spark, sf_dir)
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
@@ -101,16 +163,7 @@ def audit_one(spark, name: str, sf_dir: str) -> list[str]:
 
     if "CartesianProduct" in nodes:
         flags.append("cartesian")
-    n_exchange = sum(1 for n in nodes if n == "Exchange")
-    # Spark injects runtime bloom-filter subqueries on selective joins
-    # (spark.sql.optimizer.runtimeFilter): the ~1 MB filter assembles
-    # through a SinglePartition Exchange of per-partition buffers — an
-    # optimization artifact that lets probe rows die map-side, not a data
-    # shuffle. Discount those subqueries' exchanges, the same exemption
-    # the single-partition-window rule makes for the same machinery.
-    for blk in re.split(r"^Subquery:\d+ ", plan, flags=re.MULTILINE)[1:]:
-        if "bloom_filter_agg" in blk:
-            n_exchange -= sum(1 for n in node_headers(blk) if n == "Exchange")
+    n_exchange = count_exchanges(plan)
     if n_exchange > 6:
         flags.append(f"exchange-storm({n_exchange})")
     # Window over unpartitioned data: a windowspecdefinition whose FIRST

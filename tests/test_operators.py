@@ -15,7 +15,7 @@ from harvester_database_and_automation_spark.operators import (
     publish_versioned,
     read_published,
 )
-from harvester_database_and_automation_spark.operators.merge import erase_columns
+from harvester_database_and_automation_spark.operators.merge import erase_columns, update_from
 from harvester_database_and_automation_spark.operators.publish import vacuum
 
 SCHEMA = "id int, meta string, seq string"
@@ -43,6 +43,36 @@ def test_merge_upsert_schema_mismatch(spark, current):
     bad = spark.createDataFrame([(1, "x")], "id int, meta string")
     with pytest.raises(ValueError, match="schema mismatch"):
         merge_upsert(current, bad, ["id"])
+
+
+def test_update_from_sets_only_listed_columns(spark, current):
+    src = spark.createDataFrame(
+        [(2, "m2-upd", "ZZZ"), (9, "m9", "TTT")], SCHEMA  # 9 matches nothing
+    )
+    got = {
+        r["id"]: (r["meta"], r["seq"])
+        for r in update_from(current, src, ["id"], ["meta"]).collect()
+    }
+    # id 2: meta updated, seq untouched; id 9 NOT inserted; others verbatim.
+    assert got == {1: ("m1", "AAA"), 2: ("m2-upd", "CCC"), 3: ("m3", "GGG")}
+
+
+def test_update_from_rejects_duplicate_source_keys(spark, current):
+    src = spark.createDataFrame([(2, "a", "X"), (2, "b", "Y")], SCHEMA)
+    with pytest.raises(ValueError, match="duplicate keys"):
+        update_from(current, src, ["id"], ["meta"])
+
+
+def test_update_from_rejects_missing_set_cols(spark, current):
+    src = spark.createDataFrame([(2, "a")], "id int, meta string")
+    with pytest.raises(ValueError, match="absent from source"):
+        update_from(current, src, ["id"], ["seq"])
+
+
+def test_update_from_null_overwrites(spark, current):
+    src = spark.createDataFrame([(1, None, "AAA")], SCHEMA)
+    got = {r["id"]: r["meta"] for r in update_from(current, src, ["id"], ["meta"]).collect()}
+    assert got[1] is None and got[2] == "m2" and got[3] == "m3"
 
 
 def test_classify_changes_routes_all_cases(spark, current):
