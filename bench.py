@@ -19,6 +19,7 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from harvester_database_and_automation_spark.plans import QUERIES  # noqa: E402
+from harvester_database_and_automation_spark.plans.shared import cleanup_scratch  # noqa: E402
 from harvester_database_and_automation_spark.session import get_spark  # noqa: E402
 
 
@@ -67,6 +68,7 @@ def main() -> None:
     # widest plans), which a long-lived cluster never pays per query.
     for spec in QUERIES.values():
         spec.fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        cleanup_scratch()  # replay spools/publishes are per-call fixtures
 
     # Two timed passes, keep each query's best: this box runs other
     # workloads, and a single pass regularly charges 5-8s of foreign load
@@ -78,6 +80,7 @@ def main() -> None:
             t0 = time.time()
             spec.fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
             dt = round(time.time() - t0, 3)
+            cleanup_scratch()  # outside the timed window
             if name not in per_query or dt < per_query[name]:
                 per_query[name] = dt
 

@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from harvester_database_and_automation_spark.catalog import load_table
 from harvester_database_and_automation_spark.plans.registry import register
+from harvester_database_and_automation_spark.plans.shared import scratch_dir
 
 
 @register(
@@ -97,7 +98,6 @@ def fasta_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     line wrapping, and multi-file concatenation all certified in one
     pass. Sequences are canonicalized to [a-z] (FASTA-safe, wrap-safe);
     empty documents round-trip as empty sequences."""
-    import tempfile
 
     from harvester_database_and_automation_spark.sources.fasta import read_fasta, write_fasta
 
@@ -105,7 +105,7 @@ def fasta_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").cast("string").alias("name"),
         F.regexp_replace(F.lower(F.col("text")), "[^a-z]", "").alias("sequence"),
     )
-    path = tempfile.mkdtemp(prefix="fasta_rt_") + "/docs.fasta"
+    path = scratch_dir(prefix="fasta_rt_") + "/docs.fasta"
     write_fasta(docs, path, wrap=60)
     return read_fasta(spark, path).select("name", "sequence")
 
@@ -132,7 +132,6 @@ def csv_typed_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     by `read_csv_strict`'s in-plan tripwire — ONE distributed parse
     total, where the count-the-quarantine form needed a cached extra
     pass that scaled with the export."""
-    import tempfile
 
     from pyspark.sql import types as T
 
@@ -146,7 +145,7 @@ def csv_typed_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderkey", "o_custkey", "o_orderpriority", "o_orderdate", "o_totalprice"
         )
     )
-    path = tempfile.mkdtemp(prefix="csv_rt_") + "/orders_csv"
+    path = scratch_dir(prefix="csv_rt_") + "/orders_csv"
     o.write.option("header", True).csv(path)
     schema = T.StructType(
         [
@@ -185,7 +184,6 @@ def xlsx_dim_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     practice (the reference ingests curated spreadsheets of exactly
     this size); the driver-side render is fine at any scale because
     dims are small by definition."""
-    import tempfile
     import zipfile
     from xml.sax.saxutils import escape
 
@@ -224,7 +222,7 @@ def xlsx_dim_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
         "<sheetData>" + "".join(body) + "</sheetData></worksheet>"
     )
-    path = tempfile.mkdtemp(prefix="xlsx_rt_") + "/nation.xlsx"
+    path = scratch_dir(prefix="xlsx_rt_") + "/nation.xlsx"
     with zipfile.ZipFile(path, "w") as zf:
         zf.writestr("xl/worksheets/sheet1.xml", sheet)
 
@@ -262,14 +260,13 @@ def xz_feed_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     import glob
     import lzma
     import shutil
-    import tempfile
 
     from pyspark.sql import types as T
 
     from harvester_database_and_automation_spark.sources.jsonl import read_jsonl_xz
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
-    root = tempfile.mkdtemp(prefix="xz_rt_")
+    root = scratch_dir(prefix="xz_rt_")
     stage = os.path.join(root, "stage")
     docs.coalesce(1).write.json(stage)
     part = glob.glob(os.path.join(stage, "part-*"))[0]
@@ -322,7 +319,6 @@ def erasure_publish_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: erasure is a pure projection, deletion an anti-join on
     keys, publish an atomic directory swap — one pass each."""
-    import tempfile
 
     from harvester_database_and_automation_spark.operators.merge import (
         apply_deletes,
@@ -339,7 +335,7 @@ def erasure_publish_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("c_acctbal") * 100 + 0.5).cast("bigint").alias("acct_cents"),
         "c_mktsegment",
     )
-    table = tempfile.mkdtemp(prefix="erasure_rt_") + "/customer"
+    table = scratch_dir(prefix="erasure_rt_") + "/customer"
     publish_versioned(c, table)
 
     current = read_published(spark, table)
@@ -397,7 +393,6 @@ def values_flag_update(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the VALUES frame is broadcast, so the fact table never
     shuffles; publish is an atomic directory swap (M4)."""
-    import tempfile
 
     from harvester_database_and_automation_spark.operators.merge import update_from
     from harvester_database_and_automation_spark.operators.publish import (
@@ -416,7 +411,7 @@ def values_flag_update(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_name",
         F.lit(False).alias("seq_request"),
     )
-    table = tempfile.mkdtemp(prefix="values_upd_") + "/plates"
+    table = scratch_dir(prefix="values_upd_") + "/plates"
     publish_versioned(plates, table)
 
     vals = spark.createDataFrame(
@@ -458,7 +453,6 @@ def http_fetch_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     import http.server
     import shutil
     import socketserver
-    import tempfile
     import threading
 
     from pyspark.sql import types as T
@@ -466,7 +460,7 @@ def http_fetch_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from harvester_database_and_automation_spark.sources.http import fetch_to_file
     from harvester_database_and_automation_spark.sources.jsonl import read_jsonl
 
-    root = tempfile.mkdtemp(prefix="http_rt_")
+    root = scratch_dir(prefix="http_rt_")
     serve = os.path.join(root, "serve")
     os.makedirs(serve)
     stage = os.path.join(root, "stage")
@@ -524,7 +518,6 @@ def jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     key range, or type mangling across the JDBC bridge all break the
     hash. Fresh database per call; single-JVM Derby stands in for the
     warehouse exactly as in the test suite."""
-    import tempfile
 
     from harvester_database_and_automation_spark.sources.jdbc import (
         read_jdbc_table,
@@ -532,7 +525,7 @@ def jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     driver = "org.apache.derby.jdbc.EmbeddedDriver"
-    db_dir = tempfile.mkdtemp(prefix="jdbc_rt_") + "/db"
+    db_dir = scratch_dir(prefix="jdbc_rt_") + "/db"
     url = f"jdbc:derby:{db_dir};create=true"
 
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_nationkey")
@@ -583,7 +576,6 @@ def chunked_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     full-outer-joined against the manifest — the driver only ever holds
     the manifest itself (one row per chunk, the transport layer's own
     return value) and at most one mismatch row."""
-    import tempfile
 
     from pyspark.sql import types as T
 
@@ -599,7 +591,7 @@ def chunked_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # write every chunk from one task; each of the n tasks writes its own
     # ≤1000-row chunk files in parallel (no-op on production scans).
     o = fanout(load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority"))
-    root = tempfile.mkdtemp(prefix="export_rt_")
+    root = scratch_dir(prefix="export_rt_")
     out_dir = os.path.join(root, "chunks")
     paths = export_chunked_csv(o, out_dir, max_lines_per_file=1000)
     over = (
@@ -707,12 +699,11 @@ def derived_rebuild_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     each table's row count from raw text, so a build that silently
     shrinks or inflates breaks the count match. The per-table compare
     collects only the two counts (bounded), never rows."""
-    import tempfile
 
     from harvester_database_and_automation_spark.pipelines.derived import LAYER
 
     targets = ["doc_term_projection", "lineage_mutation_counts"]
-    root = tempfile.mkdtemp(prefix="derived_parity_")
+    root = scratch_dir(prefix="derived_parity_")
     v_full = LAYER.rebuild(spark, sf_dir, root, only=set(targets))
     v_incr = LAYER.rebuild_incremental(
         spark,
@@ -764,11 +755,10 @@ def state_gated_import_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     (atomic-rename JSON beside the output — the honest Spark equivalent
     of the reference's one-row table; no cluster round trip); the gated
     job itself is an ordinary distributed write."""
-    import tempfile
 
     from harvester_database_and_automation_spark.operators.state import JobState
 
-    root = tempfile.mkdtemp(prefix="state_gate_")
+    root = scratch_dir(prefix="state_gate_")
     state = JobState(os.path.join(root, "state.json"))
     out = os.path.join(root, "priority_rollup")
     o = load_table(spark, sf_dir, "orders")

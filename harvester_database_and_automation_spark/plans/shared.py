@@ -22,12 +22,42 @@ ever cached; raw text/genome payloads stay in the scan.
 
 from __future__ import annotations
 
+import atexit
+import shutil
+import tempfile
 from typing import Callable
 
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 
 _ATTR = "_hdas_shared_plans"
+
+_SCRATCH_DIRS: list[str] = []
+
+
+def scratch_dir(prefix: str) -> str:
+    """A temp dir for a query's spool/publish fixtures, removed at process
+    exit (and eagerly by harnesses via :func:`cleanup_scratch`).
+
+    Replay queries RETURN a lazy DataFrame over files they wrote here, so
+    the dir must outlive the function — the caller (driver / bench /
+    check harness) materializes the result, then the process-exit hook or
+    an explicit ``cleanup_scratch()`` reclaims the space. Without this,
+    repeated certification runs accumulate corpus-sized spools in /tmp.
+    """
+    path = tempfile.mkdtemp(prefix=prefix)
+    _SCRATCH_DIRS.append(path)
+    return path
+
+
+def cleanup_scratch() -> None:
+    """Remove every scratch dir created so far. Call ONLY after all
+    previously returned DataFrames have been fully materialized."""
+    while _SCRATCH_DIRS:
+        shutil.rmtree(_SCRATCH_DIRS.pop(), ignore_errors=True)
+
+
+atexit.register(cleanup_scratch)
 
 
 def fanout(df: DataFrame) -> DataFrame:

@@ -22,13 +22,13 @@ production, `sources/http.py`); the operator under test is the stream.
 from __future__ import annotations
 
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from harvester_database_and_automation_spark.catalog import load_table
 from harvester_database_and_automation_spark.plans.registry import register
+from harvester_database_and_automation_spark.plans.shared import scratch_dir
 
 
 @register(
@@ -64,7 +64,7 @@ def streaming_change_router_replay(spark: SparkSession, sf_dir: str) -> DataFram
     Scale shape: the router's state is one hash per key in the state
     store (sharded across executors); each micro-batch shuffles only
     (id, hash) pairs. The spool is Spark-written (`_spool_batches`:
-    coalesce + rename, proper JSON encoding) — no driver-side row
+    repartition(1) + rename, proper JSON encoding) — no driver-side row
     collection at any corpus size; production feeds land as files from
     the fetchers and the stream is unchanged."""
     from harvester_database_and_automation_spark.streaming.changefeed import (
@@ -86,7 +86,7 @@ def streaming_change_router_replay(spark: SparkSession, sf_dir: str) -> DataFram
         F.col("user_id").cast("string").alias("id"), F.col("event_type").alias("content_hash")
     )
 
-    root = tempfile.mkdtemp(prefix="router_replay_")
+    root = scratch_dir(prefix="router_replay_")
     feed = _spool_batches(spark, root, [firsts, lasts])
 
     stream = (
@@ -192,7 +192,7 @@ def streaming_watermark_window_replay(spark: SparkSession, sf_dir: str) -> DataF
     and unemitted even at stream end).
 
     Scale shape: state is one row per (window, key) bounded by the
-    watermark horizon; the spool is Spark-written (coalesce+rename), no
+    watermark horizon; the spool is Spark-written (repartition(1)+rename), no
     driver collection at any corpus size. The event-time column travels
     as INTEGER seconds-since-2024 and converts to an instant with
     ``timestamp_seconds`` (withWatermark requires TIMESTAMP, not NTZ);
@@ -215,7 +215,7 @@ def streaming_watermark_window_replay(spark: SparkSession, sf_dir: str) -> DataF
     b1 = e.filter((F.col("s") >= 1_296_000) & (F.col("s") < 1_900_800))
     b2 = e.filter(F.col("s") >= 1_900_800).unionByName(e.filter(F.col("s") < 259_200))
 
-    root = tempfile.mkdtemp(prefix="wm_replay_")
+    root = scratch_dir(prefix="wm_replay_")
     feed = _spool_batches(spark, root, [b0, b1, b2])
     stream = (
         spark.readStream.schema("s long, event_type string, cents long")
@@ -293,7 +293,7 @@ def streaming_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     b1 = canonical.filter(g != 0)
     b2 = canonical
 
-    root = tempfile.mkdtemp(prefix="dedup_replay_")
+    root = scratch_dir(prefix="dedup_replay_")
     feed = _spool_batches(spark, root, [b0, b1, b2])
     stream = (
         spark.readStream.schema("user_id long, first_type string, s long")
@@ -377,7 +377,7 @@ def streaming_upsert_publish_replay(spark: SparkSession, sf_dir: str) -> DataFra
     b1 = lasts.filter(F.col("user_id") % 3 == 1)
     b2 = lasts.filter(F.col("user_id") % 3 == 2)
 
-    root = tempfile.mkdtemp(prefix="upsert_replay_")
+    root = scratch_dir(prefix="upsert_replay_")
     feed = _spool_batches(spark, root, [b0, b1, b2])
     from pyspark.sql import types as T
 
@@ -457,7 +457,7 @@ def streaming_session_window_replay(spark: SparkSession, sf_dir: str) -> DataFra
 
     Scale shape: state is one open session per (user, gap-island),
     evicted at the watermark; corpus-sized exchanges ship (user, s,
-    cents) triples; the spool is Spark-written (coalesce + rename) — no
+    cents) triples; the spool is Spark-written (repartition(1) + rename) — no
     driver-side collection at any corpus size. The event-time column
     travels as INTEGER seconds and converts via ``timestamp_seconds``
     (withWatermark requires TIMESTAMP); session bounds come back out as
@@ -478,7 +478,7 @@ def streaming_session_window_replay(spark: SparkSession, sf_dir: str) -> DataFra
     b0 = e.filter(F.col("s") < 1_296_000)
     b1 = e.filter(F.col("s") >= 1_296_000)
 
-    root = tempfile.mkdtemp(prefix="session_replay_")
+    root = scratch_dir(prefix="session_replay_")
     feed = _spool_batches(spark, root, [b0, b1])
     stream = (
         spark.readStream.schema("s long, user_id long, cents long")
@@ -567,7 +567,7 @@ def streaming_stateful_ledger_replay(spark: SparkSession, sf_dir: str) -> DataFr
     b0 = e.filter(F.col("s") < 1_296_000).select("key")
     b1 = e.filter(F.col("s") >= 1_296_000).select("key")
 
-    root = tempfile.mkdtemp(prefix="ledger_replay_")
+    root = scratch_dir(prefix="ledger_replay_")
     feed = _spool_batches(spark, root, [b0, b1])
     stream = (
         spark.readStream.schema("key string")
@@ -665,7 +665,7 @@ def streaming_cms_sink_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     b0 = e.filter(F.col("s") < 1_296_000).select("k")
     b1 = e.filter(F.col("s") >= 1_296_000).select("k")
 
-    root = tempfile.mkdtemp(prefix="cms_sink_replay_")
+    root = scratch_dir(prefix="cms_sink_replay_")
     feed = _spool_batches(spark, root, [b0, b1])
     table_dir = os.path.join(root, "cms_table")
     stream_cms_into_published(

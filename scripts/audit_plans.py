@@ -24,7 +24,8 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-from harvester_database_and_automation_spark.plans import QUERIES  # noqa: E402
+from harvester_database_and_automation_spark.plans import QUERIES
+from harvester_database_and_automation_spark.plans.shared import cleanup_scratch  # noqa: E402
 from harvester_database_and_automation_spark.session import get_spark  # noqa: E402
 
 # query -> (flag, reason) pairs that are deliberate.
@@ -203,6 +204,7 @@ def main() -> int:
     bad = 0
     for name in names:
         flags = audit_one(spark, name, sf_dir)
+        cleanup_scratch()  # replay queries execute their stream at fn() time
         if flags:
             bad += 1
             print(f"[FLAG] {name}: {', '.join(flags)}")

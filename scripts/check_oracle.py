@@ -13,6 +13,7 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from harvester_database_and_automation_spark.plans import QUERIES  # noqa: E402
+from harvester_database_and_automation_spark.plans.shared import cleanup_scratch  # noqa: E402
 from harvester_database_and_automation_spark.session import get_spark  # noqa: E402
 from harvester_database_and_automation_spark.testing import check_query, duckdb_connection  # noqa: E402
 
@@ -58,6 +59,8 @@ def main() -> int:
             print(f"[ERROR] {name}: {type(exc).__name__}: {exc}")
             n_fail += 1
             continue
+        finally:
+            cleanup_scratch()
         print(f"{res}  ({time.time() - t0:.1f}s)")
         if not res.ok:
             n_fail += 1

@@ -25,6 +25,7 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from harvester_database_and_automation_spark.plans import QUERIES  # noqa: E402
+from harvester_database_and_automation_spark.plans.shared import cleanup_scratch  # noqa: E402
 from harvester_database_and_automation_spark.session import get_spark  # noqa: E402
 from harvester_database_and_automation_spark.testing import (  # noqa: E402
     check_query,
@@ -103,6 +104,7 @@ def main() -> int:
         except Exception as exc:  # pragma: no cover - diagnostic path
             entry = {"ok": False, "error": f"{type(exc).__name__}: {exc}"}
             print(f"[ERROR] {name}: {entry['error']}")
+        cleanup_scratch()
         entry["seconds"] = round(time.time() - t0, 1)
         rows[name] = entry
         if not entry["ok"]:

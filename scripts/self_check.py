@@ -26,6 +26,7 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from harvester_database_and_automation_spark.plans import QUERIES  # noqa: E402
+from harvester_database_and_automation_spark.plans.shared import cleanup_scratch  # noqa: E402
 from harvester_database_and_automation_spark.session import get_spark  # noqa: E402
 from harvester_database_and_automation_spark.testing import (  # noqa: E402
     check_query,
@@ -62,6 +63,7 @@ def main() -> int:
                 entry["problems"] = res.problems
         except Exception as exc:  # pragma: no cover - diagnostic path
             entry = {"ok": False, "error": f"{type(exc).__name__}: {exc}"}
+        cleanup_scratch()
         if not entry["ok"]:
             n_fail += 1
             print(f"[FAIL] {name}: {entry}")

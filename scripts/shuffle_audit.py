@@ -128,8 +128,19 @@ def main() -> int:
     }
     artifact = Path(__file__).resolve().parent.parent / "SHUFFLE_BYTES.json"
     if sys.argv[1:] and artifact.exists():
-        # Explicit-query rerun: merge into the existing artifact.
+        # Explicit-query rerun: merge into the existing artifact — but only
+        # when the stored provenance matches this run, otherwise the merged
+        # file would mix measurements from different code versions/corpora
+        # under one header. A stale artifact must be re-swept in full.
         prior = json.loads(artifact.read_text())
+        if prior.get("git_head") != head or prior.get("sf_dir") != sf_dir:
+            print(
+                f"refusing to merge: artifact is from git_head="
+                f"{prior.get('git_head')} sf_dir={prior.get('sf_dir')}, this run is "
+                f"{head} {sf_dir} — run the full sweep instead",
+                file=sys.stderr,
+            )
+            return 2
         prior_q = prior.get("queries", {})
         prior_q.update(results)
         out["queries"] = prior_q

@@ -350,10 +350,16 @@ def test_boilerplate_frame_states_subtree_once(spark):
     corpus-sized frames, and an exchange count at the algorithm's
     inherent minimum."""
     plan = fmt_plan(spark, "source_boilerplate_fraction")
-    shingle_scans = len(re.findall(r"shingle_index", plan))
-    # one Scan parquet over the published table (the name appears in the
-    # scan's Location line; details repeat it once more)
-    assert shingle_scans <= 2, f"shingle_index scanned more than once:\n{plan[:1500]}"
+    # one Scan parquet NODE over the published table — count scan node
+    # headers whose detail block names the shingle_index path, not raw
+    # substring occurrences (Location/details lines repeat the path a
+    # version-dependent number of times)
+    scan_blocks = [
+        blk
+        for blk in re.split(r"\n\n", plan)
+        if re.match(r"^\(\d+\) Scan parquet", blk.lstrip()) and "shingle_index" in blk
+    ]
+    assert len(scan_blocks) == 1, f"shingle_index scanned more than once:\n{plan[:1500]}"
     assert count_nodes(plan, "Window") == 1
     assert count_nodes(plan, "Exchange") <= 6, plan[:1500]
 
