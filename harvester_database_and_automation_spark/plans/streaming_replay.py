@@ -97,11 +97,19 @@ def streaming_change_router_replay(spark: SparkSession, sf_dir: str) -> DataFram
     )
     out = os.path.join(root, "routed")
     with _stream_state_partitions(spark):
+        def _sink(batch_df: DataFrame, batch_id: int) -> None:
+            # Plain append parquet per micro-batch: skips the streaming
+            # parquet sink's per-batch manifest commit + _spark_metadata
+            # log (pure fixed cost here); exactly-once still holds — the
+            # fresh checkpoint's offset log gates batch replays and the
+            # output dir is fresh per run.
+            batch_df.write.mode("append").parquet(out)
+
         q = (
             streaming_change_router(stream)
-            .writeStream.format("parquet")
-            .option("path", out)
+            .writeStream.foreachBatch(_sink)
             .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .outputMode("append")
             .trigger(availableNow=True)
             .start()
         )
@@ -258,7 +266,7 @@ def streaming_watermark_window_replay(spark: SparkSession, sf_dir: str) -> DataF
     b2 = e.filter(F.col("s") >= 1_900_800).unionByName(e.filter(F.col("s") < 259_200))
 
     root = scratch_dir(prefix="wm_replay_")
-    feed = _spool_batches(spark, root, [b0, b1, b2])
+    feed = _spool_batches(spark, root, [b0, b1, b2], parent=e)
     stream = (
         spark.readStream.schema("s long, event_type string, cents long")
         .option("maxFilesPerTrigger", 1)
@@ -271,9 +279,17 @@ def streaming_watermark_window_replay(spark: SparkSession, sf_dir: str) -> DataF
     )
     out = os.path.join(root, "windows")
     with _stream_state_partitions(spark):
+        def _sink(batch_df: DataFrame, batch_id: int) -> None:
+            # Plain append parquet per micro-batch: skips the streaming
+            # parquet sink's per-batch manifest commit + _spark_metadata
+            # log (pure fixed cost here); exactly-once still holds — the
+            # fresh checkpoint's offset log gates batch replays and the
+            # output dir is fresh per run.
+            batch_df.write.mode("append").parquet(out)
+
         q = (
-            agg.writeStream.format("parquet")
-            .option("path", out)
+            agg
+            .writeStream.foreachBatch(_sink)
             .option("checkpointLocation", os.path.join(root, "ckpt"))
             .outputMode("append")
             .trigger(availableNow=True)
@@ -352,10 +368,17 @@ def streaming_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped = dedup_within_watermark(stream, ["user_id"], ts_col="ts", watermark="2 hours")
     out = os.path.join(root, "deduped")
     with _stream_state_partitions(spark):
+        def _sink(batch_df: DataFrame, batch_id: int) -> None:
+            # Plain append parquet per micro-batch: skips the streaming
+            # parquet sink's per-batch manifest commit + _spark_metadata
+            # log (pure fixed cost here); exactly-once still holds — the
+            # fresh checkpoint's offset log gates batch replays and the
+            # output dir is fresh per run.
+            batch_df.write.mode("append").parquet(out)
+
         q = (
             deduped.select("user_id", "first_type")
-            .writeStream.format("parquet")
-            .option("path", out)
+            .writeStream.foreachBatch(_sink)
             .option("checkpointLocation", os.path.join(root, "ckpt"))
             .outputMode("append")
             .trigger(availableNow=True)
@@ -534,7 +557,7 @@ def streaming_session_window_replay(spark: SparkSession, sf_dir: str) -> DataFra
     b1 = e.filter(F.col("s") >= 1_296_000)
 
     root = scratch_dir(prefix="session_replay_")
-    feed = _spool_batches(spark, root, [b0, b1])
+    feed = _spool_batches(spark, root, [b0, b1], parent=e)
     stream = (
         spark.readStream.schema("s long, user_id long, cents long")
         .option("maxFilesPerTrigger", 1)
@@ -547,9 +570,17 @@ def streaming_session_window_replay(spark: SparkSession, sf_dir: str) -> DataFra
     )
     out = os.path.join(root, "sessions")
     with _stream_state_partitions(spark):
+        def _sink(batch_df: DataFrame, batch_id: int) -> None:
+            # Plain append parquet per micro-batch: skips the streaming
+            # parquet sink's per-batch manifest commit + _spark_metadata
+            # log (pure fixed cost here); exactly-once still holds — the
+            # fresh checkpoint's offset log gates batch replays and the
+            # output dir is fresh per run.
+            batch_df.write.mode("append").parquet(out)
+
         q = (
-            agg.writeStream.format("parquet")
-            .option("path", out)
+            agg
+            .writeStream.foreachBatch(_sink)
             .option("checkpointLocation", os.path.join(root, "ckpt"))
             .outputMode("append")
             .trigger(availableNow=True)
@@ -624,7 +655,7 @@ def streaming_stateful_ledger_replay(spark: SparkSession, sf_dir: str) -> DataFr
     b1 = e.filter(F.col("s") >= 1_296_000).select("key")
 
     root = scratch_dir(prefix="ledger_replay_")
-    feed = _spool_batches(spark, root, [b0, b1])
+    feed = _spool_batches(spark, root, [b0, b1], parent=e)
     stream = (
         spark.readStream.schema("key string")
         .option("maxFilesPerTrigger", 1)
@@ -723,7 +754,7 @@ def streaming_cms_sink_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     b1 = e.filter(F.col("s") >= 1_296_000).select("k")
 
     root = scratch_dir(prefix="cms_sink_replay_")
-    feed = _spool_batches(spark, root, [b0, b1])
+    feed = _spool_batches(spark, root, [b0, b1], parent=e)
     table_dir = os.path.join(root, "cms_table")
     with _stream_state_partitions(spark):
         stream_cms_into_published(
