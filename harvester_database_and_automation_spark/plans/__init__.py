@@ -162,6 +162,38 @@ _CHANGED_IN_R6 = [
 ]
 
 
+# Queries whose shared replay machinery changed in round 8 AFTER their
+# last driver green (d6c5aab/56ec67f rewrote _stream_state_partitions(4),
+# the _spool_batches parent persist, and the foreachBatch append sinks
+# that all seven streaming replays flow through; these four had only
+# pre-trim driver greens — r5/r7 — when round 8 ended). The builder
+# re-certified every hash at sf0.01+sf0.1 after each change, but the
+# driver's own rotation must re-hash the current implementations.
+_CHANGED_IN_R8 = [
+    "streaming_change_router_replay",
+    "streaming_dedup_replay",
+    "streaming_watermark_window_replay",
+    "streaming_upsert_publish_replay",
+]
+
+# Round-9 edits after round 8's driver greens: the feed_import_replay
+# oracle gained the explicit source-IS-NOT-NULL quarantine predicate
+# (r8 ADVICE), and any replay whose module text changed this round.
+_CHANGED_IN_R9 = [
+    "feed_import_replay",
+]
+
+# round -> list; a query whose latest implementation-change round has no
+# green row at-or-after that round re-enters the rotation's tier 2.
+_CHANGED_IN = {
+    3: _CHANGED_IN_R3,
+    5: _CHANGED_IN_R5,
+    6: _CHANGED_IN_R6,
+    8: _CHANGED_IN_R8,
+    9: _CHANGED_IN_R9,
+}
+
+
 def _green_counts_since(round_no: int) -> dict[str, int]:
     import json
     import re as _re
@@ -185,9 +217,7 @@ def _green_counts_since(round_no: int) -> dict[str, int]:
 
 def _rotate_least_verified_first() -> None:
     greens = _green_counts()
-    greens_r3 = _green_counts_since(3)
-    greens_r5 = _green_counts_since(5)
-    greens_r6 = _green_counts_since(6)
+    greens_since = {rnd: _green_counts_since(rnd) for rnd in _CHANGED_IN}
     judge_only = _judge_only_verified()
     prior = _longest_waiting()
 
@@ -196,12 +226,9 @@ def _rotate_least_verified_first() -> None:
             return 0
         if greens.get(n, 0) == 0:
             return 1  # never driver-verified at all
-        if n in _CHANGED_IN_R6 and greens_r6.get(n, 0) == 0:
-            return 2  # green only for a superseded implementation
-        if n in _CHANGED_IN_R5 and greens_r5.get(n, 0) == 0:
-            return 2
-        if n in _CHANGED_IN_R3 and greens_r3.get(n, 0) == 0:
-            return 2
+        for rnd, names in _CHANGED_IN.items():
+            if n in names and greens_since[rnd].get(n, 0) == 0:
+                return 2  # green only for a superseded implementation
         return 3
 
     ordered = sorted(

@@ -801,7 +801,11 @@ final AS (
          CASE WHEN m0 = 3 THEN seq || 'aaa' ELSE seq END AS payload,
          CASE WHEN m0 IN (0, 3) THEN 2 ELSE 1 END AS annotated_in
   FROM base
-  WHERE m0 <> 1 AND doc_id % 29 <> 5
+  -- source IS NOT NULL replicates the pipeline's quarantine predicate
+  -- (not_null on src) rather than assuming the generator never emits a
+  -- naturally-NULL documents.source: the Spark side quarantines ANY
+  -- NULL src, synthetic (%29=5) or natural.
+  WHERE m0 <> 1 AND doc_id % 29 <> 5 AND source IS NOT NULL
 )
 SELECT doc_id,
        src,
@@ -858,8 +862,6 @@ def feed_import_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     publish — the skip-reprocessing route that makes a daily 100 TB
     feed tractable. The returned frame is a plain scan of the
     published directory."""
-    import glob
-
     from pyspark.sql import Row
     from pyspark.sql import types as T
 

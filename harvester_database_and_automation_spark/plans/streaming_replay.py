@@ -100,9 +100,12 @@ def streaming_change_router_replay(spark: SparkSession, sf_dir: str) -> DataFram
         def _sink(batch_df: DataFrame, batch_id: int) -> None:
             # Plain append parquet per micro-batch: skips the streaming
             # parquet sink's per-batch manifest commit + _spark_metadata
-            # log (pure fixed cost here); exactly-once still holds — the
-            # fresh checkpoint's offset log gates batch replays and the
-            # output dir is fresh per run.
+            # log (pure fixed cost here). NOT idempotent under batch-level
+            # re-execution in general — safe here only because availableNow
+            # + a fresh per-run output dir + fresh checkpoint mean a failed
+            # batch aborts the whole replay rather than retrying. Reusing
+            # this sink with a long-lived checkpoint would need a
+            # per-batch_id subdir (or an idempotent format) instead.
             batch_df.write.mode("append").parquet(out)
 
         q = (
@@ -282,9 +285,12 @@ def streaming_watermark_window_replay(spark: SparkSession, sf_dir: str) -> DataF
         def _sink(batch_df: DataFrame, batch_id: int) -> None:
             # Plain append parquet per micro-batch: skips the streaming
             # parquet sink's per-batch manifest commit + _spark_metadata
-            # log (pure fixed cost here); exactly-once still holds — the
-            # fresh checkpoint's offset log gates batch replays and the
-            # output dir is fresh per run.
+            # log (pure fixed cost here). NOT idempotent under batch-level
+            # re-execution in general — safe here only because availableNow
+            # + a fresh per-run output dir + fresh checkpoint mean a failed
+            # batch aborts the whole replay rather than retrying. Reusing
+            # this sink with a long-lived checkpoint would need a
+            # per-batch_id subdir (or an idempotent format) instead.
             batch_df.write.mode("append").parquet(out)
 
         q = (
@@ -371,9 +377,12 @@ def streaming_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         def _sink(batch_df: DataFrame, batch_id: int) -> None:
             # Plain append parquet per micro-batch: skips the streaming
             # parquet sink's per-batch manifest commit + _spark_metadata
-            # log (pure fixed cost here); exactly-once still holds — the
-            # fresh checkpoint's offset log gates batch replays and the
-            # output dir is fresh per run.
+            # log (pure fixed cost here). NOT idempotent under batch-level
+            # re-execution in general — safe here only because availableNow
+            # + a fresh per-run output dir + fresh checkpoint mean a failed
+            # batch aborts the whole replay rather than retrying. Reusing
+            # this sink with a long-lived checkpoint would need a
+            # per-batch_id subdir (or an idempotent format) instead.
             batch_df.write.mode("append").parquet(out)
 
         q = (
@@ -573,9 +582,12 @@ def streaming_session_window_replay(spark: SparkSession, sf_dir: str) -> DataFra
         def _sink(batch_df: DataFrame, batch_id: int) -> None:
             # Plain append parquet per micro-batch: skips the streaming
             # parquet sink's per-batch manifest commit + _spark_metadata
-            # log (pure fixed cost here); exactly-once still holds — the
-            # fresh checkpoint's offset log gates batch replays and the
-            # output dir is fresh per run.
+            # log (pure fixed cost here). NOT idempotent under batch-level
+            # re-execution in general — safe here only because availableNow
+            # + a fresh per-run output dir + fresh checkpoint mean a failed
+            # batch aborts the whole replay rather than retrying. Reusing
+            # this sink with a long-lived checkpoint would need a
+            # per-batch_id subdir (or an idempotent format) instead.
             batch_df.write.mode("append").parquet(out)
 
         q = (
