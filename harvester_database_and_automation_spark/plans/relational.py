@@ -2616,10 +2616,13 @@ s AS (
          sum(x::HUGEINT * x) AS sx2, sum(y::HUGEINT * y) AS sy2
   FROM d GROUP BY 1
 )
+-- NULLIF: zero variance in either coordinate (all orders of a priority
+-- on one day / one price) makes r undefined — engines disagree on bare
+-- /0.0 (DuckDB IEEE nan, Spark ANSI throws). Found by the drift guard.
 SELECT o_orderpriority, n,
        round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-             / (sqrt(CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-                * sqrt(CAST(n AS DOUBLE) * CAST(sy2 AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+             / NULLIF(sqrt(CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * sqrt(CAST(n AS DOUBLE) * CAST(sy2 AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)), 0), 6)
          AS price_date_corr
 FROM s
 """,
@@ -2652,7 +2655,10 @@ def order_price_date_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     nd = F.col("n").cast("double")
     sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
     sxy, sx2, sy2 = (F.col(c).cast("double") for c in ("sxy", "sx2", "sy2"))
-    r = (nd * sxy - sx * sy) / (F.sqrt(nd * sx2 - sx * sx) * F.sqrt(nd * sy2 - sy * sy))
+    # Zero variance in either coordinate => r undefined: emit NULL rather
+    # than divide by zero (ANSI throws; oracle mirrors with NULLIF).
+    denom = F.sqrt(nd * sx2 - sx * sx) * F.sqrt(nd * sy2 - sy * sy)
+    r = F.when(denom != 0, (nd * sxy - sx * sy) / denom)
     return s.select("o_orderpriority", "n", F.round(r, 6).alias("price_date_corr"))
 
 
@@ -3573,9 +3579,12 @@ SELECT event_type,
        CAST(c0 AS BIGINT) AS conv_a, CAST(c1 AS BIGINT) AS conv_b,
        round(c0 * 1.0 / n0, 6) AS rate_a,
        round(c1 * 1.0 / n1, 6) AS rate_b,
+       -- NULLIF: a type with zero or all-converting users has zero pooled
+       -- variance — z undefined; engines disagree on bare /0.0 (DuckDB
+       -- IEEE inf, Spark ANSI throws). Found by the drift guard.
        round((c0 * 1.0 / n0 - c1 * 1.0 / n1)
-             / sqrt(((c0 + c1) * 1.0 / (n0 + n1)) * (1 - (c0 + c1) * 1.0 / (n0 + n1))
-                    * (1.0 / n0 + 1.0 / n1)), 6) AS z
+             / NULLIF(sqrt(((c0 + c1) * 1.0 / (n0 + n1)) * (1 - (c0 + c1) * 1.0 / (n0 + n1))
+                    * (1.0 / n0 + 1.0 / n1)), 0), 6) AS z
 FROM conv CROSS JOIN sizes
 """,
 )
@@ -3611,7 +3620,11 @@ def ab_arm_zscores(spark: SparkSession, sf_dir: str) -> DataFrame:
     p0 = F.col("c0") * 1.0 / F.col("n0")
     p1 = F.col("c1") * 1.0 / F.col("n1")
     pp = (F.col("c0") + F.col("c1")) * 1.0 / (F.col("n0") + F.col("n1"))
-    z = (p0 - p1) / F.sqrt(pp * (1 - pp) * (1.0 / F.col("n0") + 1.0 / F.col("n1")))
+    # Zero pooled variance (no converters, or everyone converts) => z
+    # undefined: emit NULL rather than divide by zero (ANSI throws; the
+    # oracle mirrors with NULLIF). Caught by the drift guard.
+    se = F.sqrt(pp * (1 - pp) * (1.0 / F.col("n0") + 1.0 / F.col("n1")))
+    z = F.when(se != 0, (p0 - p1) / se)
     return conv.crossJoin(F.broadcast(sizes)).select(
         "event_type",
         F.col("c0").cast("bigint").alias("conv_a"),
@@ -3646,9 +3659,13 @@ sl AS (
   -- cross products at 128-bit: sx*sy ~ 5e5 * n^2 leaves int64 near
   -- n ~ 4-5M rows per event_type (Spark would wrap silently, DuckDB
   -- would error — engines diverge); HUGEINT here = decimal(38,0) there
+  -- NULLIF guards the degenerate group (all points on one day =>
+  -- zero variance in x): slope is undefined, and the engines disagree
+  -- on bare /0.0 (DuckDB IEEE inf, Spark ANSI throws). Found by the
+  -- oracle-drift guard's perturbed corpus.
   SELECT event_type, n, sx, sy,
          CAST(n::HUGEINT * sxy - sx::HUGEINT * sy AS DOUBLE)
-           / CAST(n::HUGEINT * sxx - sx::HUGEINT * sx AS DOUBLE) AS slope
+           / NULLIF(CAST(n::HUGEINT * sxx - sx::HUGEINT * sx AS DOUBLE), 0) AS slope
   FROM m
 )
 SELECT event_type,
@@ -3686,7 +3703,11 @@ def event_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     dn, dsx, dsy, dsxy, dsxx = (
         F.col(c).cast("decimal(38,0)") for c in ("n", "sx", "sy", "sxy", "sxx")
     )
-    slope = (dn * dsxy - dsx * dsy).cast("double") / (dn * dsxx - dsx * dsx).cast("double")
+    # Degenerate group (all events on one day): zero x-variance makes the
+    # slope undefined — emit NULL rather than divide by zero (ANSI mode
+    # throws; the oracle mirrors with NULLIF). Caught by the drift guard.
+    denom = (dn * dsxx - dsx * dsx).cast("double")
+    slope = F.when(denom != 0, (dn * dsxy - dsx * dsy).cast("double") / denom)
     return m.select(
         "event_type",
         F.col("n").cast("bigint").alias("n"),

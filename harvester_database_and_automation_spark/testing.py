@@ -121,3 +121,131 @@ def check_query(spark, con: duckdb.DuckDBPyConnection, name: str, sf_dir: str) -
                              problems=["no oracle: rows-only check"])
     oracle_pdf = con.execute(spec.oracle).df()
     return compare_frames(name, spark_pdf, oracle_pdf)
+
+
+# --------------------------------------------------------------------------
+# Oracle-drift guard (r8 verdict ask #3): 400 green driver checks can never
+# see an oracle that stopped reading its input — if BOTH engines pin the
+# same constant, every parity check passes forever. The guard perturbs one
+# row per input table and asserts each engine's result MOVES (or provably
+# doesn't) in lockstep with the other.
+
+# Columns never perturbed: join/grouping keys. Changing a key can only
+# reshape results (still caught by value columns), but it can also violate
+# uniqueness/FK assumptions pipelines legitimately rely on (merge rejects
+# duplicate source keys), turning a drift probe into a crash probe.
+_KEY_SUFFIXES = ("key", "_id")
+
+
+def _perturb_value(v, dtype):
+    """Type-preserving, unambiguous single-cell perturbation."""
+    import datetime
+
+    import pyarrow as pa
+
+    if v is None:
+        return v
+    if pa.types.is_string(dtype) or pa.types.is_large_string(dtype):
+        # Format-contract preservation: a JSON-object column (events.props)
+        # must stay parseable — DuckDB's json functions THROW on malformed
+        # input where Spark's get_json_object returns NULL, so appending
+        # junk would turn a drift probe into an engine-asymmetric crash.
+        if v.startswith("{") and v.endswith("}"):
+            return (v[:-1] + ', "_drift": 1}') if len(v) > 2 else '{"_drift": 1}'
+        return v + "~X"
+    if pa.types.is_integer(dtype):
+        return v + 7
+    if pa.types.is_floating(dtype):
+        return v + 0.25
+    if pa.types.is_boolean(dtype):
+        return not v
+    if pa.types.is_timestamp(dtype):
+        return v + datetime.timedelta(seconds=3601)
+    if pa.types.is_date(dtype):
+        return v + datetime.timedelta(days=1)
+    if pa.types.is_binary(dtype) or pa.types.is_large_binary(dtype):
+        return v + b"\x01"
+    if pa.types.is_list(dtype) or pa.types.is_large_list(dtype):
+        if not v:
+            return v
+        return [_perturb_value(v[0], dtype.value_type)] + list(v[1:])
+    return v
+
+
+def perturb_corpus(src_dir: str, dst_dir: str) -> dict[str, list[str]]:
+    """Copy the corpus, changing ONE row's non-key columns per table.
+
+    The perturbed row is the lexicographically-first by the table's first
+    column (deterministic regardless of parquet row order). Returns
+    {table: [columns changed]}. Schemas are preserved exactly (including
+    events' TIMESTAMP(NANOS)) by rebuilding through pyarrow with the
+    original schema object.
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(dst_dir, exist_ok=True)
+    changed: dict[str, list[str]] = {}
+    for name in TABLES:
+        src = os.path.join(src_dir, f"{name}.parquet")
+        tbl = pq.read_table(src)
+        data = tbl.to_pydict()
+        first_col = tbl.schema.names[0]
+        idx = min(range(tbl.num_rows), key=lambda i: (data[first_col][i] is None,
+                                                      str(data[first_col][i])))
+        cols: list[str] = []
+        for field in tbl.schema:
+            if field.name.endswith(_KEY_SUFFIXES):
+                continue
+            new = _perturb_value(data[field.name][idx], field.type)
+            if new is not data[field.name][idx]:
+                data[field.name][idx] = new
+                cols.append(field.name)
+        changed[name] = cols
+        out = pa.Table.from_pydict(data, schema=tbl.schema)
+        pq.write_table(out, os.path.join(dst_dir, f"{name}.parquet"))
+    return changed
+
+
+@dataclass
+class DriftResult:
+    name: str
+    spark_moved: bool
+    oracle_moved: bool | None  # None -> no oracle (rows-only query)
+    perturbed_parity: bool
+
+    @property
+    def ok(self) -> bool:
+        if self.oracle_moved is None:
+            return True
+        return self.spark_moved == self.oracle_moved and self.perturbed_parity
+
+
+def _result_hash(pdf: pd.DataFrame) -> int:
+    return hash(tuple(map(tuple, canonical_rows(pdf)[1])) + tuple(canonical_rows(pdf)[0]))
+
+
+def drift_check(spark, name: str, clean_dir: str, pert_dir: str,
+                clean_con=None, pert_con=None) -> DriftResult:
+    """Run one registered query + its oracle on both corpora.
+
+    A pinned oracle (constants; stopped reading the input) is caught two
+    ways: the Spark side moves while the oracle doesn't (moved-flag
+    mismatch), or — if the pin happens to equal the clean-corpus result —
+    the perturbed-corpus parity comparison fails.
+    """
+    from harvester_database_and_automation_spark.plans import QUERIES
+
+    spec = QUERIES[name]
+    clean_con = clean_con or duckdb_connection(clean_dir)
+    pert_con = pert_con or duckdb_connection(pert_dir)
+    s_clean = spec.fn(spark, clean_dir).toPandas()
+    s_pert = spec.fn(spark, pert_dir).toPandas()
+    spark_moved = _result_hash(s_clean) != _result_hash(s_pert)
+    if spec.oracle is None:
+        return DriftResult(name, spark_moved, None, True)
+    o_clean = clean_con.execute(spec.oracle).df()
+    o_pert = pert_con.execute(spec.oracle).df()
+    oracle_moved = _result_hash(o_clean) != _result_hash(o_pert)
+    parity = compare_frames(name, s_pert, o_pert).ok
+    return DriftResult(name, spark_moved, oracle_moved, parity)

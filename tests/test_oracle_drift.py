@@ -1,0 +1,131 @@
+"""Oracle-drift guard (r8 verdict ask #3): prove the guard machinery
+works — including that it FAILS when an oracle is artificially pinned —
+and run it over a representative cross-section of the registry.
+
+The full-registry sweep is `scripts/drift_guard.py` (artifact
+DRIFT_GUARD.json, run each round); this test keeps the CI-time contract
+on a fixed panel chosen so every input table is read by at least one
+panel query.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+
+from harvester_database_and_automation_spark.plans import QUERIES
+from harvester_database_and_automation_spark.plans.shared import cleanup_scratch
+from harvester_database_and_automation_spark.testing import (
+    compare_frames,
+    drift_check,
+    duckdb_connection,
+    perturb_corpus,
+)
+
+from conftest import SF_DIR
+
+# Every input table is covered by at least one panel member (the panel
+# stays small so the whole module runs in CI time at sf0.001). must_move
+# marks queries whose read set provably includes a perturbed column —
+# those must respond; the rest only need to move in lockstep (e.g.
+# regional_revenue's filters may exclude the perturbed rows entirely).
+PANEL = {
+    # name: (tables covered, must_move)
+    "pricing_summary": ("lineitem", True),
+    "regional_revenue": ("region+nation+customer+orders+lineitem+supplier", False),
+    "nations_per_region_string_agg": ("region+nation", True),
+    "customer_rollup_region_nation": ("region+nation+customer", True),
+    "customer_order_counts": ("customer+orders", False),
+    "big_spender_semi_join": ("customer+orders", True),
+    "parts_above_avg_price": ("part", False),
+    "part_value_skyline": ("part", True),
+    "part_match_rates_right_join": ("part+supplier", False),
+    "supplier_plate_layout": ("supplier", True),
+    "latest_event_type_per_user": ("events", False),
+    "event_type_pivot": ("events", True),
+    "first_event_per_user": ("events", True),
+    "doc_fingerprint_exact_dedup": ("documents", True),
+    "embedding_quantization_error": ("embeddings", True),
+    "case_recode": ("orders", True),
+    # k10 counts ACGT bases only — the appended '~X' perturbs length, not
+    # base counts; lockstep still certified.
+    "k10_base_frequency": ("documents", False),
+}
+
+
+@pytest.fixture(scope="module")
+def pert(tmp_path_factory):
+    dst = str(tmp_path_factory.mktemp("pert_corpus"))
+    changed = perturb_corpus(SF_DIR, dst)
+    return dst, changed
+
+
+def test_perturbation_touches_every_table(pert):
+    _, changed = pert
+    assert set(changed) == {
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    }
+    # Non-key columns changed in every table; keys untouched.
+    for table, cols in changed.items():
+        assert cols, f"{table}: no column perturbed"
+        assert not any(c.endswith(("key", "_id")) for c in cols), (table, cols)
+
+
+def test_panel_moves_in_lockstep(spark, pert):
+    pert_dir, _ = pert
+    clean_con = duckdb_connection(SF_DIR)
+    pert_con = duckdb_connection(pert_dir)
+    results = {}
+    for name in PANEL:
+        r = drift_check(spark, name, SF_DIR, pert_dir, clean_con, pert_con)
+        results[name] = r
+        cleanup_scratch()
+        assert r.ok, (
+            f"{name}: spark_moved={r.spark_moved} oracle_moved={r.oracle_moved} "
+            f"perturbed_parity={r.perturbed_parity}"
+        )
+    # The perturbation must be VISIBLE: must_move queries read a perturbed
+    # column, so they must respond. A panel that never moved would make
+    # the lockstep assertion vacuous.
+    for name, r in results.items():
+        if PANEL[name][1]:
+            assert r.spark_moved and r.oracle_moved, f"{name} did not move"
+
+
+def test_guard_catches_pinned_oracle(spark, pert):
+    """Negative control: pin one oracle to its clean-corpus result and the
+    guard MUST flag it — this is the failure mode 400 green parity checks
+    cannot see (both engines compared on the same corpus forever)."""
+    pert_dir, _ = pert
+    name = "case_recode"
+    spec = QUERIES[name]
+    clean_con = duckdb_connection(SF_DIR)
+    pert_con = duckdb_connection(pert_dir)
+
+    # Materialize the clean-corpus oracle result as a VALUES table: the
+    # worst-case pin, indistinguishable from the real oracle on the clean
+    # corpus (a plain parity check passes).
+    pinned_df = clean_con.execute(spec.oracle).df()
+    clean_con.register("pinned", pinned_df)
+    pert_con.register("pinned", pinned_df)
+    pinned_sql = "SELECT * FROM pinned"
+    spark_clean = spec.fn(spark, SF_DIR).toPandas()
+    assert compare_frames(name, spark_clean, pinned_df).ok, "pin must pass on clean corpus"
+
+    class PinnedSpec:
+        fn = staticmethod(spec.fn)
+        oracle = pinned_sql
+
+    import harvester_database_and_automation_spark.plans as plans_pkg
+
+    real = plans_pkg.QUERIES[name]
+    plans_pkg.QUERIES[name] = PinnedSpec()
+    try:
+        r = drift_check(spark, name, SF_DIR, pert_dir, clean_con, pert_con)
+    finally:
+        plans_pkg.QUERIES[name] = real
+        cleanup_scratch()
+    assert r.spark_moved and not r.oracle_moved
+    assert not r.ok, "guard failed to flag a pinned oracle"
