@@ -18,6 +18,7 @@ from harvester_database_and_automation_spark.operators.layout import cluster_for
 from harvester_database_and_automation_spark.operators.merge import (
     apply_deletes,
     classify_changes,
+    merge_delta,
     merge_upsert,
 )
 from harvester_database_and_automation_spark.operators.skew import (
@@ -46,6 +47,7 @@ __all__ = [
     "scd2_merge",
     "scd2_as_of",
     "merge_upsert",
+    "merge_delta",
     "classify_changes",
     "apply_deletes",
     "publish_versioned",

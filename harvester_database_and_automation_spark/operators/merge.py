@@ -51,12 +51,71 @@ def merge_upsert(current: DataFrame, updates: DataFrame, keys: Sequence[str]) ->
     )
 
 
+def merge_delta(
+    current: DataFrame,
+    updates: DataFrame,
+    keys: Sequence[str],
+    delete_keys: DataFrame | None = None,
+    broadcast_touched: bool = False,
+) -> DataFrame:
+    """M1 at 100 TB — upsert ``updates`` and drop ``delete_keys`` WITHOUT
+    shuffling ``current``.
+
+    :func:`merge_upsert`'s full-outer join cannot broadcast (Spark has no
+    broadcast full-outer), so it shuffles BOTH sides on the key — for a
+    daily feed against a 100 TB published table that moves every stored
+    payload through an exchange every cycle, which is exactly the shuffle
+    the reference's risk register forbids (SURVEY §7: never shuffle
+    genome payloads with metadata). When update keys are UNIQUE (one row
+    per key — every feed after upstream dedup), the same result is one
+    anti-join plus a union:
+
+        kept   = current ANTI JOIN (update_keys ∪ delete_keys)
+        result = kept ∪ updates
+
+    The touched-key frame is delta-sized, so the anti-join broadcasts it
+    and ``current`` streams map-side — zero exchanges of stored rows; the
+    bulk-load first run (everything is an update) degrades to one sorted
+    shuffle, same as merge_upsert, never worse.
+
+    ``broadcast_touched``: AQE decides broadcast-vs-shuffle from runtime
+    shuffle statistics — which means the BIG side's map stage has already
+    written its (payload-carrying) shuffle output by the time the plan
+    flips to broadcast (measured: the wide-row audit's cycle-2 shuffle
+    tracked payload width through exactly this stage). Callers that KNOW
+    the delta cardinality (run_feed_import collects it for the report
+    anyway) pass True to hint the broadcast at plan time, and the stored
+    rows never touch shuffle storage at all. Never pass True on an
+    unmeasured, potentially corpus-linear delta (SURVEY §2.12: hints are
+    for provably bounded frames).
+
+    Matched rows take every column from ``updates``; unmatched current
+    rows survive verbatim; unmatched update rows insert; ``delete_keys``
+    rows vanish (tombstones, M3). Duplicate update keys would silently
+    double rows here (merge_upsert's full-outer multiplies them just as
+    silently) — callers own key uniqueness.
+    """
+    if set(current.columns) != set(updates.columns):
+        raise ValueError(
+            f"schema mismatch: current={sorted(current.columns)} updates={sorted(updates.columns)}"
+        )
+    touched = updates.select(*keys)
+    if delete_keys is not None:
+        touched = touched.unionByName(delete_keys.select(*keys))
+    touched = touched.distinct()
+    if broadcast_touched:
+        touched = F.broadcast(touched)
+    kept = current.join(touched, on=list(keys), how="left_anti")
+    return kept.unionByName(updates.select(*current.columns))
+
+
 def classify_changes(
     current: DataFrame,
     incoming: DataFrame,
     keys: Sequence[str],
     metadata_cols: Sequence[str],
     payload_cols: Sequence[str],
+    payload_skinny: bool = False,
 ) -> DataFrame:
     """M2 — route incoming rows by what changed against current.
 
@@ -73,6 +132,15 @@ def classify_changes(
     Hashing the two column groups separately is what lets a 100TB feed
     skip reprocessing: the 30KB genome string hashes once per side and
     never needs a field-wise diff.
+
+    ``payload_skinny=True`` drops the payload columns from the incoming
+    side BEFORE the classification join (they are hashed map-side and
+    only the hash travels), returning ``keys + metadata_cols +
+    change_type``. The classification exchange then moves ~tens of bytes
+    per row regardless of payload width; the caller re-attaches payloads
+    to the (delta-sized) rows that need processing with a semi-join the
+    optimizer can run map-side. This is the 100 TB wide-row shape —
+    WIDE_ROW_BYTES.json measures it.
     """
     def _group_hash(cols: Sequence[str]):
         # An explicit null flag per column instead of a sentinel string: a
@@ -91,7 +159,12 @@ def classify_changes(
     cur = current.select(
         *keys, meta_hash.alias("_cur_meta"), pay_hash.alias("_cur_pay")
     )
-    inc = incoming.withColumn("_inc_meta", meta_hash).withColumn("_inc_pay", pay_hash)
+    if payload_skinny:
+        inc = incoming.select(
+            *keys, *metadata_cols, meta_hash.alias("_inc_meta"), pay_hash.alias("_inc_pay")
+        )
+    else:
+        inc = incoming.withColumn("_inc_meta", meta_hash).withColumn("_inc_pay", pay_hash)
 
     joined = inc.join(cur, on=list(keys), how="left")
     change = (

@@ -10,7 +10,8 @@ One declarative DAG replaces the worker/queue machinery:
 4. change classification vs the current published table (content hashes)
 5. expensive annotation ONLY for inserted/payload-changed rows — the
    skip-reprocessing contract that makes daily 100TB feeds tractable
-6. merge upsert + tombstone deletes
+6. delta merge (anti-join + union — stored payloads never shuffle) +
+   tombstone deletes
 7. atomic versioned publish + run report
 """
 
@@ -25,9 +26,8 @@ from pyspark.sql import types as T
 
 from harvester_database_and_automation_spark.operators.merge import (
     CHANGE_COL,
-    apply_deletes,
     classify_changes,
-    merge_upsert,
+    merge_delta,
 )
 from harvester_database_and_automation_spark.operators.publish import (
     current_version,
@@ -77,6 +77,7 @@ def run_feed_import(
     checks: dict[str, Column],
     annotate: Callable[[DataFrame], DataFrame] | None = None,
     required_fields: set[str] | None = None,
+    broadcast_delta_max_rows: int = 1_000_000,
 ) -> FeedImportReport:
     """Run one import cycle of ``feed_path`` into ``table_dir``.
 
@@ -101,15 +102,43 @@ def run_feed_import(
     else:
         current = read_published(spark, table_dir).select(*[f.name for f in schema.fields])
 
-    classified = classify_changes(current, clean, keys, metadata_cols, payload_cols).cache()
+    # PAYLOAD-SKINNY classification (the wide-row discipline, SURVEY §7
+    # risk register): the 30KB payload is hashed map-side and only the
+    # hash enters the classification exchange — the join that decides
+    # every row's fate moves ~tens of bytes per row however wide the
+    # genome column is (measured: WIDE_ROW_BYTES.json).
+    classified = classify_changes(
+        current, clean, keys, metadata_cols, payload_cols, payload_skinny=True
+    ).cache()
     by_type = {
         r[CHANGE_COL]: r["n"]
         for r in classified.groupBy(CHANGE_COL).agg(F.count(F.lit(1)).alias("n")).collect()
     }
 
-    to_process = classified.filter(F.col(CHANGE_COL).isin("insert", "payload_changed")).drop(
-        CHANGE_COL
-    )
+    # Re-attach payloads ONLY to the delta that needs processing. The
+    # delta cardinality is ALREADY MEASURED (by_type above feeds the run
+    # report), so when it is bounded the key set is broadcast-HINTED at
+    # plan time: AQE's own broadcast decision comes from runtime shuffle
+    # stats, i.e. after the payload side's map stage has already written
+    # its shuffle output — the hint is what keeps 30 KB payload rows off
+    # shuffle storage entirely (WIDE_ROW_BYTES.json measures both).
+    # First run: everything is an insert — no join needed at all.
+    n_process = by_type.get("insert", 0) + by_type.get("payload_changed", 0)
+    n_meta = by_type.get("metadata_changed", 0)
+    n_delete = by_type.get("delete", 0)
+
+    def small(n: int) -> bool:
+        return n <= broadcast_delta_max_rows
+
+    if first_run:
+        to_process = clean
+    else:
+        process_keys = classified.filter(
+            F.col(CHANGE_COL).isin("insert", "payload_changed")
+        ).select(*keys)
+        if small(n_process):
+            process_keys = F.broadcast(process_keys)
+        to_process = clean.join(process_keys, on=list(keys), how="left_semi")
     if annotate is not None:
         # Cache the annotated frame: the count below would otherwise run
         # the expensive annotation once, and the merge/publish a second
@@ -119,19 +148,29 @@ def run_feed_import(
 
     # Metadata-only changes take metadata from the feed but KEEP the stored
     # payload-derived columns (the feed carries them as nulls; recomputing
-    # them is exactly what this route exists to avoid).
+    # them is exactly what this route exists to avoid). The skinny
+    # classified frame carries the feed metadata already; stored payloads
+    # join map-side against the delta-sized metadata_changed set.
     kept_cols = [c for c in current.columns if c not in keys and c not in metadata_cols]
-    meta_updates = (
-        classified.filter(F.col(CHANGE_COL) == "metadata_changed")
-        .select(*keys, *metadata_cols)
-        .join(current.select(*keys, *kept_cols), list(keys))
-        .select(*current.columns)
+    meta_side = classified.filter(F.col(CHANGE_COL) == "metadata_changed").select(
+        *keys, *metadata_cols
+    )
+    if small(n_meta):
+        meta_side = F.broadcast(meta_side)
+    meta_updates = meta_side.join(current.select(*keys, *kept_cols), list(keys)).select(
+        *current.columns
     )
     updates = to_process.unionByName(meta_updates)
     deletes = classified.filter(F.col(CHANGE_COL) == "delete").select(*keys)
 
-    merged = merge_upsert(current, updates, keys)
-    final = apply_deletes(merged, deletes, keys)
+    # Delta merge instead of full-outer upsert: stored payloads are never
+    # exchanged — `current` anti-joins the touched-key set map-side
+    # (plan-time broadcast when the measured delta is bounded) and the
+    # delta unions on (operators/merge.merge_delta).
+    final = merge_delta(
+        current, updates, keys, delete_keys=deletes,
+        broadcast_touched=small(n_process + n_meta + n_delete),
+    )
     version = publish_versioned(final, table_dir)
     classified.unpersist()
     if annotate is not None:

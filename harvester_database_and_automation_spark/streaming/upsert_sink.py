@@ -5,7 +5,7 @@ file into the warehouse (staging-table upsert at database/R/utility.R:
 574-644 driven from the poll loops of automation_base.R:15-25). The
 Structured Streaming shape for that contract is ``foreachBatch``: the file
 source provides the processed-file ledger (checkpoint), and every
-micro-batch runs the SAME batch merge_upsert used everywhere else, then
+micro-batch runs the SAME batch delta merge used everywhere else, then
 republishes atomically — so streaming and batch ingest share one write
 path, one conflict rule (last-write-wins per key within a batch is the
 caller's dedup), and one publish protocol.
@@ -21,7 +21,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
-from harvester_database_and_automation_spark.operators.merge import merge_upsert
+from harvester_database_and_automation_spark.operators.merge import merge_delta
 from harvester_database_and_automation_spark.operators.publish import (
     current_version,
     publish_versioned,
@@ -51,7 +51,10 @@ def stream_upsert_into_published(
         if current_version(table_dir) is None:
             merged = batch_df
         else:
-            merged = merge_upsert(read_published(spark, table_dir), batch_df, keys)
+            # merge_delta: the published table anti-joins the (micro-
+            # batch-sized, AQE-broadcast) key set map-side — no full-outer
+            # exchange of the accumulated table per batch.
+            merged = merge_delta(read_published(spark, table_dir), batch_df, keys)
         publish_versioned(merged, table_dir)
 
     (

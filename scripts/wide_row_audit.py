@@ -1,0 +1,186 @@
+#!/usr/bin/env python
+"""Wide-row shuffle stress — WIDE_ROW_BYTES.json (r8 verdict stretch #7).
+
+The reference's genomes are ~30 KB text cells, and its risk register's
+first rule is: never shuffle payloads with metadata (SURVEY §7;
+refactoring_v3_schema.sql keeps sequences in their own table). This
+audit PROVES the feed-import DAG obeys that rule as data, not prose: it
+runs the same two-cycle import (insert/delete/metadata/payload/unchanged
+mix, keyed on doc_id % 10 like feed_import_replay) twice — once with
+~60 B payloads, once with the same rows padded to 30 KB — and records
+per-cycle shuffle bytes from the status API.
+
+If classification/merge/delete shuffle only keys + hashes + metadata
+(classify_changes(payload_skinny=True) + merge_delta), the steady-state
+cycle's shuffle volume is the SAME at both widths and a tiny fraction of
+the payload volume. A payload-proportional exchange anywhere in the hot
+path makes the wide run's shuffle explode ~500x and fails the gate.
+
+Cycle 1 is the bulk load (everything inserts); at this sf its delta key
+set still broadcasts, so it too stays skinny — at a true 100 TB first
+run the semi-join degrades to one sorted exchange of the feed, a one-off
+documented in merge_delta's docstring. The GATE is on cycle 2, the shape
+every daily run after the first has.
+
+Usage: SPARK_GRAFT_SF_DIR=... python scripts/wide_row_audit.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import urllib.request
+from pathlib import Path
+
+os.environ.setdefault("SPARK_UI", "1")
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F  # noqa: E402
+from pyspark.sql import types as T  # noqa: E402
+
+from harvester_database_and_automation_spark.catalog import load_table  # noqa: E402
+from harvester_database_and_automation_spark.pipelines.feed_import import run_feed_import  # noqa: E402
+from harvester_database_and_automation_spark.plans.shared import cleanup_scratch, scratch_dir  # noqa: E402
+from harvester_database_and_automation_spark.session import get_spark  # noqa: E402
+from harvester_database_and_automation_spark.sources.quarantine import not_null  # noqa: E402
+
+WIDE_BYTES = 30 * 1024
+# Gates on the steady-state cycle, both relative to the payload volume
+# (a raw wide/narrow ratio is unstable when the narrow baseline is
+# framework-noise kilobytes): total shuffle must stay under 1% of the
+# payload bytes, and widening payloads 500x must add under 0.5% — i.e.
+# the exchanges move keys+hashes+metadata, not genomes. A single
+# payload-carrying exchange fails both by ~two orders of magnitude.
+GATE_PAYLOAD_FRAC = 0.01    # wide cycle-2 shuffle / wide payload volume
+GATE_EXCESS_FRAC = 0.005    # (wide - narrow cycle-2 shuffle) / payload volume
+
+
+def _stages(ui: str, app_id: str) -> list[dict]:
+    url = f"{ui}/api/v1/applications/{app_id}/stages?status=complete"
+    with urllib.request.urlopen(url) as r:  # localhost UI, loopback only
+        return json.load(r)
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("wide-row-audit")
+    sc = spark.sparkContext
+    ui, app_id = sc.uiWebUrl, sc.applicationId
+    if not ui:
+        print("Spark UI disabled — set SPARK_UI=1", file=sys.stderr)
+        return 2
+    head = subprocess.run(
+        ["git", "rev-parse", "HEAD"], capture_output=True, text=True, check=True
+    ).stdout.strip()
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("src", T.StringType()),
+            T.StructField("payload", T.StringType()),
+        ]
+    )
+
+    def build_feeds(root: str, wide: bool) -> tuple[str, str, int]:
+        base = load_table(spark, sf_dir, "documents").select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            F.col("source").alias("src"),
+            F.regexp_replace(F.lower("text"), "[^a-z]", "").alias("payload"),
+            (F.col("doc_id") % 10).alias("m0"),
+        )
+        if wide:
+            base = base.withColumn("payload", F.rpad("payload", WIDE_BYTES, "acgtn"))
+        f1 = os.path.join(root, "feed1")
+        base.filter(F.col("m0") != 0).drop("m0").write.json(f1)
+        f2 = os.path.join(root, "feed2")
+        (
+            base.filter(F.col("m0") != 1)
+            .withColumn("src", F.when(F.col("m0") == 2, F.lit("UPDATED")).otherwise(F.col("src")))
+            .withColumn(
+                "payload",
+                F.when(F.col("m0") == 3, F.concat("payload", F.lit("aaa"))).otherwise(
+                    F.col("payload")
+                ),
+            )
+            .drop("m0")
+            .write.json(f2)
+        )
+        n_docs = base.count()
+        return f1, f2, n_docs
+
+    seen: set[tuple[int, int]] = set()
+
+    def measure(label: str, fn) -> dict:
+        nonlocal seen
+        seen = {(s["stageId"], s["attemptId"]) for s in _stages(ui, app_id)}
+        fn()
+        fresh = [
+            s for s in _stages(ui, app_id) if (s["stageId"], s["attemptId"]) not in seen
+        ]
+        row = {
+            "input_mb": round(sum(s["inputBytes"] for s in fresh) / 1e6, 2),
+            "shuffle_write_mb": round(sum(s["shuffleWriteBytes"] for s in fresh) / 1e6, 2),
+            "n_stages": len(fresh),
+        }
+        print(f"  {label}: {row}")
+        return row
+
+    results: dict[str, dict] = {}
+    for label, wide in (("narrow", False), ("wide", True)):
+        root = scratch_dir(prefix=f"widerow_{label}_")
+        table = os.path.join(root, "tbl")
+        f1, f2, n_docs = build_feeds(root, wide)
+        print(f"{label}: {n_docs} docs")
+        cycles = {}
+        for cyc, feed in (("cycle1_bulk_load", f1), ("cycle2_steady_state", f2)):
+            cycles[cyc] = measure(
+                f"{label}/{cyc}",
+                lambda f=feed: run_feed_import(
+                    spark, f, table, schema,
+                    keys=["doc_id"], metadata_cols=["src"], payload_cols=["payload"],
+                    checks={"src_required": not_null("src")},
+                    required_fields={"doc_id", "payload"},
+                ),
+            )
+        results[label] = {"n_docs": n_docs, **cycles}
+        cleanup_scratch()
+
+    wide_payload_mb = results["wide"]["n_docs"] * WIDE_BYTES / 1e6
+    c2_narrow = results["narrow"]["cycle2_steady_state"]["shuffle_write_mb"]
+    c2_wide = results["wide"]["cycle2_steady_state"]["shuffle_write_mb"]
+    payload_frac = c2_wide / wide_payload_mb if wide_payload_mb else float("inf")
+    excess_frac = (c2_wide - c2_narrow) / wide_payload_mb if wide_payload_mb else float("inf")
+    ok = payload_frac <= GATE_PAYLOAD_FRAC and excess_frac <= GATE_EXCESS_FRAC
+
+    out = {
+        "git_head": head,
+        "sf_dir": sf_dir,
+        "wide_payload_bytes_per_row": WIDE_BYTES,
+        "wide_payload_volume_mb": round(wide_payload_mb, 1),
+        "results": results,
+        "cycle2_shuffle_payload_frac": round(payload_frac, 5),
+        "cycle2_shuffle_excess_frac": round(excess_frac, 5),
+        "gates": {
+            "payload_frac_max": GATE_PAYLOAD_FRAC,
+            "excess_frac_max": GATE_EXCESS_FRAC,
+        },
+        "ok": ok,
+        "check": "steady-state import cycle shuffles keys+hashes+metadata, not "
+        "payloads: widening rows 500x adds <0.5% of payload volume to shuffle "
+        "(classify_changes(payload_skinny) + measured-delta broadcast hints + "
+        "merge_delta)",
+    }
+    (Path(__file__).resolve().parent.parent / "WIDE_ROW_BYTES.json").write_text(
+        json.dumps(out, indent=1) + "\n"
+    )
+    print(f"cycle2 shuffle: narrow {c2_narrow} MB, wide {c2_wide} MB; payload "
+          f"volume {wide_payload_mb:.0f} MB (frac {payload_frac:.4f}, excess "
+          f"{excess_frac:.4f}) -> {'OK' if ok else 'FAIL'}")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

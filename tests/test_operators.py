@@ -45,6 +45,57 @@ def test_merge_upsert_schema_mismatch(spark, current):
         merge_upsert(current, bad, ["id"])
 
 
+def test_merge_delta_matches_upsert_plus_deletes(spark, current):
+    """merge_delta == merge_upsert + apply_deletes for unique-key deltas,
+    WITHOUT the full-outer exchange of `current` (the 100 TB write path:
+    stored payloads anti-join a broadcastable touched-key set)."""
+    from harvester_database_and_automation_spark.operators.merge import merge_delta
+
+    updates = spark.createDataFrame([(2, "m2-new", "CCC"), (4, "m4", "TTT")], SCHEMA)
+    tombs = spark.createDataFrame([(3,)], "id int")
+    got = {r["id"]: (r["meta"], r["seq"])
+           for r in merge_delta(current, updates, ["id"], delete_keys=tombs).collect()}
+    assert got == {1: ("m1", "AAA"), 2: ("m2-new", "CCC"), 4: ("m4", "TTT")}
+
+    # Same result as the classic pair on the same inputs.
+    classic = apply_deletes(merge_upsert(current, updates, ["id"]), tombs, ["id"])
+    assert got == {r["id"]: (r["meta"], r["seq"]) for r in classic.collect()}
+
+    # No deletes; a NULL in the update row must still overwrite.
+    upd2 = spark.createDataFrame([(1, None, "AAA")], SCHEMA)
+    got2 = {r["id"]: r["meta"] for r in merge_delta(current, upd2, ["id"]).collect()}
+    assert got2 == {1: None, 2: "m2", 3: "m3"}
+
+
+def test_merge_delta_schema_mismatch(spark, current):
+    from harvester_database_and_automation_spark.operators.merge import merge_delta
+
+    bad = spark.createDataFrame([(1, "x")], "id int, meta string")
+    with pytest.raises(ValueError, match="schema mismatch"):
+        merge_delta(current, bad, ["id"])
+
+
+def test_merge_delta_current_never_shuffles(spark, current):
+    """The point of the operator: with the measured-delta broadcast hint,
+    the PLAN-TIME join is already a broadcast — `current` flows map-side
+    and never touches shuffle storage (AQE's stats-based flip would come
+    only after current's map stage had written its shuffle output). A
+    full-outer merge_upsert plan exchanges current by key."""
+    from harvester_database_and_automation_spark.operators.merge import merge_delta
+
+    updates = spark.createDataFrame([(2, "m2-new", "CCC")], SCHEMA)
+    plan = (
+        merge_delta(current, updates, ["id"], broadcast_touched=True)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    # And the hinted result is value-identical to the unhinted one.
+    a = {tuple(r) for r in merge_delta(current, updates, ["id"]).collect()}
+    b = {tuple(r) for r in
+         merge_delta(current, updates, ["id"], broadcast_touched=True).collect()}
+    assert a == b
+
+
 def test_update_from_sets_only_listed_columns(spark, current):
     src = spark.createDataFrame(
         [(2, "m2-upd", "ZZZ"), (9, "m9", "TTT")], SCHEMA  # 9 matches nothing
