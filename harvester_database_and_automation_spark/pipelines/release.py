@@ -10,7 +10,9 @@ the aggregate-of-aggregate share (export_spsp_submission.R:308-329).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 REASON_RELEASE = "release"
@@ -95,6 +97,138 @@ def resequencing_decisions(
         .otherwise("tombstone")
     )
     return out.withColumn("decision", decision).drop("_best_n")
+
+
+@dataclass
+class ReleaseCycleReport:
+    """Run summary for one release cycle — the structured stand-in for the
+    reference's email report (export_spsp_submission.R:308-420)."""
+
+    version: int
+    n_candidates: int
+    n_held_back: int
+    n_failed: int
+    n_submit_new: int
+    n_submit_update: int
+    n_tombstoned: int
+    n_suspicious_batches: int
+
+    @property
+    def n_released(self) -> int:
+        return self.n_submit_new + self.n_submit_update
+
+
+def run_release_cycle(
+    spark: SparkSession,
+    candidates: DataFrame,
+    expected: DataFrame,
+    arrived: DataFrame,
+    table_dir: str,
+    rules: list[tuple[str, Column]],
+    key: str,
+    quality_col: str,
+    batch_col: str,
+    tiebreak_col: str,
+    released_schema: str | None = None,
+) -> tuple[DataFrame, DataFrame, ReleaseCycleReport]:
+    """One cycle of the SPSP release pipeline (SURVEY.md §3.2, the `main`
+    flow of database/R/export_spsp_submission.R:20-57), composed from the
+    library stages in this module:
+
+    1. ``batch_completeness`` (utility.R:1107-1144): candidates whose
+       batch's expected sampleset has not fully ``arrived`` are HELD BACK
+       this cycle (returned separately so the caller can re-enqueue them
+       next cycle — the reference simply leaves them unreleased until the
+       next run sees the complete batch).
+    2. ``build_release_plan``: per-``key`` duplicate_idx window + the
+       ordered fail-reason cascade (export_spsp_submission.R:244-273);
+       rows matching no rule are release-eligible.
+    3. ``resequencing_decisions`` (export_spsp_submission.R:427-516):
+       eligible rows face the already-released table — never released →
+       submit_new; ≥10% quality improvement on the best released attempt
+       → submit_update; otherwise tombstone.
+    4. Accepted rows (submit_new/submit_update) merge-upsert into the
+       released table, published as the next atomic version (M4 — the
+       reference stamps spsp_uploaded_at via record_spsp_submission.R).
+
+    Returns ``(manifest, held_back, report)``. ``manifest`` is one row per
+    candidate with ``duplicate_idx`` and a final ``status`` — a fail
+    reason, a resequencing decision, or ``held_back`` (held rows carry a
+    NULL duplicate_idx: they never entered the window); ``held_back`` is
+    the raw candidate rows to re-enqueue next cycle.
+
+    Scale shape: completeness is two key-level aggregations (no payloads);
+    the cascade is one window over (key) partitions plus a ``when`` chain;
+    the resequencing gate joins against a key+metric aggregate of the
+    released table — never its payloads; the merge shuffles the released
+    table once on its key. Nothing here is driver-side except the bounded
+    report counts.
+    """
+    from harvester_database_and_automation_spark.operators.merge import merge_delta
+    from harvester_database_and_automation_spark.operators.publish import (
+        current_version,
+        publish_versioned,
+        read_published,
+    )
+
+    comp = batch_completeness(expected, arrived, key, batch_col)
+    flagged = candidates.join(
+        F.broadcast(comp.select(batch_col, "is_complete")), batch_col, "left"
+    ).cache()
+    held = flagged.filter(~F.coalesce("is_complete", F.lit(False))).drop("is_complete")
+    proc = flagged.filter(F.coalesce("is_complete", F.lit(False))).drop("is_complete")
+
+    annotated, qc = build_release_plan(
+        proc, key, quality_col, batch_col, rules, tiebreak_col=tiebreak_col
+    )
+    annotated = annotated.cache()
+    failed = annotated.filter(F.col("reason") != REASON_RELEASE)
+    eligible = annotated.filter(F.col("reason") == REASON_RELEASE)
+
+    if released_schema is None:
+        released_schema = f"{key} bigint, {quality_col} int"
+    if current_version(table_dir) is None:
+        released_cur = spark.createDataFrame([], released_schema)
+    else:
+        released_cur = read_published(spark, table_dir)
+    decided = resequencing_decisions(released_cur, eligible, key, quality_col).cache()
+
+    accepted = decided.filter(F.col("decision").isin("submit_new", "submit_update"))
+    # Delta merge: the released table streams map-side past the
+    # (cycle-sized, AQE-broadcast) accepted-key set — no full-outer
+    # exchange of the accumulated table (operators/merge.merge_delta).
+    merged = merge_delta(released_cur, accepted.select(key, quality_col), [key])
+    version = publish_versioned(merged, table_dir)
+
+    manifest = (
+        failed.withColumn("status", F.col("reason"))
+        .unionByName(decided.withColumn("status", F.col("decision")), allowMissingColumns=True)
+        .unionByName(
+            held.withColumn("duplicate_idx", F.lit(None).cast("int")).withColumn(
+                "status", F.lit("held_back")
+            ),
+            allowMissingColumns=True,
+        )
+    )
+    # One rollup action covers every report count except the suspicious-
+    # batch alert (different grain); the inputs are all cached above, so
+    # nothing recomputes.
+    by_status = {
+        r["status"]: r["n"]
+        for r in manifest.groupBy("status").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    report = ReleaseCycleReport(
+        version=version,
+        n_candidates=sum(by_status.values()),
+        n_held_back=by_status.get("held_back", 0),
+        n_failed=sum(n for s, n in by_status.items() if s not in
+                     ("submit_new", "submit_update", "tombstone", "held_back")),
+        n_submit_new=by_status.get("submit_new", 0),
+        n_submit_update=by_status.get("submit_update", 0),
+        n_tombstoned=by_status.get("tombstone", 0),
+        n_suspicious_batches=suspicious_batches(qc, batch_col).count(),
+    )
+    return manifest, held, report
 
 
 def batch_completeness(

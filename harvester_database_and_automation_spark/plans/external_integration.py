@@ -785,6 +785,258 @@ def state_gated_import_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "release_export_replay",
+    survey_ref="P6,W2,W4,A7,J5,J6,M1,M4,S4,pipeline-release,§3.2",
+    oracle="""
+WITH base AS (
+  SELECT CAST(doc_id AS BIGINT) AS sample_id,
+         CAST(doc_id % 10 AS INT) AS m,
+         CAST(doc_id % 5 AS INT) AS batch,
+         CAST(coalesce(length(text), 0) % 97 + 10 AS INT) AS n1,
+         CAST(coalesce(length(text), 0) % 89 + 10 AS INT) AS diag
+  FROM documents
+),
+-- Batch completeness derived relationally (utility.R:1107-1144): a batch
+-- is complete once every expected member has arrived. Cycle-1 arrivals
+-- are m NOT IN (7,9); by cycle 2 everything but m=9 has arrived.
+batches AS (
+  SELECT batch,
+         (count(*) = count(CASE WHEN m NOT IN (7, 9) THEN 1 END)) AS complete1,
+         (count(*) = count(CASE WHEN m <> 9 THEN 1 END)) AS complete2
+  FROM base GROUP BY batch
+),
+c1_cand AS (
+  SELECT sample_id, CAST(1 AS INT) AS attempt_id, batch, n1 AS consensus_n, diag
+  FROM base WHERE m NOT IN (7, 9)
+  UNION ALL
+  SELECT sample_id, CAST(2 AS INT), batch, CAST(n1 + 7 AS INT), diag
+  FROM base WHERE m = 3
+),
+c1_flag AS (SELECT c.*, b.complete1, b.complete2 FROM c1_cand c JOIN batches b USING (batch)),
+c1_proc AS (
+  SELECT *, CAST(row_number() OVER (
+           PARTITION BY sample_id ORDER BY consensus_n, attempt_id) AS INT) AS duplicate_idx
+  FROM c1_flag WHERE complete1
+),
+-- The fail-reason cascade (export_spsp_submission.R:244-273), first match
+-- wins; cycle 1 faces an empty released table, so every eligible row is
+-- submit_new.
+c1_status AS (
+  SELECT *,
+    CASE WHEN duplicate_idx > 1 THEN 'duplicate'
+         WHEN abs(consensus_n - diag) > 60 THEN 'n_discrepancy'
+         WHEN consensus_n > 90 THEN 'too_many_n'
+         ELSE 'submit_new' END AS status
+  FROM c1_proc
+),
+released_v1 AS (SELECT sample_id, consensus_n FROM c1_status WHERE status = 'submit_new'),
+c1_held AS (
+  SELECT sample_id, attempt_id, batch, consensus_n, diag, complete2
+  FROM c1_flag WHERE NOT complete1
+),
+c2_cand AS (
+  SELECT c.sample_id, c.attempt_id, c.batch, c.consensus_n, c.diag, b.complete2
+  FROM (
+    SELECT sample_id, CAST(1 AS INT) AS attempt_id, batch, n1 AS consensus_n, diag
+    FROM base WHERE m = 7
+    UNION ALL
+    SELECT sample_id, CAST(2 AS INT), batch, CAST(n1 + 3 AS INT), diag
+    FROM base WHERE m = 7
+    UNION ALL
+    SELECT sample_id, CAST(2 AS INT), batch, CAST(floor(n1 / 2) AS INT), diag
+    FROM base WHERE m = 0
+    UNION ALL
+    SELECT sample_id, CAST(2 AS INT), batch, CAST(n1 - 1 AS INT), diag
+    FROM base WHERE m = 1
+  ) c JOIN batches b USING (batch)
+  UNION ALL
+  SELECT sample_id, attempt_id, batch, consensus_n, diag, complete2 FROM c1_held
+),
+c2_proc AS (
+  SELECT *, CAST(row_number() OVER (
+           PARTITION BY sample_id ORDER BY consensus_n, attempt_id) AS INT) AS duplicate_idx
+  FROM c2_cand WHERE complete2
+),
+-- Resequencing gate (export_spsp_submission.R:427-516): never released ->
+-- submit_new; >=10pct improvement on the best released attempt ->
+-- submit_update; else tombstone. 0.9 is cast to DOUBLE so both engines
+-- compare with the SAME IEEE product (DuckDB's DECIMAL 0.9 would differ
+-- from Spark's double at exact-boundary rows like old=10, new=9).
+c2_status AS (
+  SELECT p.*,
+    CASE WHEN p.duplicate_idx > 1 THEN 'duplicate'
+         WHEN abs(p.consensus_n - p.diag) > 60 THEN 'n_discrepancy'
+         WHEN p.consensus_n > 90 THEN 'too_many_n'
+         WHEN r.consensus_n IS NULL THEN 'submit_new'
+         WHEN p.consensus_n < CAST(0.9 AS DOUBLE) * r.consensus_n THEN 'submit_update'
+         ELSE 'tombstone' END AS status
+  FROM c2_proc p LEFT JOIN released_v1 r ON p.sample_id = r.sample_id
+)
+SELECT sample_id, attempt_id, CAST(1 AS INT) AS cycle, batch, consensus_n,
+       duplicate_idx, status FROM c1_status
+UNION ALL
+SELECT sample_id, attempt_id, CAST(1 AS INT), batch, consensus_n,
+       CAST(NULL AS INT), 'held_back' FROM c1_held
+UNION ALL
+SELECT sample_id, attempt_id, CAST(2 AS INT), batch, consensus_n,
+       duplicate_idx, status FROM c2_status
+UNION ALL
+SELECT sample_id, attempt_id, CAST(2 AS INT), batch, consensus_n,
+       CAST(NULL AS INT), 'held_back' FROM c2_cand WHERE NOT complete2
+""",
+)
+def release_export_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §3.2 end-to-end, driver-hash-certified: two cycles of the
+    SPSP release pipeline (`pipelines/release.run_release_cycle` — the
+    Spark re-design of database/R/export_spsp_submission.R:20-57) over a
+    synthetic sample corpus derived deterministically from the documents
+    table, with the final submission manifest exported through the typed
+    TSV write path and hash-compared (after re-reading the files) against
+    a DuckDB oracle that replays every rule relationally.
+
+    Corpus, keyed on ``m = sample_id % 10`` with ``batch = sample_id % 5``
+    (so batch b holds exactly the m ∈ {b, b+5} samples) and quality metric
+    ``consensus_n`` (lower is better, ∈ [10, 106]):
+
+    - cycle-1 arrivals: every sample with ``m ∉ {7, 9}``; ``m == 3``
+      samples arrive TWICE (second attempt 7 worse → the in-cycle
+      duplicate_idx window must fail it as 'duplicate');
+    - ``m == 7`` samples arrive only in cycle 2 → their batches (b=2) are
+      INCOMPLETE in cycle 1 and ``batch_completeness`` must hold back the
+      already-arrived ``m == 2`` rows (utility.R:1107-1144), releasing
+      them in cycle 2 once the batch completes;
+    - ``m == 9`` samples NEVER arrive → their batches (b=4) stay
+      incomplete through both cycles and the ``m == 4`` rows are held
+      back twice — hold-back persistence is inside the hash;
+    - cycle 2 carries both resequencing legs
+      (export_spsp_submission.R:427-516): ``m == 0`` samples re-arrive at
+      ``floor(n/2)`` (≥10% better → **submit_update**), ``m == 1`` at
+      ``n - 1`` (better but <10% → **tombstone**); samples whose cycle-1
+      attempt FAILED the cascade re-enter as submit_new (best_old is
+      NULL) — the accept/reject gate `new < 0.9 × best_old`
+      (pipelines/release.py:72) is certified on both sides of the
+      boundary, including exact-boundary rows (old = 10 → new = 9);
+    - ``m == 7`` also arrives twice in cycle 2 (attempt 2 is 3 worse), so
+      the duplicate window is exercised in the same cycle as the gate;
+    - the fail cascade (n_discrepancy on |consensus_n − diagnostic_n|,
+      too_many_n) runs before the gate each cycle, exactly one reason per
+      row (export_spsp_submission.R:244-273).
+
+    Each cycle merge-upserts accepted rows into the released table and
+    publishes it as the next atomic version (M4); the in-function report
+    assertions pin version numbering (v1, v2), that cycle 1 produces no
+    updates/tombstones, and that the published row count equals the
+    distinct submit_new samples (updates never insert). The manifest is
+    then written through the dated-submission-dir TSV export and re-read
+    with the strict typed reader (S4) — the returned frame is the
+    round-tripped file content, so the export leg is inside the hash too.
+
+    Scale shape: completeness is two key-level aggregations; the cascade
+    is one window over (sample) partitions plus a `when` chain; the gate
+    joins a key+metric aggregate of the released table (never payloads);
+    the merge shuffles the released table once on its key; the manifest
+    export is a straight distributed write. No driver-side data beyond
+    the bounded report counts."""
+    from pyspark.sql import types as T
+
+    from harvester_database_and_automation_spark.operators.publish import read_published
+    from harvester_database_and_automation_spark.pipelines.release import run_release_cycle
+    from harvester_database_and_automation_spark.sources.tabular import read_csv_strict
+
+    root = scratch_dir(prefix="release_export_")
+    table = os.path.join(root, "released")
+
+    base = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("bigint").alias("sample_id"),
+        (F.col("doc_id") % 10).alias("m"),
+        (F.col("doc_id") % 5).cast("int").alias("batch"),
+        ((F.coalesce(F.length("text"), F.lit(0)) % 97) + 10).cast("int").alias("n1"),
+        ((F.coalesce(F.length("text"), F.lit(0)) % 89) + 10).cast("int").alias("diag"),
+    )
+
+    def attempt(df: DataFrame, attempt_id: int, n_col) -> DataFrame:
+        return df.select(
+            "sample_id",
+            F.lit(attempt_id).cast("int").alias("attempt_id"),
+            "batch",
+            n_col.cast("int").alias("consensus_n"),
+            "diag",
+        )
+
+    c1_arrivals = attempt(base.filter(~F.col("m").isin(7, 9)), 1, F.col("n1")).unionByName(
+        attempt(base.filter(F.col("m") == 3), 2, F.col("n1") + 7)
+    )
+    c2_arrivals = (
+        attempt(base.filter(F.col("m") == 7), 1, F.col("n1"))
+        .unionByName(attempt(base.filter(F.col("m") == 7), 2, F.col("n1") + 3))
+        .unionByName(attempt(base.filter(F.col("m") == 0), 2, F.floor(F.col("n1") / 2)))
+        .unionByName(attempt(base.filter(F.col("m") == 1), 2, F.col("n1") - 1))
+    )
+    expected = base.select("sample_id", "batch")
+    arrived1 = base.filter(~F.col("m").isin(7, 9)).select("sample_id")
+    arrived2 = base.filter(F.col("m") != 9).select("sample_id")
+
+    rules = [
+        ("duplicate", F.col("duplicate_idx") > 1),
+        ("n_discrepancy", F.abs(F.col("consensus_n") - F.col("diag")) > 60),
+        ("too_many_n", F.col("consensus_n") > 90),
+    ]
+
+    man1, held1, rep1 = run_release_cycle(
+        spark, c1_arrivals, expected, arrived1, table, rules,
+        key="sample_id", quality_col="consensus_n", batch_col="batch",
+        tiebreak_col="attempt_id",
+    )
+    if rep1.version != 1 or rep1.n_submit_update != 0 or rep1.n_tombstoned != 0:
+        raise AssertionError(f"cycle 1 report off: {rep1}")
+
+    c2_candidates = c2_arrivals.unionByName(
+        held1.select("sample_id", "attempt_id", "batch", "consensus_n", "diag")
+    )
+    man2, _held2, rep2 = run_release_cycle(
+        spark, c2_candidates, expected, arrived2, table, rules,
+        key="sample_id", quality_col="consensus_n", batch_col="batch",
+        tiebreak_col="attempt_id",
+    )
+    if rep2.version != 2:
+        raise AssertionError(f"cycle 2 report off: {rep2}")
+
+    def man_rows(man: DataFrame, cycle: int) -> DataFrame:
+        return man.select(
+            "sample_id", "attempt_id",
+            F.lit(cycle).cast("int").alias("cycle"),
+            "batch", "consensus_n",
+            F.col("duplicate_idx").cast("int").alias("duplicate_idx"),
+            "status",
+        )
+
+    manifest = man_rows(man1, 1).unionByName(man_rows(man2, 2))
+
+    # Updates never insert: the published released table must hold exactly
+    # the submit_new rows across both cycles (a sample can be submit_new at
+    # most once — once released, later attempts gate as update/tombstone).
+    n_pub = read_published(spark, table).count()
+    n_new = rep1.n_submit_new + rep2.n_submit_new
+    if n_pub != n_new:
+        raise AssertionError(f"published rows {n_pub} != submit_new total {n_new}")
+
+    sub_dir = os.path.join(root, "submission")
+    manifest.write.option("header", True).option("sep", "\t").csv(sub_dir)
+    out_schema = T.StructType(
+        [
+            T.StructField("sample_id", T.LongType()),
+            T.StructField("attempt_id", T.IntegerType()),
+            T.StructField("cycle", T.IntegerType()),
+            T.StructField("batch", T.IntegerType()),
+            T.StructField("consensus_n", T.IntegerType()),
+            T.StructField("duplicate_idx", T.IntegerType()),
+            T.StructField("status", T.StringType()),
+        ]
+    )
+    return read_csv_strict(spark, sub_dir, out_schema, sep="\t")
+
+
+@register(
     "feed_import_replay",
     survey_ref="S2,S8,P6,M1,M2,M3,M4,pipeline-3.1",
     oracle="""

@@ -383,3 +383,66 @@ def test_read_derived_serving_store(spark, tmp_path, monkeypatch):
         assert dv._build_fingerprint("semdedup_assign") != fp_with
     finally:
         dv.LAYER.tables["semdedup_assign"] = spec
+
+
+def test_run_release_cycle_two_cycles(spark, tmp_path):
+    """End-to-end unit check of the §3.2 cycle runner on a hand-built
+    corpus: completeness hold-back, in-cycle duplicate window, the fail
+    cascade, both resequencing legs at their exact boundary (old=10:
+    new=9 tombstones, new=8 updates), and versioned publish."""
+    from harvester_database_and_automation_spark.pipelines.release import run_release_cycle
+
+    table = str(tmp_path / "released")
+    expected = spark.createDataFrame(
+        [(1, 0), (2, 0), (3, 1), (4, 1), (10, 2), (11, 2)],
+        "sample_id bigint, batch int",
+    )
+    rules = [
+        ("duplicate", F.col("duplicate_idx") > 1),
+        ("too_many_n", F.col("consensus_n") > 90),
+    ]
+
+    # Cycle 1: batch 1 incomplete (sample 4 missing); sample 1 has two
+    # attempts; sample 2 fails too_many_n; samples 10/11 release at n=10.
+    c1 = spark.createDataFrame(
+        [(1, 1, 0, 30), (1, 2, 0, 37), (2, 1, 0, 95), (3, 1, 1, 20),
+         (10, 1, 2, 10), (11, 1, 2, 10)],
+        "sample_id bigint, attempt_id int, batch int, consensus_n int",
+    )
+    arrived1 = c1.select("sample_id").distinct()
+    man1, held1, rep1 = run_release_cycle(
+        spark, c1, expected, arrived1, table, rules,
+        key="sample_id", quality_col="consensus_n", batch_col="batch",
+        tiebreak_col="attempt_id",
+    )
+    s1 = {(r["sample_id"], r["attempt_id"]): r["status"] for r in man1.collect()}
+    assert s1 == {(1, 1): "submit_new", (1, 2): "duplicate", (2, 1): "too_many_n",
+                  (3, 1): "held_back", (10, 1): "submit_new", (11, 1): "submit_new"}
+    assert {r["duplicate_idx"] for r in man1.filter("status = 'held_back'").collect()} == {None}
+    assert [r["sample_id"] for r in held1.collect()] == [3]
+    assert rep1.version == 1 and rep1.n_held_back == 1 and rep1.n_submit_new == 3
+
+    # Cycle 2: batch 1 completes (sample 4 arrives) so sample 3 releases;
+    # sample 1 resequences with a >10% improvement (26 < 0.9*30 = 27; an
+    # exactly-10% attempt would tombstone — the boundary is strict) and
+    # samples 10/11 probe it at old=10: 9 is NOT < 0.9*10, 8 is.
+    c2 = spark.createDataFrame(
+        [(4, 1, 1, 50), (1, 2, 0, 26), (10, 2, 2, 9), (11, 2, 2, 8)],
+        "sample_id bigint, attempt_id int, batch int, consensus_n int",
+    )
+    candidates2 = c2.unionByName(held1.select(*c2.columns))
+    arrived2 = arrived1.unionByName(c2.select("sample_id")).distinct()
+    man2, held2, rep2 = run_release_cycle(
+        spark, candidates2, expected, arrived2, table, rules,
+        key="sample_id", quality_col="consensus_n", batch_col="batch",
+        tiebreak_col="attempt_id",
+    )
+    s2 = {r["sample_id"]: r["status"] for r in man2.collect()}
+    assert s2 == {4: "submit_new", 3: "submit_new", 1: "submit_update",
+                  10: "tombstone", 11: "submit_update"}
+    assert held2.count() == 0
+    assert rep2.version == 2 and rep2.n_tombstoned == 1 and rep2.n_submit_update == 2
+
+    # The published table carries the updated metric, never tombstoned ones.
+    final = {r["sample_id"]: r["consensus_n"] for r in read_published(spark, table).collect()}
+    assert final == {1: 26, 3: 20, 4: 50, 10: 10, 11: 8}
