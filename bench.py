@@ -103,6 +103,11 @@ def main() -> None:
         "sec_per_query": round(total / n, 4),
         "calibration_sec": calibration,
         "queries": slowest_first,
+        # Box-independent history: seconds per calibration second (the
+        # pinned workload above). scripts/bench_history.py compares these
+        # across rounds to catch cumulative creep that each round's
+        # ±1.5x raw-diff gate can't see.
+        "queries_norm": {q: round(dt / calibration, 3) for q, dt in slowest_first.items()},
         "sf": sf,
     }
     (Path(__file__).resolve().parent / "BENCH_FULL.json").write_text(

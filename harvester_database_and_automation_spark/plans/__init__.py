@@ -178,9 +178,18 @@ _CHANGED_IN_R8 = [
 
 # Round-9 edits after round 8's driver greens: the feed_import_replay
 # oracle gained the explicit source-IS-NOT-NULL quarantine predicate
-# (r8 ADVICE), and any replay whose module text changed this round.
+# (r8 ADVICE); the feed-import/upsert write path moved from full-outer
+# merge_upsert to the payload-skinny classify + merge_delta shape (no
+# corpus exchange); event_value_trend gained the zero-variance slope
+# guard the drift guard exposed.
 _CHANGED_IN_R9 = [
     "feed_import_replay",
+    "streaming_upsert_publish_replay",
+    # Zero-variance /0 guards the drift guard exposed (NULL on degenerate
+    # denominators, mirrored in the oracles):
+    "event_value_trend",
+    "order_price_date_correlation",
+    "ab_arm_zscores",
 ]
 
 # round -> list; a query whose latest implementation-change round has no
