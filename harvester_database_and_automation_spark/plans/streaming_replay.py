@@ -416,8 +416,8 @@ FROM firsts f JOIN lasts l ON l.user_id = f.user_id
 )
 def streaming_upsert_publish_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The streaming WRITE path, hash-certified end-to-end: two
-    micro-batches flow through the foreachBatch merge-upsert sink
-    (`streaming/upsert_sink.py` -> `operators/merge.merge_upsert` ->
+    micro-batches flow through the foreachBatch delta-merge sink
+    (`streaming/upsert_sink.py` -> `operators/merge.merge_delta` ->
     `operators/publish.publish_versioned`), each batch atomically
     republishing the table. Batch 0 inserts every user's FIRST-event row;
     batch 1 overwrites every user with user_id % 3 != 0 with their
