@@ -950,3 +950,121 @@ def release_qc_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("frac_batch"), 6).alias("frac_batch"),
         (release_rate < 0.8).alias("suspicious"),
     )
+
+
+@register(
+    "release_metadata_union",
+    survey_ref="U1,P4,P5,J1,lookup-recode,pipeline-release,§3.2",
+    oracle="""
+WITH c AS (
+  SELECT CAST(c_custkey AS BIGINT) AS sample_id,
+         c_name,
+         CAST(c_custkey % 4 AS INT) AS lab,
+         CAST(c_custkey % 90 + 10 AS INT) AS zip
+  FROM customer
+),
+-- Four labs deliver four different raw shapes; each conforms to
+-- (sample_id, submitter, zip, lab_name) before the union. Lab 3's feed
+-- carries no zip at all (NULL after conforming).
+conformed AS (
+  SELECT sample_id, c_name AS submitter, zip, 'viollier' AS lab_name
+  FROM c WHERE lab = 0
+  UNION ALL
+  SELECT sample_id, lower(c_name), zip, 'imv' FROM c WHERE lab = 1
+  UNION ALL
+  SELECT sample_id, c_name, zip, 'eoc' FROM c WHERE lab = 2
+  UNION ALL
+  SELECT sample_id, c_name, CAST(NULL AS INT), 'teamw' FROM c WHERE lab = 3
+),
+codes(lab_name, foph_code) AS (
+  VALUES ('viollier', 101), ('imv', 102), ('eoc', 103), ('teamw', 104)
+),
+cantons AS (
+  SELECT CAST(n_nationkey AS INT) AS canton_key, n_name AS canton FROM nation
+)
+SELECT m.sample_id,
+       m.submitter,
+       CAST(cd.foph_code AS INT) AS foph_code,
+       coalesce(ct.canton, 'UNKNOWN') AS canton,
+       cd.lab_name || '-' || lpad(CAST(m.sample_id AS VARCHAR), 9, '0') AS spsp_id
+FROM conformed m
+JOIN codes cd USING (lab_name)
+LEFT JOIN cantons ct ON ct.canton_key = m.zip % 25
+""",
+)
+def release_metadata_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §3.2 step 4 — `get_sample_metadata` as one certified query
+    (database/R/export_spsp_submission.R:520 onward): the multi-lab
+    metadata union (viollier/imv/eoc/teamw arrive with DIFFERENT raw
+    shapes and conform to one schema before the union), the FOPH lab-code
+    recode (an inline VALUES dim), the zip→canton enrichment join
+    (utility.R's plz_to_canton, modeled on the nation dim), the
+    `qc_sample_metadata` duplicate-sample hard-stop (dup sample ids abort
+    the run — asserted in-plan on the key level), the mandatory-column
+    discipline (a lab that never ships zips degrades to canton
+    'UNKNOWN' via coalesce rather than dropping rows), and the SPSP
+    identifier formatting.
+
+    Labs are customers keyed on c_custkey % 4; lab 1 delivers lowercased
+    submitter names (the conform step normalizes shape, not content —
+    content normalization is the cascade's job), lab 3 ships no zip.
+
+    Scale shape: one union of four conformed projections (each a
+    map-side SELECT over the same scan — Catalyst merges them into one
+    pass), two broadcast joins against literal/dimension frames, and the
+    hard-stop is a key-level aggregate with take(1). No fact-table
+    shuffle anywhere."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("bigint").alias("sample_id"),
+        "c_name",
+        (F.col("c_custkey") % 4).cast("int").alias("lab"),
+        (F.col("c_custkey") % 90 + 10).cast("int").alias("zip"),
+    )
+
+    def lab(n: int, submitter, zipcol, name: str) -> DataFrame:
+        return c.filter(F.col("lab") == n).select(
+            "sample_id",
+            submitter.alias("submitter"),
+            zipcol.cast("int").alias("zip"),
+            F.lit(name).alias("lab_name"),
+        )
+
+    conformed = (
+        lab(0, F.col("c_name"), F.col("zip"), "viollier")
+        .unionByName(lab(1, F.lower("c_name"), F.col("zip"), "imv"))
+        .unionByName(lab(2, F.col("c_name"), F.col("zip"), "eoc"))
+        .unionByName(lab(3, F.col("c_name"), F.lit(None), "teamw"))
+    )
+
+    # qc_sample_metadata hard-stop: duplicate sample ids abort the export
+    # (the reference raises; we mirror with a key-level check that is
+    # empty by construction — c_custkey is the PK).
+    dups = conformed.groupBy("sample_id").count().filter(F.col("count") > 1)
+    if dups.take(1):
+        raise AssertionError("duplicate sample ids in conformed metadata")
+
+    codes = spark.createDataFrame(
+        [("viollier", 101), ("imv", 102), ("eoc", 103), ("teamw", 104)],
+        "lab_name string, foph_code int",
+    )
+    cantons = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("int").alias("canton_key"),
+        F.col("n_name").alias("canton"),
+    )
+    return (
+        conformed.join(F.broadcast(codes), "lab_name")
+        .join(
+            F.broadcast(cantons),
+            F.col("canton_key") == F.col("zip") % 25,
+            "left",
+        )
+        .select(
+            "sample_id",
+            "submitter",
+            "foph_code",
+            F.coalesce("canton", F.lit("UNKNOWN")).alias("canton"),
+            F.concat(
+                "lab_name", F.lit("-"), F.lpad(F.col("sample_id").cast("string"), 9, "0")
+            ).alias("spsp_id"),
+        )
+    )
