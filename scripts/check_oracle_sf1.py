@@ -115,6 +115,14 @@ def main() -> int:
         # artifact instead of shrinking it to the rerun slice.
         prior = json.loads(artifact.read_text())
         merged = prior.get("queries", {})
+        # Stamp provenance: re-run rows carry THIS head; carried rows keep
+        # whatever head they were measured at (valid only while the corpus
+        # is unchanged — /root/testdata mtimes are the tell).
+        prior_head = prior.get("git_head", "unknown")
+        for name, row in merged.items():
+            row.setdefault("measured_at", prior_head)
+        for name in list(rows):
+            rows[name]["measured_at"] = head
         merged.update(rows)
         rows = merged
         n_fail = sum(1 for r in rows.values() if not r.get("ok"))
@@ -123,6 +131,7 @@ def main() -> int:
         "sf1_source": "scripts/make_sf1.py: FK-consistent 10x replication of the driver's sf0.1",
         "compare": "row count + schema + order-insensitive value hash (testing.compare_frames)",
         "git_head": head,
+        "note": "rows carry measured_at; a subset rerun merges into prior rows, valid only while the corpus is unchanged",
         "n_queries": len(rows),
         "n_pass": len(rows) - n_fail,
         "queries": rows,
