@@ -91,9 +91,13 @@ def merge_delta(
 
     Matched rows take every column from ``updates``; unmatched current
     rows survive verbatim; unmatched update rows insert; ``delete_keys``
-    rows vanish (tombstones, M3). Duplicate update keys would silently
-    double rows here (merge_upsert's full-outer multiplies them just as
-    silently) — callers own key uniqueness.
+    rows vanish (tombstones, M3). **Deletes win over updates**: a key
+    present in BOTH ``updates`` and ``delete_keys`` is removed, matching
+    the ``apply_deletes(merge_upsert(...))`` pair this operator replaces
+    (deletes ran last there, so they won; the updates side is anti-joined
+    against the tombstones to preserve that precedence). Duplicate update
+    keys would silently double rows here (merge_upsert's full-outer
+    multiplies them just as silently) — callers own key uniqueness.
     """
     if set(current.columns) != set(updates.columns):
         raise ValueError(
@@ -101,7 +105,17 @@ def merge_delta(
         )
     touched = updates.select(*keys)
     if delete_keys is not None:
-        touched = touched.unionByName(delete_keys.select(*keys))
+        tombs = delete_keys.select(*keys).distinct()
+        touched = touched.unionByName(tombs)
+        # Delete precedence: without this anti-join, a key in both sets
+        # would be dropped from `current` but re-inserted by the union —
+        # the update would silently win, the opposite of the classic
+        # merge_upsert+apply_deletes ordering. The tombstone frame is the
+        # same delta-sized set the anti-join below broadcasts.
+        updates = updates.join(
+            F.broadcast(tombs) if broadcast_touched else tombs,
+            on=list(keys), how="left_anti",
+        )
     touched = touched.distinct()
     if broadcast_touched:
         touched = F.broadcast(touched)

@@ -78,6 +78,7 @@ def run_feed_import(
     annotate: Callable[[DataFrame], DataFrame] | None = None,
     required_fields: set[str] | None = None,
     broadcast_delta_max_rows: int = 1_000_000,
+    broadcast_delta_max_bytes: int = 64 * 1024 * 1024,
 ) -> FeedImportReport:
     """Run one import cycle of ``feed_path`` into ``table_dir``.
 
@@ -85,6 +86,15 @@ def run_feed_import(
     same schema plus derived columns already present in ``schema`` — it is
     invoked ONLY on insert/payload_changed rows; unchanged and
     metadata-changed rows keep their stored annotation untouched.
+
+    Broadcast gating is on MEASURED rows AND estimated bytes: an explicit
+    ``F.broadcast`` bypasses autoBroadcastJoinThreshold and AQE's size
+    check entirely, so a row-count gate alone would happily broadcast
+    hundreds of MB of composite/wide string keys on exactly the
+    large-delta days the gate exists for (round-9 ADVICE). The byte
+    estimate (per-row key/metadata octet lengths, summed in the same
+    classification rollup that feeds the run report — no extra action)
+    must stay under ``broadcast_delta_max_bytes`` as well.
     """
     if required_fields:
         drift = check_field_drift(spark, feed_path, required=required_fields)
@@ -110,10 +120,26 @@ def run_feed_import(
     classified = classify_changes(
         current, clean, keys, metadata_cols, payload_cols, payload_skinny=True
     ).cache()
-    by_type = {
-        r[CHANGE_COL]: r["n"]
-        for r in classified.groupBy(CHANGE_COL).agg(F.count(F.lit(1)).alias("n")).collect()
-    }
+    # Per-row width estimates ride the SAME rollup as the change counts
+    # (one action): +16 B/column covers UnsafeRow field + offset overhead;
+    # delete rows carry NULL metadata (coalesce to 0). These feed the
+    # byte-aware broadcast gates below.
+    _w = lambda cols: sum(  # noqa: E731 - local shorthand
+        (F.coalesce(F.octet_length(F.col(c).cast("string")), F.lit(0)) + F.lit(16))
+        for c in cols
+    )
+    rollup = (
+        classified.groupBy(CHANGE_COL)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_w(keys)).alias("key_bytes"),
+            F.sum(_w(keys) + _w(metadata_cols)).alias("row_bytes"),
+        )
+        .collect()
+    )
+    by_type = {r[CHANGE_COL]: r["n"] for r in rollup}
+    key_bytes = {r[CHANGE_COL]: r["key_bytes"] or 0 for r in rollup}
+    row_bytes = {r[CHANGE_COL]: r["row_bytes"] or 0 for r in rollup}
 
     # Re-attach payloads ONLY to the delta that needs processing. The
     # delta cardinality is ALREADY MEASURED (by_type above feeds the run
@@ -127,16 +153,17 @@ def run_feed_import(
     n_meta = by_type.get("metadata_changed", 0)
     n_delete = by_type.get("delete", 0)
 
-    def small(n: int) -> bool:
-        return n <= broadcast_delta_max_rows
+    def small(n: int, est_bytes: int) -> bool:
+        return n <= broadcast_delta_max_rows and est_bytes <= broadcast_delta_max_bytes
 
+    process_key_bytes = key_bytes.get("insert", 0) + key_bytes.get("payload_changed", 0)
     if first_run:
         to_process = clean
     else:
         process_keys = classified.filter(
             F.col(CHANGE_COL).isin("insert", "payload_changed")
         ).select(*keys)
-        if small(n_process):
+        if small(n_process, process_key_bytes):
             process_keys = F.broadcast(process_keys)
         to_process = clean.join(process_keys, on=list(keys), how="left_semi")
     if annotate is not None:
@@ -155,7 +182,7 @@ def run_feed_import(
     meta_side = classified.filter(F.col(CHANGE_COL) == "metadata_changed").select(
         *keys, *metadata_cols
     )
-    if small(n_meta):
+    if small(n_meta, row_bytes.get("metadata_changed", 0)):
         meta_side = F.broadcast(meta_side)
     meta_updates = meta_side.join(current.select(*keys, *kept_cols), list(keys)).select(
         *current.columns
@@ -167,9 +194,12 @@ def run_feed_import(
     # exchanged — `current` anti-joins the touched-key set map-side
     # (plan-time broadcast when the measured delta is bounded) and the
     # delta unions on (operators/merge.merge_delta).
+    touched_key_bytes = (
+        process_key_bytes + key_bytes.get("metadata_changed", 0) + key_bytes.get("delete", 0)
+    )
     final = merge_delta(
         current, updates, keys, delete_keys=deletes,
-        broadcast_touched=small(n_process + n_meta + n_delete),
+        broadcast_touched=small(n_process + n_meta + n_delete, touched_key_bytes),
     )
     version = publish_versioned(final, table_dir)
     classified.unpersist()

@@ -130,6 +130,8 @@ def run_release_cycle(
     batch_col: str,
     tiebreak_col: str,
     released_schema: str | None = None,
+    released_cols: list[str] | None = None,
+    broadcast_accepted_max_bytes: int = 64 * 1024 * 1024,
 ) -> tuple[DataFrame, DataFrame, ReleaseCycleReport]:
     """One cycle of the SPSP release pipeline (SURVEY.md §3.2, the `main`
     flow of database/R/export_spsp_submission.R:20-57), composed from the
@@ -157,12 +159,31 @@ def run_release_cycle(
     NULL duplicate_idx: they never entered the window); ``held_back`` is
     the raw candidate rows to re-enqueue next cycle.
 
+    ``released_cols`` names the columns the released table carries
+    (default ``[key, quality_col]`` — the minimal resequencing state; a
+    production corpus passes its full metadata+payload column list). The
+    merge is payload-safe either way: :func:`merge_delta` anti-joins the
+    stored table against a keys-only tombstone set, so released payloads
+    never enter an exchange (the release leg of
+    ``scripts/wide_row_audit.py`` measures this).
+
+    Accepted keys must be UNIQUE when they reach the merge — normally the
+    caller's ``rules`` include a ``duplicate_idx > 1`` rule so only the
+    best attempt per key survives the cascade. Misconfigured rules are a
+    hard error here (one count/distinct aggregation over the delta-sized
+    accepted set), not silent row doubling in the published table. The
+    same aggregation measures the accepted delta's key bytes, so the
+    merge's anti-join is broadcast-HINTED at plan time whenever the delta
+    is provably bounded (< ``broadcast_accepted_max_bytes``) — AQE's own
+    flip happens only after the stored side's map stage has written its
+    shuffle output (operators/merge.py doctrine).
+
     Scale shape: completeness is two key-level aggregations (no payloads);
     the cascade is one window over (key) partitions plus a ``when`` chain;
     the resequencing gate joins against a key+metric aggregate of the
-    released table — never its payloads; the merge shuffles the released
-    table once on its key. Nothing here is driver-side except the bounded
-    report counts.
+    released table — never its payloads; the merge streams the released
+    table map-side past the hinted delta key set. Nothing here is
+    driver-side except the bounded report counts.
     """
     from harvester_database_and_automation_spark.operators.merge import merge_delta
     from harvester_database_and_automation_spark.operators.publish import (
@@ -185,19 +206,53 @@ def run_release_cycle(
     failed = annotated.filter(F.col("reason") != REASON_RELEASE)
     eligible = annotated.filter(F.col("reason") == REASON_RELEASE)
 
-    if released_schema is None:
-        released_schema = f"{key} bigint, {quality_col} int"
+    if released_cols is None:
+        released_cols = [key, quality_col]
     if current_version(table_dir) is None:
-        released_cur = spark.createDataFrame([], released_schema)
+        if released_schema is not None:
+            released_cur = spark.createDataFrame([], released_schema)
+        else:
+            # Derive the empty table's schema from the candidates
+            # themselves (round-9 ADVICE): a hardcoded type string breaks
+            # string-keyed or differently-typed corpora on the first
+            # cycle's unionByName under ANSI.
+            released_cur = spark.createDataFrame(
+                [], candidates.select(*released_cols).schema
+            )
     else:
         released_cur = read_published(spark, table_dir)
     decided = resequencing_decisions(released_cur, eligible, key, quality_col).cache()
 
     accepted = decided.filter(F.col("decision").isin("submit_new", "submit_update"))
-    # Delta merge: the released table streams map-side past the
-    # (cycle-sized, AQE-broadcast) accepted-key set — no full-outer
-    # exchange of the accumulated table (operators/merge.merge_delta).
-    merged = merge_delta(released_cur, accepted.select(key, quality_col), [key])
+    # ONE delta-sized aggregation does three jobs: the loud uniqueness
+    # gate (merge_delta doubles rows on duplicate keys — fail instead),
+    # the measured delta count, and the delta's key-byte estimate that
+    # decides the plan-time broadcast hint below.
+    stats = accepted.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct(F.col(key)).alias("n_keys"),
+        F.coalesce(
+            F.sum(F.octet_length(F.col(key).cast("string")) + F.lit(16)), F.lit(0)
+        ).alias("key_bytes"),
+    ).collect()[0]
+    if stats["n"] != stats["n_keys"]:
+        raise ValueError(
+            f"run_release_cycle: accepted rows carry duplicate {key!r} values "
+            f"({stats['n']} rows over {stats['n_keys']} keys) — the rules must "
+            "fail worse duplicates (add a duplicate_idx > 1 rule) before rows "
+            "reach the merge; merging would silently double published rows"
+        )
+    # Delta merge: the released table streams map-side past the accepted
+    # key set — no full-outer exchange of the accumulated table. The hint
+    # is plan-time because the delta is MEASURED above; AQE's own
+    # broadcast flip comes only after the stored side's (potentially
+    # payload-carrying) map stage already wrote shuffle output.
+    merged = merge_delta(
+        released_cur,
+        accepted.select(*released_cols),
+        [key],
+        broadcast_touched=stats["key_bytes"] <= broadcast_accepted_max_bytes,
+    )
     version = publish_versioned(merged, table_dir)
 
     manifest = (
@@ -228,6 +283,14 @@ def run_release_cycle(
         n_tombstoned=by_status.get("tombstone", 0),
         n_suspicious_batches=suspicious_batches(qc, batch_col).count(),
     )
+    # The rollup above and the suspicious-batch count are the last actions
+    # that read the cached stages — release them (round-9 ADVICE: each
+    # cycle leaked three cached frames for the session's lifetime). The
+    # returned manifest/held frames recompute from source if re-read; a
+    # caller that iterates them hot can re-cache.
+    decided.unpersist()
+    annotated.unpersist()
+    flagged.unpersist()
     return manifest, held, report
 
 

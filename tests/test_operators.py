@@ -67,6 +67,23 @@ def test_merge_delta_matches_upsert_plus_deletes(spark, current):
     assert got2 == {1: None, 2: "m2", 3: "m3"}
 
 
+def test_merge_delta_delete_wins_on_overlap(spark, current):
+    """A key in BOTH updates and delete_keys is deleted — the precedence
+    of the apply_deletes(merge_upsert(...)) pair merge_delta replaces
+    (round-9 ADVICE: the naive anti-join+union re-inserted the update)."""
+    from harvester_database_and_automation_spark.operators.merge import merge_delta
+
+    updates = spark.createDataFrame([(2, "m2-new", "CCC"), (4, "m4", "TTT")], SCHEMA)
+    tombs = spark.createDataFrame([(2,), (3,)], "id int")
+    for hint in (False, True):
+        got = {r["id"]: r["meta"]
+               for r in merge_delta(current, updates, ["id"], delete_keys=tombs,
+                                    broadcast_touched=hint).collect()}
+        assert got == {1: "m1", 4: "m4"}
+        classic = apply_deletes(merge_upsert(current, updates, ["id"]), tombs, ["id"])
+        assert got == {r["id"]: r["meta"] for r in classic.collect()}
+
+
 def test_merge_delta_schema_mismatch(spark, current):
     from harvester_database_and_automation_spark.operators.merge import merge_delta
 
