@@ -56,6 +56,34 @@ def _calibration_sec(spark, sf_dir: str) -> float:
     return round(statistics.median(run() for _ in range(5)), 4)
 
 
+def _calibration_cpu_sec(spark) -> float:
+    """CPU-bound calibration probe, PINNED from round 10 on: 192M xxhash64
+    evaluations through whole-stage codegen, no IO at all. The IO-bound
+    parquet-scan probe above under-captures pure CPU drift (round-9
+    measured a ~1.3x CPU residual the scan missed — CHANGES.md bench-noise
+    A/B), so every bench artifact now records BOTH probes: disk drift and
+    CPU drift separate instead of being inferred from untouched-query
+    deltas. Median of 5 warm runs of a plan that never changes."""
+    import statistics
+
+    from pyspark.sql import functions as F
+
+    def run() -> float:
+        t0 = time.time()
+        (
+            spark.range(0, 192_000_000, 1, 32)
+            .select(F.xxhash64("id").alias("h"))
+            .agg(F.expr("bit_xor(h)"))  # overflow-free under ANSI
+            .write.mode("overwrite")
+            .format("noop")
+            .save()
+        )
+        return time.time() - t0
+
+    run()  # warm (JIT), untimed
+    return round(statistics.median(run() for _ in range(5)), 4)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -85,6 +113,7 @@ def main() -> None:
                 per_query[name] = dt
 
     calibration = _calibration_sec(spark, sf_dir)
+    calibration_cpu = _calibration_cpu_sec(spark)
 
     total = round(sum(per_query.values()), 3)
     times = sorted(per_query.values())
@@ -102,6 +131,7 @@ def main() -> None:
         "n_queries": n,
         "sec_per_query": round(total / n, 4),
         "calibration_sec": calibration,
+        "calibration_cpu_sec": calibration_cpu,
         "queries": slowest_first,
         # Box-independent history: seconds per calibration second (the
         # pinned workload above). scripts/bench_history.py compares these
@@ -124,6 +154,7 @@ def main() -> None:
         "median_sec": round(times[n // 2], 3),
         "p90_sec": round(times[(9 * n) // 10], 3),
         "calibration_sec": calibration,
+        "calibration_cpu_sec": calibration_cpu,
         "queries": {},
     }
     budget = 1900

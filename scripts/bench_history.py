@@ -8,18 +8,32 @@ map (the round-1-era baseline) and flags any query whose normalized
 wall-clock grew more than THRESHOLD x without a written scale-rework
 justification. Exit 1 on an unjustified flag, so it can run as a gate.
 
-Normalization: the current map carries ``calibration_sec`` (a pinned
-workload, bench.py:26) so its times convert to calibration multiples.
-The round-1-era map predates the calibration workload, so its box speed
-is unknowable directly; we estimate the cross-map scale as the MEDIAN
-per-query ratio over all common queries (robust panel normalization:
-assume the median query did not regress). A query is then flagged on its
-ratio RELATIVE to that median — i.e. this gate catches queries that
-drifted against their own round-1 peers, which is exactly the
-regression signature; uniform box drift cancels out. Maps that DO carry
-calibration_sec are compared in true calibration multiples instead.
+Normalization, in preference order per map pair:
 
-Usage: python scripts/bench_history.py [--threshold 2.0] [--baseline REV]
+1. Both maps carry ``calibration_cpu_sec`` (the CPU-bound probe,
+   bench.py — pinned from round 10): true CPU-calibration multiples.
+   The IO-bound scan probe under-captures CPU drift (round 9 measured a
+   ~1.3x CPU residual it missed), so the CPU probe wins when present.
+2. Both carry only ``calibration_sec`` (the IO scan probe): IO-probe
+   multiples.
+3. The old map predates both probes (the round-1-era baseline): estimate
+   the cross-map scale as the MEDIAN per-query ratio over all common
+   queries (robust panel normalization: assume the median query did not
+   regress) — queries are then flagged RELATIVE to their round-1 peers,
+   so uniform box drift cancels out.
+
+Whatever the normalization, residual drift remains (no probe captures a
+box perfectly — r9's gate flapped on a 0.35s->0.74s sub-second query
+under a 1.6x calibration swing). So a flag requires BOTH a normalized
+growth ratio above ``--threshold`` AND an absolute excess above
+``--floor-sec`` current-box seconds (cur * (1 - 1/ratio): the time the
+query costs today beyond what its round-1 normalized cost predicts). A
+sub-second query can no longer flip the gate on noise; a real multi-
+second regression still trips it (tests/test_bench_history.py plants
+one and proves the gate stays red).
+
+Usage: python scripts/bench_history.py [--threshold 2.0] [--floor-sec 1.0]
+       [--baseline REV]
 """
 
 from __future__ import annotations
@@ -163,23 +177,41 @@ def _oldest_committed_rev() -> str:
     return revs[-1]
 
 
-def main() -> int:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--threshold", type=float, default=2.0)
-    ap.add_argument("--baseline", default=None, help="git rev (default: oldest commit)")
-    args = ap.parse_args()
+def compare_maps(
+    cur: dict,
+    old: dict,
+    threshold: float = 2.0,
+    floor_sec: float = 1.0,
+) -> dict:
+    """Pure comparison core (importable by the planted-regression test).
 
-    rev = args.baseline or _oldest_committed_rev()
-    cur, old = _load_map(None), _load_map(rev)
+    Returns {mode, ratios, excess_sec, flagged, unjustified}. A query is
+    flagged when its normalized growth ratio exceeds ``threshold`` AND its
+    absolute excess — ``cur_sec * (1 - 1/ratio)``, the current-box seconds
+    it costs beyond its round-1-normalized prediction — exceeds
+    ``floor_sec``. Both conditions, because normalization residue is real:
+    the probes never capture a box's drift perfectly, and a sub-second
+    query under residual drift produces arbitrarily large ratios at
+    negligible absolute cost (r9's gate flapped on exactly that).
+    """
     cur_q, old_q = cur["queries"], old["queries"]
     common = sorted(set(cur_q) & set(old_q))
     if not common:
         raise SystemExit("no common queries between maps")
 
-    cur_cal = cur.get("calibration_sec")
-    old_cal = old.get("calibration_sec")
-    if cur_cal is None:
-        raise SystemExit("working-tree BENCH_FULL.json lacks calibration_sec — rerun bench.py")
+    cur_cpu, old_cpu = cur.get("calibration_cpu_sec"), old.get("calibration_cpu_sec")
+    cur_io, old_io = cur.get("calibration_sec"), old.get("calibration_sec")
+    if cur_cpu is not None and old_cpu is not None:
+        cur_cal, old_cal = cur_cpu, old_cpu
+        mode = "true CPU-calibration multiples on both sides"
+    elif cur_io is not None and old_io is not None:
+        cur_cal, old_cal = cur_io, old_io
+        mode = "true IO-calibration multiples on both sides"
+    elif cur_io is not None or cur_cpu is not None:
+        cur_cal, old_cal = (cur_cpu or cur_io), None
+        mode = None  # panel-rescaled below
+    else:
+        raise SystemExit("working-tree BENCH_FULL.json lacks calibration — rerun bench.py")
 
     raw = {q: (cur_q[q] / cur_cal) / (old_q[q] / (old_cal or 1.0)) for q in common}
     if old_cal is None:
@@ -188,31 +220,62 @@ def main() -> int:
         mode = f"median-rescaled (old map has no calibration; scale={scale:.3f})"
     else:
         scale = 1.0
-        mode = "true calibration multiples on both sides"
     ratios = {q: r / scale for q, r in raw.items()}
+    excess = {q: cur_q[q] * (1.0 - 1.0 / r) if r > 1.0 else 0.0 for q, r in ratios.items()}
 
-    flagged = {q: r for q, r in ratios.items() if r > args.threshold}
+    flagged = {
+        q: r for q, r in ratios.items() if r > threshold and excess[q] > floor_sec
+    }
     unjustified = {q: r for q, r in flagged.items() if q not in JUSTIFIED}
+    return {
+        "mode": mode,
+        "ratios": ratios,
+        "excess_sec": excess,
+        "flagged": flagged,
+        "unjustified": unjustified,
+    }
 
-    print(f"baseline {rev[:9]} ({len(old_q)} queries) vs HEAD ({len(cur_q)}); "
-          f"{len(common)} common; {mode}")
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--threshold", type=float, default=2.0)
+    ap.add_argument("--floor-sec", type=float, default=1.0,
+                    help="minimum absolute excess (current-box seconds) to flag")
+    ap.add_argument("--baseline", default=None, help="git rev (default: oldest commit)")
+    args = ap.parse_args()
+
+    rev = args.baseline or _oldest_committed_rev()
+    cur, old = _load_map(None), _load_map(rev)
+    res = compare_maps(cur, old, threshold=args.threshold, floor_sec=args.floor_sec)
+    ratios, flagged, unjustified = res["ratios"], res["flagged"], res["unjustified"]
+
+    print(f"baseline {rev[:9]} ({len(old['queries'])} queries) vs HEAD "
+          f"({len(cur['queries'])}); {len(ratios)} common; {res['mode']}")
     print(f"median normalized ratio: {statistics.median(ratios.values()):.3f}; "
           f"p90: {sorted(ratios.values())[int(0.9 * len(ratios))]:.3f}")
     for q, r in sorted(flagged.items(), key=lambda kv: -kv[1]):
         tag = "justified" if q in JUSTIFIED else "UNJUSTIFIED"
-        print(f"  {r:6.2f}x  {q}  [{tag}]")
+        print(f"  {r:6.2f}x  (+{res['excess_sec'][q]:.2f}s)  {q}  [{tag}]")
         if q in JUSTIFIED:
             print(f"          {JUSTIFIED[q]}")
+    below = {q: r for q, r in ratios.items()
+             if r > args.threshold and q not in flagged and q not in JUSTIFIED}
+    if below:
+        print(f"note: {len(below)} ratio-only outliers under the {args.floor_sec}s "
+              f"significance floor (residual drift on sub-second queries): "
+              + ", ".join(f"{q} {r:.2f}x (+{res['excess_sec'][q]:.2f}s)"
+                          for q, r in sorted(below.items(), key=lambda kv: -kv[1])))
     stale = sorted(set(JUSTIFIED) - set(flagged))
     if stale:
         print(f"note: {len(stale)} justifications currently below threshold "
               f"(kept — load spreads move queries across it): {', '.join(stale[:6])}...")
     if unjustified:
-        print(f"\n{len(unjustified)} query(ies) grew >{args.threshold}x normalized vs "
-              f"round 1 with NO written justification — investigate or document.")
+        print(f"\n{len(unjustified)} query(ies) grew >{args.threshold}x normalized "
+              f"(and >{args.floor_sec}s absolute) vs round 1 with NO written "
+              f"justification — investigate or document.")
         return 1
-    print(f"\nOK: no unjustified normalized growth >{args.threshold}x "
-          f"({len(flagged)} flagged, all justified)")
+    print(f"\nOK: no unjustified normalized growth >{args.threshold}x with "
+          f">{args.floor_sec}s excess ({len(flagged)} flagged, all justified)")
     return 0
 
 
