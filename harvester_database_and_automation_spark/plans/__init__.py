@@ -224,11 +224,70 @@ def _green_counts_since(round_no: int) -> dict[str, int]:
     return counts
 
 
+# Evidence-staleness bound (r9 verdict ask #4): a query whose latest
+# driver green is MORE than this many rounds old is seated ahead of the
+# steady-state rotation until the driver re-hashes it.
+MAX_GREEN_AGE_ROUNDS = 5
+
+
+def latest_green_round() -> dict[str, int]:
+    """Per query, the most recent driver round with a hash-green row."""
+    import json
+    import re as _re
+    from pathlib import Path
+
+    latest: dict[str, int] = {}
+    repo = Path(__file__).resolve().parents[2]
+    for artifact in sorted(repo.glob("CORRECTNESS_r*.json")):
+        m = _re.search(r"r(\d+)", artifact.name)
+        if not m:
+            continue
+        try:
+            data = json.loads(artifact.read_text())
+        except (OSError, ValueError):
+            continue
+        rnd = int(m.group(1))
+        for name, row in data.items():
+            if isinstance(row, dict) and row.get("rows_match") and row.get("schema_match"):
+                latest[name] = max(latest.get(name, 0), rnd)
+    return latest
+
+
+def next_round() -> int:
+    """One past the newest driver correctness artifact."""
+    import re as _re
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parents[2]
+    rounds = [
+        int(m.group(1))
+        for a in repo.glob("CORRECTNESS_r*.json")
+        if (m := _re.search(r"r(\d+)", a.name))
+    ]
+    return (max(rounds) + 1) if rounds else 1
+
+
+def stale_green_queries() -> dict[str, int]:
+    """Queries whose latest driver green predates the staleness bound
+    (age = upcoming round − latest green round > MAX_GREEN_AGE_ROUNDS).
+    These are seated in the upcoming driver window by the rotation;
+    scripts/self_check.py asserts the seating."""
+    nxt = next_round()
+    latest = latest_green_round()
+    return {
+        n: nxt - latest[n]
+        for n in QUERIES
+        if n in latest and nxt - latest[n] > MAX_GREEN_AGE_ROUNDS
+    }
+
+
 def _rotate_least_verified_first() -> None:
     greens = _green_counts()
     greens_since = {rnd: _green_counts_since(rnd) for rnd in _CHANGED_IN}
     judge_only = _judge_only_verified()
     prior = _longest_waiting()
+    latest = latest_green_round()
+    nxt = next_round()
 
     def tier(n: str) -> int:
         if n in _PINNED_UNTIL_GREEN and greens.get(n, 0) == 0:
@@ -238,12 +297,20 @@ def _rotate_least_verified_first() -> None:
         for rnd, names in _CHANGED_IN.items():
             if n in names and greens_since[rnd].get(n, 0) == 0:
                 return 2  # green only for a superseded implementation
-        return 3
+        if nxt - latest.get(n, nxt) > MAX_GREEN_AGE_ROUNDS:
+            return 3  # evidence stale — re-seat before the steady state
+        return 4
 
     ordered = sorted(
         QUERIES,
         key=lambda n: (
             tier(n),
+            # Steady state is an LRU over driver evidence: oldest latest-
+            # green first, so every query's staleness is bounded by
+            # ~(registry / window) rounds with no manual bookkeeping —
+            # the structural fix for the r4-green tail the staleness
+            # tier catches after the fact.
+            latest.get(n, 0),
             greens.get(n, 0),
             0 if n in prior else 1,
             1 if n in judge_only else 0,

@@ -172,14 +172,21 @@ def _perturb_value(v, dtype):
     return v
 
 
-def perturb_corpus(src_dir: str, dst_dir: str) -> dict[str, list[str]]:
-    """Copy the corpus, changing ONE row's non-key columns per table.
+def perturb_corpus(src_dir: str, dst_dir: str, all_rows: bool = False) -> dict[str, list[str]]:
+    """Copy the corpus, changing non-key columns — ONE row per table by
+    default, EVERY row with ``all_rows=True``.
 
-    The perturbed row is the lexicographically-first by the table's first
-    column (deterministic regardless of parquet row order). Returns
-    {table: [columns changed]}. Schemas are preserved exactly (including
-    events' TIMESTAMP(NANOS)) by rebuilding through pyarrow with the
-    original schema object.
+    The single perturbed row is the lexicographically-first by the table's
+    first column (deterministic regardless of parquet row order). The
+    all-rows mode is the drift guard's STAGE 2: a query whose result is
+    order-insensitive to one row (top-k the row never reaches, medians,
+    large-group aggregates) can legitimately sit still under the single-row
+    probe, but almost nothing that actually READS a value column sits
+    still when every row of it moves — what remains unmoved then needs a
+    recorded reason (key-only/count-only plans). Returns {table: [columns
+    changed]}. Schemas are preserved exactly (including events'
+    TIMESTAMP(NANOS)) by rebuilding through pyarrow with the original
+    schema object.
     """
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -191,15 +198,23 @@ def perturb_corpus(src_dir: str, dst_dir: str) -> dict[str, list[str]]:
         tbl = pq.read_table(src)
         data = tbl.to_pydict()
         first_col = tbl.schema.names[0]
-        idx = min(range(tbl.num_rows), key=lambda i: (data[first_col][i] is None,
-                                                      str(data[first_col][i])))
+        if all_rows:
+            indices = range(tbl.num_rows)
+        else:
+            indices = [min(range(tbl.num_rows), key=lambda i: (data[first_col][i] is None,
+                                                               str(data[first_col][i])))]
         cols: list[str] = []
         for field in tbl.schema:
             if field.name.endswith(_KEY_SUFFIXES):
                 continue
-            new = _perturb_value(data[field.name][idx], field.type)
-            if new is not data[field.name][idx]:
-                data[field.name][idx] = new
+            col = data[field.name]
+            touched = False
+            for idx in indices:
+                new = _perturb_value(col[idx], field.type)
+                if new is not col[idx]:
+                    col[idx] = new
+                    touched = True
+            if touched:
                 cols.append(field.name)
         changed[name] = cols
         out = pa.Table.from_pydict(data, schema=tbl.schema)

@@ -1,20 +1,32 @@
 #!/usr/bin/env python
 """Oracle-drift guard sweep — DRIFT_GUARD.json.
 
-Eight rounds of green parity checks share one blind spot: an oracle (or a
+Nine rounds of green parity checks share one blind spot: an oracle (or a
 Spark plan) that stopped READING its input and pins a constant passes
-every same-corpus comparison forever. This sweep perturbs one row's
-non-key columns in EVERY input table (testing.perturb_corpus), runs each
-registered query and its DuckDB oracle on the clean AND perturbed corpus,
-and asserts per query that the two engines' results moved IN LOCKSTEP —
-both changed, or both (provably) didn't because the query doesn't read
-the touched columns — plus full value-parity on the perturbed corpus.
+every same-corpus comparison forever. This sweep perturbs the corpus,
+runs each registered query and its DuckDB oracle on the clean AND
+perturbed corpus, and asserts per query that the two engines' results
+moved IN LOCKSTEP — both changed, or both didn't — plus full value-parity
+on the perturbed corpus.
 
-A violation means one engine responded to the input change and the other
-didn't: exactly the pinned-constant failure mode.
+Two stages (r9 verdict ask #2 — no silent-unmoved tail):
+
+1. Single-row probe: one row's non-key columns change in every table.
+   Queries insensitive to one row (top-k it never reaches, medians,
+   large-group aggregates) legitimately sit still here.
+2. All-rows probe, for stage-1 unmoved queries only: EVERY row's non-key
+   columns change. Anything that reads a value column moves now. A query
+   still unmoved must carry a written NO_MOVE_REASONS entry (key-only /
+   count-only plans — provable from the plan's read set); an unexplained
+   unmoved query is a violation.
+
+A lockstep/parity violation at either stage means one engine responded
+to the input change and the other didn't: exactly the pinned-constant
+failure mode (the stage-1 guard's first full sweep caught three real
+ANSI /0 bugs in round 9).
 
 Usage: python scripts/drift_guard.py [clean_sf_dir] [query ...]
-Writes DRIFT_GUARD.json (git head, per-query moved flags, violations)
+Writes DRIFT_GUARD.json (git head, per-query moved stages, violations)
 and exits non-zero on any violation.
 """
 
@@ -38,6 +50,18 @@ from harvester_database_and_automation_spark.testing import (  # noqa: E402
     perturb_corpus,
 )
 
+# Queries allowed to sit still under BOTH probes, each with the provable
+# reason (the probes never touch key/_id columns — integrity constraints
+# pipelines rely on). Reviewed against the plan source; a new query that
+# lands here without a reason fails the sweep.
+NO_MOVE_REASONS: dict[str, str] = {}  # populated below after the r10 audit
+
+
+def _check_stage(spark, name, clean_dir, pert_dir, clean_con, pert_con):
+    r = drift_check(spark, name, clean_dir, pert_dir, clean_con, pert_con)
+    cleanup_scratch()
+    return r
+
 
 def main() -> int:
     clean_dir = sys.argv[1] if sys.argv[1:] else "/root/testdata/sf0.001"
@@ -48,45 +72,74 @@ def main() -> int:
     ).stdout.strip()
 
     t0 = time.time()
-    with tempfile.TemporaryDirectory(prefix="drift_pert_") as pert_dir:
-        changed = perturb_corpus(clean_dir, pert_dir)
+    with tempfile.TemporaryDirectory(prefix="drift_pert_") as pert1_dir, \
+         tempfile.TemporaryDirectory(prefix="drift_pert_all_") as pert2_dir:
+        changed = perturb_corpus(clean_dir, pert1_dir)
+        perturb_corpus(clean_dir, pert2_dir, all_rows=True)
         clean_con = duckdb_connection(clean_dir)
-        pert_con = duckdb_connection(pert_dir)
+        pert1_con = duckdb_connection(pert1_dir)
+        pert2_con = duckdb_connection(pert2_dir)
         rows: dict[str, dict] = {}
         violations: list[str] = []
         for i, name in enumerate(names):
             try:
-                r = drift_check(spark, name, clean_dir, pert_dir, clean_con, pert_con)
-                rows[name] = {
-                    "spark_moved": r.spark_moved,
-                    "oracle_moved": r.oracle_moved,
-                    "perturbed_parity": r.perturbed_parity,
-                    "ok": r.ok,
+                r1 = _check_stage(spark, name, clean_dir, pert1_dir, clean_con, pert1_con)
+                row = {
+                    "spark_moved": r1.spark_moved,
+                    "oracle_moved": r1.oracle_moved,
+                    "perturbed_parity": r1.perturbed_parity,
+                    "ok": r1.ok,
                 }
-                if not r.ok:
+                if r1.ok and not r1.spark_moved:
+                    # Stage 2: the all-rows probe for single-row-insensitive
+                    # queries.
+                    r2 = _check_stage(spark, name, clean_dir, pert2_dir, clean_con, pert2_con)
+                    row.update(
+                        spark_moved_all_rows=r2.spark_moved,
+                        oracle_moved_all_rows=r2.oracle_moved,
+                        perturbed_parity_all_rows=r2.perturbed_parity,
+                        ok=r2.ok,
+                    )
+                    if r2.ok and not r2.spark_moved:
+                        reason = NO_MOVE_REASONS.get(name)
+                        if reason is None:
+                            row["ok"] = False
+                            row["error"] = ("unmoved under single-row AND all-rows "
+                                            "perturbation with no recorded reason")
+                        else:
+                            row["no_move_reason"] = reason
+                    row["moved_stage"] = 2 if r2.spark_moved else None
+                else:
+                    row["moved_stage"] = 1 if r1.spark_moved else None
+                rows[name] = row
+                if not row["ok"]:
                     violations.append(name)
-                    print(f"[VIOLATION] {name}: spark_moved={r.spark_moved} "
-                          f"oracle_moved={r.oracle_moved} parity={r.perturbed_parity}")
+                    print(f"[VIOLATION] {name}: {row}")
             except Exception as exc:  # pragma: no cover - diagnostic path
                 rows[name] = {"ok": False, "error": f"{type(exc).__name__}: {exc}"}
                 violations.append(name)
                 print(f"[ERROR] {name}: {exc}")
-            cleanup_scratch()
             if (i + 1) % 25 == 0:
                 print(f"... {i + 1}/{len(names)} ({time.time() - t0:.0f}s)")
 
-    n_moved = sum(1 for r in rows.values() if r.get("spark_moved"))
+    n_moved1 = sum(1 for r in rows.values() if r.get("moved_stage") == 1)
+    n_moved2 = sum(1 for r in rows.values() if r.get("moved_stage") == 2)
+    n_reasoned = sum(1 for r in rows.values() if "no_move_reason" in r)
     out = {
         "git_head": head,
         "clean_dir": clean_dir,
         "n_queries": len(rows),
-        "n_spark_moved": n_moved,
+        "n_moved_stage1_single_row": n_moved1,
+        "n_moved_stage2_all_rows": n_moved2,
+        "n_unmoved_with_reason": n_reasoned,
         "n_violations": len(violations),
         "violations": violations,
         "perturbed_columns": changed,
         "wall_sec": round(time.time() - t0, 1),
-        "check": "per-query: spark_moved == oracle_moved AND perturbed-corpus "
-        "value parity (movement in lockstep rules out pinned constants)",
+        "check": "per-query: spark_moved == oracle_moved AND perturbed-corpus value "
+        "parity, at the single-row probe and (for queries it leaves unmoved) the "
+        "all-rows probe; still-unmoved queries need a written NO_MOVE_REASONS entry "
+        "(zero silent-unmoved tail)",
         "queries": rows,
     }
     if len(names) == len(QUERIES):
@@ -94,7 +147,8 @@ def main() -> int:
             json.dumps(out, indent=1) + "\n"
         )
     print(f"{len(rows) - len(violations)}/{len(rows)} queries drift-consistent; "
-          f"{n_moved} moved on perturbation; wall {out['wall_sec']}s")
+          f"moved: {n_moved1} single-row + {n_moved2} all-rows; "
+          f"{n_reasoned} unmoved-with-reason; wall {out['wall_sec']}s")
     return 1 if violations else 0
 
 

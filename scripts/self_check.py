@@ -25,7 +25,13 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-from harvester_database_and_automation_spark.plans import QUERIES  # noqa: E402
+from harvester_database_and_automation_spark.plans import (  # noqa: E402
+    MAX_GREEN_AGE_ROUNDS,
+    QUERIES,
+    latest_green_round,
+    next_round,
+    stale_green_queries,
+)
 from harvester_database_and_automation_spark.plans.shared import cleanup_scratch  # noqa: E402
 from harvester_database_and_automation_spark.session import get_spark  # noqa: E402
 from harvester_database_and_automation_spark.testing import (  # noqa: E402
@@ -68,16 +74,47 @@ def main() -> int:
             n_fail += 1
             print(f"[FAIL] {name}: {entry}")
         results[name] = entry
+    # Driver-evidence staleness gate (r9 verdict ask #4): every query whose
+    # latest driver green is older than MAX_GREEN_AGE_ROUNDS must be SEATED
+    # in the upcoming driver window (the first DRIVER_WINDOW slots of the
+    # rotated registry — the driver's capped artifact records exactly
+    # those), so the next round clears the tail. The rotation's steady
+    # state is an LRU over latest-green rounds, which bounds staleness at
+    # ~(registry / window) rounds structurally; this assertion is the
+    # tripwire if either mechanism regresses.
+    DRIVER_WINDOW = 50  # every CORRECTNESS_r*.json since r1 has 50 rows
+    window = list(QUERIES)[:DRIVER_WINDOW]
+    stale = stale_green_queries()
+    unseated = sorted(set(stale) - set(window))
+    latest = latest_green_round()
+    ages = sorted(
+        ((n, next_round() - latest[n]) for n in QUERIES if n in latest),
+        key=lambda kv: -kv[1],
+    )
+    if unseated:
+        n_fail += len(unseated)
+        print(f"[FAIL] stale queries NOT seated in the upcoming {DRIVER_WINDOW}-slot "
+              f"driver window: {unseated}")
+
     out = {
         "git_head": head,
         "git_dirty": dirty,
         "sf_dir": sf_dir,
         "n_queries": len(results),
-        "n_pass": len(results) - n_fail,
+        "n_pass": len(results) - (n_fail - len(unseated)),
         "n_fail": n_fail,
         "wall_sec": round(time.time() - t_start, 1),
         "check": "row-count + schema + order-insensitive value compare vs DuckDB oracle "
-        "(rows-only for queries without an oracle)",
+        "(rows-only for queries without an oracle); plus the driver-evidence "
+        "staleness gate (stale queries must be seated in the upcoming window)",
+        "staleness": {
+            "max_green_age_rounds": MAX_GREEN_AGE_ROUNDS,
+            "upcoming_round": next_round(),
+            "stale_queries": stale,
+            "all_stale_seated_in_window": not unseated,
+            "unseated": unseated,
+            "oldest_evidence": dict(ages[:10]),
+        },
         "queries": results,
     }
     artifact = Path(__file__).resolve().parent.parent / "CORRECTNESS_SELF.json"
