@@ -24,6 +24,10 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from harvester_database_and_automation_spark.operators.external import (
+    TOOL_ERROR_COL,
+    TOOL_INPUT_NAME_COL,
+)
 from harvester_database_and_automation_spark.operators.merge import (
     CHANGE_COL,
     classify_changes,
@@ -49,11 +53,17 @@ class FeedImportReport:
     n_unchanged: int
     n_delete: int
     n_annotated: int
+    # Rows whose external-tool annotation batch failed (S8 quarantine
+    # mode, operators/external.py) — kept out of the publish; the stored
+    # version survives for payload-changed rows, the reference retries
+    # them next run.
+    n_tool_failed: int = 0
 
     @property
     def ok(self) -> bool:
-        """The reference fails the run when >=5% of rows failed
-        (GisaidApiImporter.java:392-393)."""
+        """The reference fails the run when >=5% of rows failed —
+        quarantined, corrupt, or tool-failed batches all count
+        (GisaidApiImporter.java:389-410, gate at :392-393)."""
         total = (
             self.n_insert
             + self.n_metadata_changed
@@ -62,7 +72,7 @@ class FeedImportReport:
             + self.n_quarantined
             + self.n_corrupt
         )
-        bad = self.n_quarantined + self.n_corrupt
+        bad = self.n_quarantined + self.n_corrupt + self.n_tool_failed
         return total == 0 or bad / total < 0.05
 
 
@@ -166,11 +176,29 @@ def run_feed_import(
         if small(n_process, process_key_bytes):
             process_keys = F.broadcast(process_keys)
         to_process = clean.join(process_keys, on=list(keys), how="left_semi")
+    n_tool_failed = 0
+    annotated_cached = None
     if annotate is not None:
         # Cache the annotated frame: the count below would otherwise run
         # the expensive annotation once, and the merge/publish a second
         # time — doubling exactly the stage this route exists to minimize.
-        to_process = annotate(to_process).cache()
+        # (Keep the handle: unpersisting a FILTERED child later would be a
+        # CacheManager no-op and leak the cache.)
+        annotated_cached = annotate(to_process).cache()
+        to_process = annotated_cached
+        # S8 quarantine contract (operators/external.py): an annotate
+        # stage built on run_fasta_tool(on_error="quarantine") marks rows
+        # whose tool batch failed with a non-null _tool_error column.
+        # Failed rows stay OUT of the publish — a failed payload-change
+        # keeps its stored version (its key never enters the merge's
+        # touched set), a failed insert simply waits for the next run —
+        # and they count against the reference's <5% abort gate
+        # (FeedImportReport.ok).
+        if TOOL_ERROR_COL in to_process.columns:
+            n_tool_failed = to_process.filter(F.col(TOOL_ERROR_COL).isNotNull()).count()
+            to_process = to_process.filter(F.col(TOOL_ERROR_COL).isNull()).drop(
+                TOOL_ERROR_COL, TOOL_INPUT_NAME_COL
+            )
     n_annotated = to_process.count()
 
     # Metadata-only changes take metadata from the feed but KEEP the stored
@@ -203,8 +231,8 @@ def run_feed_import(
     )
     version = publish_versioned(final, table_dir)
     classified.unpersist()
-    if annotate is not None:
-        to_process.unpersist()
+    if annotated_cached is not None:
+        annotated_cached.unpersist()
     scan.release()  # drops the cached PARENT parse frame (unpersisting
     # the filtered `good` view would be a CacheManager no-op and leak
     # one full-feed cache per import cycle)
@@ -219,4 +247,5 @@ def run_feed_import(
         n_unchanged=by_type.get("unchanged", 0),
         n_delete=by_type.get("delete", 0),
         n_annotated=n_annotated,
+        n_tool_failed=n_tool_failed,
     )

@@ -137,8 +137,18 @@ def check_query(spark, con: duckdb.DuckDBPyConnection, name: str, sf_dir: str) -
 _KEY_SUFFIXES = ("key", "_id")
 
 
-def _perturb_value(v, dtype):
-    """Type-preserving, unambiguous single-cell perturbation."""
+def _perturb_value(v, dtype, jitter: bool = False):
+    """Type-preserving, unambiguous single-cell perturbation.
+
+    ``jitter=True`` (the all-rows stage-2 probe) makes the delta a
+    deterministic function of the VALUE instead of a constant: a uniform
+    shift applied to every row is invisible to shift-invariant queries
+    (above-average comparisons, gap-based sessionization, ISO-week counts
+    under +1 day...), which would bloat the no-move ledger with
+    mathematically-true-but-uninteresting reasons. Value-dependent deltas
+    move different rows by different amounts, so only genuinely
+    column-blind queries stay still.
+    """
     import datetime
 
     import pyarrow as pa
@@ -152,23 +162,27 @@ def _perturb_value(v, dtype):
         # junk would turn a drift probe into an engine-asymmetric crash.
         if v.startswith("{") and v.endswith("}"):
             return (v[:-1] + ', "_drift": 1}') if len(v) > 2 else '{"_drift": 1}'
-        return v + "~X"
+        return v + ("~X" if not jitter else "~X" * (1 + len(v) % 3))
     if pa.types.is_integer(dtype):
-        return v + 7
+        return v + 7 + (jitter and abs(int(v)) % 5)
     if pa.types.is_floating(dtype):
-        return v + 0.25
+        if not math.isfinite(v):
+            return v
+        return v + 0.25 * (1 + (jitter and abs(int(v)) % 5))
     if pa.types.is_boolean(dtype):
         return not v
     if pa.types.is_timestamp(dtype):
-        return v + datetime.timedelta(seconds=3601)
+        return v + datetime.timedelta(
+            seconds=3601 * (1 + (jitter and v.minute % 5))
+        )
     if pa.types.is_date(dtype):
-        return v + datetime.timedelta(days=1)
+        return v + datetime.timedelta(days=1 + (jitter and v.toordinal() % 5))
     if pa.types.is_binary(dtype) or pa.types.is_large_binary(dtype):
         return v + b"\x01"
     if pa.types.is_list(dtype) or pa.types.is_large_list(dtype):
         if not v:
             return v
-        return [_perturb_value(v[0], dtype.value_type)] + list(v[1:])
+        return [_perturb_value(v[0], dtype.value_type, jitter)] + list(v[1:])
     return v
 
 
@@ -210,7 +224,7 @@ def perturb_corpus(src_dir: str, dst_dir: str, all_rows: bool = False) -> dict[s
             col = data[field.name]
             touched = False
             for idx in indices:
-                new = _perturb_value(col[idx], field.type)
+                new = _perturb_value(col[idx], field.type, jitter=all_rows)
                 if new is not col[idx]:
                     col[idx] = new
                     touched = True
