@@ -131,6 +131,7 @@ def run_release_cycle(
     tiebreak_col: str,
     released_schema: str | None = None,
     released_cols: list[str] | None = None,
+    payload_cols: list[str] | None = None,
     broadcast_accepted_max_bytes: int = 64 * 1024 * 1024,
 ) -> tuple[DataFrame, DataFrame, ReleaseCycleReport]:
     """One cycle of the SPSP release pipeline (SURVEY.md §3.2, the `main`
@@ -167,6 +168,16 @@ def run_release_cycle(
     never enter an exchange (the release leg of
     ``scripts/wide_row_audit.py`` measures this).
 
+    ``payload_cols`` names wide candidate columns the ``rules`` do NOT
+    read (the 30 KB consensus sequence). They are dropped BEFORE the
+    cascade — the duplicate_idx window is a shuffle on ``key``, and
+    letting payloads ride through it is exactly the payload-with-metadata
+    exchange SURVEY §7 forbids — and re-attached only to the accepted
+    delta by a (key, tiebreak) join the measured-delta broadcast hint
+    keeps map-side. With ``payload_cols`` set, the manifest's
+    failed/decided rows carry NULL payload columns (held rows keep
+    theirs: they re-enqueue as full candidates next cycle).
+
     Accepted keys must be UNIQUE when they reach the merge — normally the
     caller's ``rules`` include a ``duplicate_idx > 1`` rule so only the
     best attempt per key survives the cascade. Misconfigured rules are a
@@ -198,6 +209,11 @@ def run_release_cycle(
     ).cache()
     held = flagged.filter(~F.coalesce("is_complete", F.lit(False))).drop("is_complete")
     proc = flagged.filter(F.coalesce("is_complete", F.lit(False))).drop("is_complete")
+    if payload_cols:
+        # Payload-skinny cascade: the duplicate_idx window shuffles on
+        # key — keep the wide columns out of that exchange (docstring;
+        # they re-attach to the accepted delta below).
+        proc = proc.drop(*payload_cols)
 
     annotated, qc = build_release_plan(
         proc, key, quality_col, batch_col, rules, tiebreak_col=tiebreak_col
@@ -242,6 +258,18 @@ def run_release_cycle(
             "fail worse duplicates (add a duplicate_idx > 1 rule) before rows "
             "reach the merge; merging would silently double published rows"
         )
+    hint = stats["key_bytes"] <= broadcast_accepted_max_bytes
+    to_release = accepted
+    if payload_cols:
+        # Re-attach payloads to the accepted delta only: the stored
+        # payload frame streams map-side past the broadcast-hinted
+        # accepted (key, tiebreak) pairs — the payload bytes' ONLY join
+        # in the whole cycle, and it never enters an exchange.
+        payloads = candidates.select(key, tiebreak_col, *payload_cols)
+        to_release = payloads.join(
+            F.broadcast(accepted) if hint else accepted,
+            on=[key, tiebreak_col],
+        )
     # Delta merge: the released table streams map-side past the accepted
     # key set — no full-outer exchange of the accumulated table. The hint
     # is plan-time because the delta is MEASURED above; AQE's own
@@ -249,9 +277,9 @@ def run_release_cycle(
     # payload-carrying) map stage already wrote shuffle output.
     merged = merge_delta(
         released_cur,
-        accepted.select(*released_cols),
+        to_release.select(*released_cols),
         [key],
-        broadcast_touched=stats["key_bytes"] <= broadcast_accepted_max_bytes,
+        broadcast_touched=hint,
     )
     version = publish_versioned(merged, table_dir)
 

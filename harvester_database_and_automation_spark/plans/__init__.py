@@ -192,6 +192,23 @@ _CHANGED_IN_R9 = [
     "ab_arm_zscores",
 ]
 
+# Round-10 edits after round 9's driver greens: merge_delta gained
+# delete-wins precedence on update/tombstone overlap; feed_import's
+# broadcast gates became byte-aware (the width estimate rides the
+# classification rollup, changing its aggregate); run_release_cycle
+# gained the accepted-uniqueness assertion + measured-delta broadcast
+# hint + derived first-cycle schema (+ the payload-skinny cascade path);
+# the streaming upsert sink measures each micro-batch and hints its
+# merge; run_fasta_tool was refactored for the per-batch quarantine mode
+# (fail-mode semantics unchanged, but the S8 stage is a new
+# implementation).
+_CHANGED_IN_R10 = [
+    "feed_import_replay",
+    "release_export_replay",
+    "streaming_upsert_publish_replay",
+    "external_tool_seq_stats",
+]
+
 # round -> list; a query whose latest implementation-change round has no
 # green row at-or-after that round re-enters the rotation's tier 2.
 _CHANGED_IN = {
@@ -200,6 +217,7 @@ _CHANGED_IN = {
     6: _CHANGED_IN_R6,
     8: _CHANGED_IN_R8,
     9: _CHANGED_IN_R9,
+    10: _CHANGED_IN_R10,
 }
 
 

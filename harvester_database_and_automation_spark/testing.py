@@ -162,18 +162,42 @@ def _perturb_value(v, dtype, jitter: bool = False):
         # junk would turn a drift probe into an engine-asymmetric crash.
         if v.startswith("{") and v.endswith("}"):
             return (v[:-1] + ', "_drift": 1}') if len(v) > 2 else '{"_drift": 1}'
-        return v + ("~X" if not jitter else "~X" * (1 + len(v) % 3))
+        # Jitter suffix includes [acgt]-alphabet characters: the genomics
+        # kernels read text only through an [a-z]->base projection, and a
+        # suffix of non-base characters would be invisible to them. The
+        # first [a-z] character also rotates: prefix readers (first-token
+        # author bridges, leading-mention miners, BPE pair counts) never
+        # see a suffix.
+        if not jitter:
+            return v + "~X"
+        if v and "a" <= v[0] <= "z":
+            v = chr(ord("a") + (ord(v[0]) - ord("a") + 1) % 26) + v[1:]
+        # Space-delimited suffix: token-count readers (packing/shard
+        # manifests sum whitespace tokens) see the extra token.
+        return v + " ~Xga" * (1 + len(v) % 3)
     if pa.types.is_integer(dtype):
         return v + 7 + (jitter and abs(int(v)) % 5)
     if pa.types.is_floating(dtype):
         if not math.isfinite(v):
             return v
-        return v + 0.25 * (1 + (jitter and abs(int(v)) % 5))
+        # Jitter adds a value-PROPORTIONAL component (up to ~4%): purely
+        # additive deltas are invisible to threshold cuts that move with
+        # the data (above-average filters) and rarely cross the wide
+        # banding cuts (floor(v/1000)) that quantized audits read.
+        return (
+            v
+            + 0.25 * (1 + (jitter and abs(int(v)) % 5))
+            + (jitter and abs(v) * 0.01 * (abs(int(v)) % 5))
+        )
     if pa.types.is_boolean(dtype):
         return not v
     if pa.types.is_timestamp(dtype):
+        # Jitter spans 1h..~5d keyed on the DATE part: midnight-anchored
+        # date-in-timestamp columns (orders.o_orderdate) then cross day /
+        # week boundaries for a value-dependent subset of rows, so
+        # calendar-grain rollups move too.
         return v + datetime.timedelta(
-            seconds=3601 * (1 + (jitter and v.minute % 5))
+            seconds=3601 * (1 + (jitter and (v.toordinal() + v.minute) % 119))
         )
     if pa.types.is_date(dtype):
         return v + datetime.timedelta(days=1 + (jitter and v.toordinal() % 5))

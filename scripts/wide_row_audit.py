@@ -1,26 +1,37 @@
 #!/usr/bin/env python
-"""Wide-row shuffle stress — WIDE_ROW_BYTES.json (r8 verdict stretch #7).
+"""Wide-row shuffle stress — WIDE_ROW_BYTES.json (r8 verdict stretch #7,
+release leg added per r9 verdict ask #3).
 
 The reference's genomes are ~30 KB text cells, and its risk register's
 first rule is: never shuffle payloads with metadata (SURVEY §7;
 refactoring_v3_schema.sql keeps sequences in their own table). This
-audit PROVES the feed-import DAG obeys that rule as data, not prose: it
-runs the same two-cycle import (insert/delete/metadata/payload/unchanged
-mix, keyed on doc_id % 10 like feed_import_replay) twice — once with
-~60 B payloads, once with the same rows padded to 30 KB — and records
-per-cycle shuffle bytes from the status API.
+audit PROVES the two write-path pipelines obey that rule as data, not
+prose, by running each twice — once with ~60 B payloads, once with the
+same rows padded to 30 KB — and recording per-cycle shuffle bytes from
+the status API:
 
-If classification/merge/delete shuffle only keys + hashes + metadata
-(classify_changes(payload_skinny=True) + merge_delta), the steady-state
+- **feed_import leg**: the two-cycle import DAG (insert/delete/metadata/
+  payload/unchanged mix keyed on doc_id % 10, like feed_import_replay).
+  Skinny shape = classify_changes(payload_skinny=True) + measured-delta
+  broadcast hints + merge_delta.
+- **release leg**: two release cycles (bulk release, then a steady-state
+  mix of resequencing updates / tombstones / late inserts) with the
+  30 KB consensus payload carried INTO the published released table.
+  Skinny shape = run_release_cycle(payload_cols=...): the duplicate_idx
+  window and the whole cascade run on skinny columns, payloads re-attach
+  to the accepted delta via the broadcast-hinted (key, tiebreak) join,
+  and merge_delta keeps stored payloads out of every exchange.
+
+If a pipeline shuffles only keys + hashes + metadata, the steady-state
 cycle's shuffle volume is the SAME at both widths and a tiny fraction of
 the payload volume. A payload-proportional exchange anywhere in the hot
 path makes the wide run's shuffle explode ~500x and fails the gate.
 
-Cycle 1 is the bulk load (everything inserts); at this sf its delta key
-set still broadcasts, so it too stays skinny — at a true 100 TB first
-run the semi-join degrades to one sorted exchange of the feed, a one-off
-documented in merge_delta's docstring. The GATE is on cycle 2, the shape
-every daily run after the first has.
+Cycle 1 is the bulk load; at this sf its delta key set still broadcasts,
+so it too stays skinny — at a true 100 TB first run the semi-join
+degrades to one sorted exchange of the feed, a one-off documented in
+merge_delta's docstring. The GATE is on cycle 2, the shape every daily
+run after the first has.
 
 Usage: SPARK_GRAFT_SF_DIR=... python scripts/wide_row_audit.py
 """
@@ -43,6 +54,7 @@ from pyspark.sql import types as T  # noqa: E402
 
 from harvester_database_and_automation_spark.catalog import load_table  # noqa: E402
 from harvester_database_and_automation_spark.pipelines.feed_import import run_feed_import  # noqa: E402
+from harvester_database_and_automation_spark.pipelines.release import run_release_cycle  # noqa: E402
 from harvester_database_and_automation_spark.plans.shared import cleanup_scratch, scratch_dir  # noqa: E402
 from harvester_database_and_automation_spark.session import get_spark  # noqa: E402
 from harvester_database_and_automation_spark.sources.quarantine import not_null  # noqa: E402
@@ -76,7 +88,22 @@ def main() -> int:
         ["git", "rev-parse", "HEAD"], capture_output=True, text=True, check=True
     ).stdout.strip()
 
-    schema = T.StructType(
+    def measure(label: str, fn) -> dict:
+        seen = {(s["stageId"], s["attemptId"]) for s in _stages(ui, app_id)}
+        fn()
+        fresh = [
+            s for s in _stages(ui, app_id) if (s["stageId"], s["attemptId"]) not in seen
+        ]
+        row = {
+            "input_mb": round(sum(s["inputBytes"] for s in fresh) / 1e6, 2),
+            "shuffle_write_mb": round(sum(s["shuffleWriteBytes"] for s in fresh) / 1e6, 2),
+            "n_stages": len(fresh),
+        }
+        print(f"  {label}: {row}")
+        return row
+
+    # ---------------------------------------------------------------- feed
+    feed_schema = T.StructType(
         [
             T.StructField("doc_id", T.LongType()),
             T.StructField("src", T.StringType()),
@@ -84,7 +111,10 @@ def main() -> int:
         ]
     )
 
-    def build_feeds(root: str, wide: bool) -> tuple[str, str, int]:
+    def feed_leg(wide: bool) -> dict:
+        label = "wide" if wide else "narrow"
+        root = scratch_dir(prefix=f"widerow_feed_{label}_")
+        table = os.path.join(root, "tbl")
         base = load_table(spark, sf_dir, "documents").select(
             F.col("doc_id").cast("bigint").alias("doc_id"),
             F.col("source").alias("src"),
@@ -109,77 +139,139 @@ def main() -> int:
             .write.json(f2)
         )
         n_docs = base.count()
-        return f1, f2, n_docs
-
-    seen: set[tuple[int, int]] = set()
-
-    def measure(label: str, fn) -> dict:
-        nonlocal seen
-        seen = {(s["stageId"], s["attemptId"]) for s in _stages(ui, app_id)}
-        fn()
-        fresh = [
-            s for s in _stages(ui, app_id) if (s["stageId"], s["attemptId"]) not in seen
-        ]
-        row = {
-            "input_mb": round(sum(s["inputBytes"] for s in fresh) / 1e6, 2),
-            "shuffle_write_mb": round(sum(s["shuffleWriteBytes"] for s in fresh) / 1e6, 2),
-            "n_stages": len(fresh),
-        }
-        print(f"  {label}: {row}")
-        return row
-
-    results: dict[str, dict] = {}
-    for label, wide in (("narrow", False), ("wide", True)):
-        root = scratch_dir(prefix=f"widerow_{label}_")
-        table = os.path.join(root, "tbl")
-        f1, f2, n_docs = build_feeds(root, wide)
-        print(f"{label}: {n_docs} docs")
+        print(f"feed/{label}: {n_docs} docs")
         cycles = {}
         for cyc, feed in (("cycle1_bulk_load", f1), ("cycle2_steady_state", f2)):
             cycles[cyc] = measure(
-                f"{label}/{cyc}",
+                f"feed/{label}/{cyc}",
                 lambda f=feed: run_feed_import(
-                    spark, f, table, schema,
+                    spark, f, table, feed_schema,
                     keys=["doc_id"], metadata_cols=["src"], payload_cols=["payload"],
                     checks={"src_required": not_null("src")},
                     required_fields={"doc_id", "payload"},
                 ),
             )
-        results[label] = {"n_docs": n_docs, **cycles}
-        cleanup_scratch()
+        return {"n_docs": n_docs, **cycles}
 
-    wide_payload_mb = results["wide"]["n_docs"] * WIDE_BYTES / 1e6
-    c2_narrow = results["narrow"]["cycle2_steady_state"]["shuffle_write_mb"]
-    c2_wide = results["wide"]["cycle2_steady_state"]["shuffle_write_mb"]
-    payload_frac = c2_wide / wide_payload_mb if wide_payload_mb else float("inf")
-    excess_frac = (c2_wide - c2_narrow) / wide_payload_mb if wide_payload_mb else float("inf")
-    ok = payload_frac <= GATE_PAYLOAD_FRAC and excess_frac <= GATE_EXCESS_FRAC
+    # ------------------------------------------------------------- release
+    def release_leg(wide: bool) -> dict:
+        label = "wide" if wide else "narrow"
+        root = scratch_dir(prefix=f"widerow_rel_{label}_")
+        table = os.path.join(root, "rel_tbl")
+        base = load_table(spark, sf_dir, "documents").select(
+            F.col("doc_id").cast("bigint").alias("sample_id"),
+            (F.col("doc_id") % 10).alias("m"),
+            (F.col("doc_id") % 5).cast("int").alias("batch"),
+            ((F.coalesce(F.length("text"), F.lit(0)) % 97) + 10).cast("int").alias("consensus_n"),
+            F.regexp_replace(F.lower("text"), "[^a-z]", "").alias("payload"),
+        )
+        if wide:
+            base = base.withColumn("payload", F.rpad("payload", WIDE_BYTES, "acgtn"))
+        # Materialize the candidate feeds so candidate construction isn't
+        # charged to the pipeline's shuffle accounting.
+        cand_cols = ["sample_id", "batch", "consensus_n", "payload"]
+
+        def write_cands(df, name):
+            p = os.path.join(root, name)
+            df.write.parquet(p)
+            return p
+
+        c1 = write_cands(
+            base.filter(F.col("m") != 2)
+            .select(*cand_cols, F.lit(1).cast("int").alias("attempt_id")),
+            "c1",
+        )
+        # Cycle 2: m==0 resequences with a >=10% improvement (update),
+        # m==1 resequences worse (tombstone), m==2 arrives late (new).
+        c2 = write_cands(
+            base.filter(F.col("m") == 0)
+            .select(
+                "sample_id", "batch",
+                F.floor(F.col("consensus_n") / 2).cast("int").alias("consensus_n"),
+                "payload", F.lit(2).cast("int").alias("attempt_id"),
+            )
+            .unionByName(
+                base.filter(F.col("m") == 1).select(
+                    "sample_id", "batch",
+                    (F.col("consensus_n") + 5).cast("int").alias("consensus_n"),
+                    "payload", F.lit(2).cast("int").alias("attempt_id"),
+                )
+            )
+            .unionByName(
+                base.filter(F.col("m") == 2).select(
+                    *cand_cols, F.lit(1).cast("int").alias("attempt_id")
+                )
+            ),
+            "c2",
+        )
+        expected = base.select("sample_id", "batch")
+        arrived = base.select("sample_id")
+        rules = [
+            ("duplicate", F.col("duplicate_idx") > 1),
+            ("too_many_n", F.col("consensus_n") > 90),
+        ]
+        n_docs = base.count()
+        print(f"release/{label}: {n_docs} docs")
+        cycles = {}
+        for cyc, path in (("cycle1_bulk_release", c1), ("cycle2_steady_state", c2)):
+            cycles[cyc] = measure(
+                f"release/{label}/{cyc}",
+                lambda p=path: run_release_cycle(
+                    spark, spark.read.parquet(p), expected, arrived, table, rules,
+                    key="sample_id", quality_col="consensus_n", batch_col="batch",
+                    tiebreak_col="attempt_id",
+                    released_cols=["sample_id", "consensus_n", "payload"],
+                    payload_cols=["payload"],
+                ),
+            )
+        return {"n_docs": n_docs, **cycles}
+
+    legs: dict[str, dict] = {}
+    all_ok = True
+    for leg_name, leg_fn in (("feed_import", feed_leg), ("release", release_leg)):
+        results = {}
+        for wide in (False, True):
+            results["wide" if wide else "narrow"] = leg_fn(wide)
+            cleanup_scratch()
+        wide_payload_mb = results["wide"]["n_docs"] * WIDE_BYTES / 1e6
+        c2_narrow = results["narrow"]["cycle2_steady_state"]["shuffle_write_mb"]
+        c2_wide = results["wide"]["cycle2_steady_state"]["shuffle_write_mb"]
+        payload_frac = c2_wide / wide_payload_mb if wide_payload_mb else float("inf")
+        excess_frac = (c2_wide - c2_narrow) / wide_payload_mb if wide_payload_mb else float("inf")
+        ok = payload_frac <= GATE_PAYLOAD_FRAC and excess_frac <= GATE_EXCESS_FRAC
+        all_ok = all_ok and ok
+        legs[leg_name] = {
+            "results": results,
+            "wide_payload_volume_mb": round(wide_payload_mb, 1),
+            "cycle2_shuffle_payload_frac": round(payload_frac, 5),
+            "cycle2_shuffle_excess_frac": round(excess_frac, 5),
+            "ok": ok,
+        }
+        print(f"{leg_name}: cycle2 shuffle narrow {c2_narrow} MB, wide {c2_wide} MB; "
+              f"payload volume {wide_payload_mb:.0f} MB (frac {payload_frac:.4f}, "
+              f"excess {excess_frac:.4f}) -> {'OK' if ok else 'FAIL'}")
 
     out = {
         "git_head": head,
         "sf_dir": sf_dir,
         "wide_payload_bytes_per_row": WIDE_BYTES,
-        "wide_payload_volume_mb": round(wide_payload_mb, 1),
-        "results": results,
-        "cycle2_shuffle_payload_frac": round(payload_frac, 5),
-        "cycle2_shuffle_excess_frac": round(excess_frac, 5),
         "gates": {
             "payload_frac_max": GATE_PAYLOAD_FRAC,
             "excess_frac_max": GATE_EXCESS_FRAC,
         },
-        "ok": ok,
-        "check": "steady-state import cycle shuffles keys+hashes+metadata, not "
-        "payloads: widening rows 500x adds <0.5% of payload volume to shuffle "
-        "(classify_changes(payload_skinny) + measured-delta broadcast hints + "
-        "merge_delta)",
+        "legs": legs,
+        "ok": all_ok,
+        "check": "steady-state write cycles shuffle keys+hashes+metadata, not "
+        "payloads: widening rows 500x adds <0.5% of payload volume to shuffle. "
+        "feed_import = payload-skinny classify + measured-delta hints + merge_delta; "
+        "release = payload-skinny cascade (payload_cols) + hinted re-attach + "
+        "merge_delta",
     }
     (Path(__file__).resolve().parent.parent / "WIDE_ROW_BYTES.json").write_text(
         json.dumps(out, indent=1) + "\n"
     )
-    print(f"cycle2 shuffle: narrow {c2_narrow} MB, wide {c2_wide} MB; payload "
-          f"volume {wide_payload_mb:.0f} MB (frac {payload_frac:.4f}, excess "
-          f"{excess_frac:.4f}) -> {'OK' if ok else 'FAIL'}")
-    return 0 if ok else 1
+    print(f"-> WIDE_ROW_BYTES.json ok={all_ok}")
+    return 0 if all_ok else 1
 
 
 if __name__ == "__main__":
