@@ -52,9 +52,64 @@ from harvester_database_and_automation_spark.testing import (  # noqa: E402
 
 # Queries allowed to sit still under BOTH probes, each with the provable
 # reason (the probes never touch key/_id columns — integrity constraints
-# pipelines rely on). Reviewed against the plan source; a new query that
-# lands here without a reason fails the sweep.
-NO_MOVE_REASONS: dict[str, str] = {}  # populated below after the r10 audit
+# pipelines rely on; string jitter is an INJECTIVE relabeling, so
+# equality structure over perturbed columns is preserved). Reviewed
+# against the plan source in round 10; a query that sits still without a
+# reason here fails the sweep.
+NO_MOVE_REASONS: dict[str, str] = {
+    "customer_order_counts": (
+        "reads only c_custkey/o_custkey/o_orderkey (plans/relational.py:230):"
+        " counts per key are invariant under any non-key perturbation."
+    ),
+    "fk_orphan_audit": (
+        "key-only referential anti-join (orders keys vs customer keys);"
+        " no value column enters the plan."
+    ),
+    "kmv_ndv_estimate": (
+        "sketches DISTINCT l_partkey only (plans/relational.py:1004);"
+        " the estimator and its exact denominator read no value column."
+    ),
+    "union_distinct_nations": (
+        "distinct c_nationkey UNION s_nationkey — key columns only."
+    ),
+    "upsert_plan_intersect": (
+        "action counts depend on each customer's ERA membership (distinct"
+        " key sets split at 1996-01-01); the <=5-day timestamp jitter"
+        " moved no customer's entire era membership at this sf — every"
+        " boundary-adjacent customer has other orders inside its era."
+    ),
+    "zorder_cell_stats": (
+        "Morton interleave of l_partkey%16 x l_suppkey%16 — key columns"
+        " only (plans/relational.py:2842)."
+    ),
+    "part_copurchase_pagerank": (
+        "graph edges are (l_orderkey, l_partkey) co-occurrences — key"
+        " columns only; ranks depend on nothing else."
+    ),
+    "part_copurchase_triangles": (
+        "same key-only co-purchase edge set as the pagerank query."
+    ),
+    "contrastive_negative_sample": (
+        "anchors/negatives are hash draws of vec_id; `label` is read only"
+        " through <> comparisons, and the jitter is an injective"
+        " relabeling which preserves all equality structure; output is"
+        " ids+ranks only (plans/embeddings.py:1597)."
+    ),
+    "kanonymity_audit": (
+        "outputs the class-SIZE histogram only: injective relabeling of"
+        " c_mktsegment preserves class structure, and at this sf the"
+        " classes are singleton-dominated, so the <=4% balance jitter's"
+        " band migrations map singletons to singletons — the histogram is"
+        " unchanged (ldiversity_audit, which also reads distinct sensitive"
+        " values per class, DOES move under the same probe)."
+    ),
+    "incremental_dup_components": (
+        "depends on text only through the >=0.5-Jaccard shingle edge set;"
+        " near-dup pairs sit far above the threshold and non-dups far"
+        " below, so bounded prefix/suffix jitter flips no edge at this sf;"
+        " output is ids only (plans/text.py:706)."
+    ),
+}
 
 
 def _check_stage(spark, name, clean_dir, pert_dir, clean_con, pert_con):

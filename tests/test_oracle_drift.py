@@ -94,6 +94,41 @@ def test_panel_moves_in_lockstep(spark, pert):
             assert r.spark_moved and r.oracle_moved, f"{name} did not move"
 
 
+def test_all_rows_jitter_touches_every_table():
+    """The stage-2 probe: every table's non-key columns change on EVERY
+    row, with value-dependent deltas (a uniform shift would be invisible
+    to shift-invariant queries)."""
+    import pyarrow.parquet as pq
+
+    with tempfile.TemporaryDirectory() as dst:
+        changed = perturb_corpus(SF_DIR, dst, all_rows=True)
+        assert all(cols for cols in changed.values())
+        # Value-dependence: perturbed orders dates move by DIFFERENT
+        # amounts (uniform shifts preserve gap/threshold structure).
+        a = pq.read_table(f"{SF_DIR}/orders.parquet").to_pydict()["o_orderdate"]
+        b = pq.read_table(f"{dst}/orders.parquet").to_pydict()["o_orderdate"]
+        deltas = {(y - x).total_seconds() for x, y in zip(a, b)}
+        assert len(deltas) > 10, "timestamp jitter is uniform"
+
+
+def test_no_move_ledger_names_registered_queries():
+    """Every recorded no-move reason must name a live query — a renamed
+    or deleted query must not leave a stale allowlist entry behind."""
+    import importlib.util
+    import sys as _sys
+    from pathlib import Path
+
+    spec = importlib.util.spec_from_file_location(
+        "drift_guard_script",
+        Path(__file__).resolve().parent.parent / "scripts" / "drift_guard.py",
+    )
+    mod = importlib.util.module_from_spec(spec)
+    _sys.modules["drift_guard_script"] = mod
+    spec.loader.exec_module(mod)
+    unknown = set(mod.NO_MOVE_REASONS) - set(QUERIES)
+    assert not unknown, f"stale NO_MOVE_REASONS entries: {sorted(unknown)}"
+
+
 def test_guard_catches_pinned_oracle(spark, pert):
     """Negative control: pin one oracle to its clean-corpus result and the
     guard MUST flag it — this is the failure mode 400 green parity checks

@@ -446,3 +446,78 @@ def test_run_release_cycle_two_cycles(spark, tmp_path):
     # The published table carries the updated metric, never tombstoned ones.
     final = {r["sample_id"]: r["consensus_n"] for r in read_published(spark, table).collect()}
     assert final == {1: 26, 3: 20, 4: 50, 10: 10, 11: 8}
+
+
+def test_run_release_cycle_payload_skinny(spark, tmp_path):
+    """payload_cols: wide columns skip the cascade window and re-attach
+    only to the accepted delta — published rows carry the RIGHT attempt's
+    payload (the accepted (key, tiebreak) pair, not an arbitrary one)."""
+    from pyspark.sql import functions as F
+
+    from harvester_database_and_automation_spark.operators.publish import read_published
+    from harvester_database_and_automation_spark.pipelines.release import run_release_cycle
+
+    table = str(tmp_path / "released")
+    expected = spark.createDataFrame([(1, 0), (2, 0)], "sample_id bigint, batch int")
+    rules = [("duplicate", F.col("duplicate_idx") > 1)]
+    # Sample 1 has two attempts with DIFFERENT payloads; the better one
+    # (lower consensus_n) must be the published payload.
+    c1 = spark.createDataFrame(
+        [(1, 1, 0, 30, "SEQ-1-ATT-1"), (1, 2, 0, 20, "SEQ-1-ATT-2"), (2, 1, 0, 50, "SEQ-2")],
+        "sample_id bigint, attempt_id int, batch int, consensus_n int, payload string",
+    )
+    man1, held1, rep1 = run_release_cycle(
+        spark, c1, expected, c1.select("sample_id"), table, rules,
+        key="sample_id", quality_col="consensus_n", batch_col="batch",
+        tiebreak_col="attempt_id",
+        released_cols=["sample_id", "consensus_n", "payload"],
+        payload_cols=["payload"],
+    )
+    assert rep1.version == 1 and rep1.n_submit_new == 2
+    pub = {r["sample_id"]: (r["consensus_n"], r["payload"])
+           for r in read_published(spark, table).collect()}
+    assert pub == {1: (20, "SEQ-1-ATT-2"), 2: (50, "SEQ-2")}
+    # The cascade never saw the payload column: manifest rows carry it
+    # only where the raw candidates do (held rows; none here).
+    man_cols = set(man1.columns)
+    assert "payload" in man_cols  # held leg unions it in (as NULL here)
+    assert man1.filter("status <> 'held_back' AND payload IS NOT NULL").count() == 0
+
+    # Cycle 2: a >=10% improvement updates and must swap in the NEW payload.
+    c2 = spark.createDataFrame(
+        [(1, 3, 0, 10, "SEQ-1-ATT-3")],
+        "sample_id bigint, attempt_id int, batch int, consensus_n int, payload string",
+    )
+    man2, _h, rep2 = run_release_cycle(
+        spark, c2, expected, c1.select("sample_id"), table, rules,
+        key="sample_id", quality_col="consensus_n", batch_col="batch",
+        tiebreak_col="attempt_id",
+        released_cols=["sample_id", "consensus_n", "payload"],
+        payload_cols=["payload"],
+    )
+    assert rep2.n_submit_update == 1
+    pub2 = {r["sample_id"]: (r["consensus_n"], r["payload"])
+            for r in read_published(spark, table).collect()}
+    assert pub2 == {1: (10, "SEQ-1-ATT-3"), 2: (50, "SEQ-2")}
+
+
+def test_run_release_cycle_rejects_duplicate_accepted_keys(spark, tmp_path):
+    """Rules that fail to deduplicate (no duplicate_idx rule) must fail
+    LOUDLY before the merge, not silently double published rows."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from harvester_database_and_automation_spark.pipelines.release import run_release_cycle
+
+    table = str(tmp_path / "released")
+    expected = spark.createDataFrame([(1, 0)], "sample_id bigint, batch int")
+    c1 = spark.createDataFrame(
+        [(1, 1, 0, 30), (1, 2, 0, 20)],
+        "sample_id bigint, attempt_id int, batch int, consensus_n int",
+    )
+    with pytest.raises(ValueError, match="duplicate"):
+        run_release_cycle(
+            spark, c1, expected, c1.select("sample_id"), table, [],
+            key="sample_id", quality_col="consensus_n", batch_col="batch",
+            tiebreak_col="attempt_id",
+        )
