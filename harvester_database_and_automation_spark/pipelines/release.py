@@ -292,10 +292,12 @@ def run_release_cycle(
             ),
             allowMissingColumns=True,
         )
-    )
+    ).cache()  # the rollup below materializes it; callers re-read it hot
     # One rollup action covers every report count except the suspicious-
     # batch alert (different grain); the inputs are all cached above, so
-    # nothing recomputes.
+    # nothing recomputes — and it populates the manifest cache, so the
+    # three intermediates can be released without the RETURNED frames
+    # recomputing the cascade.
     by_status = {
         r["status"]: r["n"]
         for r in manifest.groupBy("status").agg(F.count(F.lit(1)).alias("n")).collect()
@@ -311,11 +313,14 @@ def run_release_cycle(
         n_tombstoned=by_status.get("tombstone", 0),
         n_suspicious_batches=suspicious_batches(qc, batch_col).count(),
     )
-    # The rollup above and the suspicious-batch count are the last actions
-    # that read the cached stages — release them (round-9 ADVICE: each
-    # cycle leaked three cached frames for the session's lifetime). The
-    # returned manifest/held frames recompute from source if re-read; a
-    # caller that iterates them hot can re-cache.
+    # The rollup above (which populated the manifest cache) and the
+    # suspicious-batch count are the last actions that read the cached
+    # stages — release them (round-9 ADVICE: each cycle leaked three
+    # cached frames for the session's lifetime). The returned manifest
+    # stays cached — one delta-sized skinny frame instead of three
+    # payload-bearing ones — and the CALLER unpersists it after
+    # consuming (release_export_replay does, after its TSV export);
+    # held re-derives from one broadcast join if re-read.
     decided.unpersist()
     annotated.unpersist()
     flagged.unpersist()

@@ -1022,6 +1022,11 @@ def release_export_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sub_dir = os.path.join(root, "submission")
     manifest.write.option("header", True).option("sep", "\t").csv(sub_dir)
+    # The TSV write is the manifests' last consumer: release the cycle
+    # caches run_release_cycle handed back (a bench session replays this
+    # function repeatedly — without this, every run leaks two frames).
+    man1.unpersist()
+    man2.unpersist()
     out_schema = T.StructType(
         [
             T.StructField("sample_id", T.LongType()),
