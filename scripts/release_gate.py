@@ -120,7 +120,8 @@ def main() -> int:
                 row["artifact"] = spec["artifact"]
                 art_head = art.get("git_head")
                 row["artifact_head"] = art_head
-                if art_head and art_head != head0:
+                # Some artifacts stamp the SHORT head — compare by prefix.
+                if art_head and not head0.startswith(art_head):
                     row["ok"] = False
                     row["error"] = (
                         f"artifact head {art_head[:10]} != run head {head0[:10]}"
