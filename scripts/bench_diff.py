@@ -74,11 +74,17 @@ def main() -> int:
         # environment shift, measured on a plan that never changes —
         # dividing the per-query median by it separates real plan drift
         # from box drift without eyeballing uniformity.
-        cal_old, cal_cur = old.get("calibration_sec"), cur.get("calibration_sec")
+        # Prefer the CPU-bound probe when both snapshots carry it (round
+        # 10): the IO scan probe measurably under-captures CPU drift.
+        cal_old, cal_cur = old.get("calibration_cpu_sec"), cur.get("calibration_cpu_sec")
+        probe = "cpu"
+        if not (cal_old and cal_cur):
+            cal_old, cal_cur = old.get("calibration_sec"), cur.get("calibration_sec")
+            probe = "io"
         if cal_old and cal_cur:
             env = cal_cur / cal_old
             print(
-                f"[calibration] pinned workload {cal_old}s -> {cal_cur}s "
+                f"[calibration:{probe}] pinned workload {cal_old}s -> {cal_cur}s "
                 f"(env factor {env:.2f}x); normalized median per-query ratio "
                 f"{med / env:.2f}x across {len(shared)} shared queries"
             )
