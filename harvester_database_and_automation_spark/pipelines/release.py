@@ -174,7 +174,11 @@ def run_release_cycle(
     letting payloads ride through it is exactly the payload-with-metadata
     exchange SURVEY §7 forbids — and re-attached only to the accepted
     delta by a (key, tiebreak) join the measured-delta broadcast hint
-    keeps map-side. With ``payload_cols`` set, the manifest's
+    keeps map-side. The re-attach identifies the accepted candidate row
+    by ``(key, tiebreak_col)`` — the same pair the duplicate window's
+    deterministic order already requires to be unique per candidate
+    (duplicate ``(key, tiebreak)`` rows would make the window itself
+    nondeterministic). With ``payload_cols`` set, the manifest's
     failed/decided rows carry NULL payload columns (held rows keep
     theirs: they re-enqueue as full candidates next cycle).
 
