@@ -155,8 +155,12 @@ def count_exchanges(plan: str) -> int:
     return n
 
 
-def audit_one(spark, name: str, sf_dir: str) -> list[str]:
-    df = QUERIES[name].fn(spark, sf_dir)
+def plan_flags(spark, df) -> list[str]:
+    """Raw red-flag detection for one DataFrame's physical plan (no
+    allow-list applied). Exposed separately so the negative-control tests
+    (tests/test_physical_plans.py) can PROVE each detector fires on a
+    deliberately bad plan — a gate that has only ever been green protects
+    nothing."""
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     plan = df._jdf.queryExecution().explainString(mode)
     nodes = node_headers(plan)
@@ -191,7 +195,59 @@ def audit_one(spark, name: str, sf_dir: str) -> list[str]:
     pushes = re.findall(r"PushedFilters: \[([^\n]*)", plan)
     if has_filter and pushes and all(p.strip().startswith("]") for p in pushes):
         flags.append("no-pushdown")
+    elif _stranded_pushable_predicate(plan):
+        # Spark 4 OMITS the PushedFilters line when a scan pushes nothing
+        # (and DSv2 BatchScan never prints one), so the all-empty check
+        # above is unreachable on exactly the worst plans — found by the
+        # planted-plan negative control in tests/test_physical_plans.py.
+        # This variant flags a PUSHABLE atom (bare column vs literal)
+        # stranded in a Filter directly above a parquet scan that pushed
+        # nothing; computed predicates (regex, length, coalesce) are not
+        # pushable and stay exempt, as do filters above joins/aggregates.
+        flags.append("no-pushdown")
+    return flags
 
+
+# A bare attribute compared to a literal — the shape every parquet reader
+# can push. Left side must be an unwrapped attr reference; right side must
+# not be another attr (no '#').
+_PUSHABLE_ATOM = re.compile(r"\([a-zA-Z_]\w*#\d+L? (?:=|>|>=|<|<=) [^#()]+\)")
+
+
+def _stranded_pushable_predicate(plan: str) -> bool:
+    """True when a Filter whose direct child chain (optionally through
+    ColumnarToRow) is a parquet scan contains a pushable atom while the
+    scan's detail block pushes nothing."""
+    # The chain may pass through ColumnarToRow and at most one Project:
+    # Catalyst pushes filters below DETERMINISTIC projections, so a
+    # Project still sitting between a Filter and the scan is itself a
+    # pushdown barrier (nondeterministic column, e.g. rand()/uuid()) —
+    # exactly where pushable atoms get stranded in practice.
+    for m in re.finditer(
+        r"Filter \((\d+)\)\s*\n"
+        r"(?:[^\n]*?(?:Project|ColumnarToRow) \(\d+\)\s*\n){0,2}"
+        r"[^\n]*?Scan parquet\s*\((\d+)\)",
+        plan,
+    ):
+        filter_id, scan_id = m.group(1), m.group(2)
+        fdetail = re.search(
+            rf"^\({filter_id}\) Filter.*?(?=\n\n)", plan, flags=re.MULTILINE | re.DOTALL
+        )
+        if not fdetail or not _PUSHABLE_ATOM.search(fdetail.group(0)):
+            continue
+        sdetail = re.search(
+            rf"^\({scan_id}\) Scan parquet.*?(?=\n\n)", plan, flags=re.MULTILINE | re.DOTALL
+        )
+        if not sdetail:
+            continue
+        pushed = re.search(r"PushedFilters: \[([^\n]*)", sdetail.group(0))
+        if pushed is None or pushed.group(1).strip().startswith("]"):
+            return True
+    return False
+
+
+def audit_one(spark, name: str, sf_dir: str) -> list[str]:
+    flags = plan_flags(spark, QUERIES[name].fn(spark, sf_dir))
     allowed = ALLOWED.get(name, {})
     return [f for f in flags if f.split("(")[0] not in allowed]
 

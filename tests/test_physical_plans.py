@@ -390,3 +390,76 @@ def test_concordance_cohort_is_semi_not_subtree(spark):
     ), plan[:1200]
     # the variant-calls hub must appear once, not per consumer
     assert len(re.findall(r"InMemoryRelation", plan)) <= 2, plan[:1200]
+
+
+def test_plan_audit_detectors_fire_on_planted_bad_plans(spark, tmp_path):
+    """Negative control for scripts/audit_plans.py: every red-flag
+    detector must go RED on a deliberately bad plan — a gate that has
+    only ever been green proves nothing (round-10 gate-trust theme)."""
+    import importlib.util
+    import sys
+    from pathlib import Path
+
+    spec = importlib.util.spec_from_file_location(
+        "audit_plans_script",
+        Path(__file__).resolve().parent.parent / "scripts" / "audit_plans.py",
+    )
+    ap = importlib.util.module_from_spec(spec)
+    sys.modules["audit_plans_script"] = ap
+    spec.loader.exec_module(ap)
+
+    # 1. Cartesian product: unconditioned join with broadcast disabled.
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        bad = spark.range(1000).crossJoin(spark.range(1000, numPartitions=4).withColumnRenamed("id", "id2"))
+        assert "cartesian" in ap.plan_flags(spark, bad)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+    # 2. Global window: row_number over the whole frame, no partitionBy.
+    from pyspark.sql import Window
+
+    w = Window.orderBy("id")
+    bad = spark.range(1000).withColumn("rn", F.row_number().over(w))
+    assert "single-partition-window" in ap.plan_flags(spark, bad)
+
+    # 3. Exchange storm: seven aggregations on distinct keys unioned.
+    base = spark.range(1000).select(
+        *[(F.col("id") % (i + 2)).alias(f"k{i}") for i in range(7)]
+    )
+    parts = [
+        base.groupBy(f"k{i}").agg(F.count(F.lit(1)).alias("n")).select(
+            F.col(f"k{i}").alias("k"), "n"
+        )
+        for i in range(7)
+    ]
+    bad = parts[0]
+    for p in parts[1:]:
+        bad = bad.unionByName(p)
+    flags = ap.plan_flags(spark, bad)
+    assert any(f.startswith("exchange-storm") for f in flags), flags
+
+    # 4. No pushdown: a PUSHABLE predicate (bare column vs literal)
+    #    stranded above a nondeterministic projection — Catalyst cannot
+    #    push a filter below rand(), so `id > 50` is evaluated above the
+    #    scan, whose PushedFilters line Spark 4 then omits ENTIRELY (the
+    #    blind spot this planted case forced the detector to close: the
+    #    old all-empty-lines check was unreachable).
+    pq = str(tmp_path / "t.parquet")
+    spark.range(100).select(F.col("id"), F.col("id").cast("string").alias("s")).write.parquet(pq)
+    bad = (
+        spark.read.parquet(pq)
+        .withColumn("r", F.rand())
+        .filter(F.col("id") > 50)
+    )
+    assert "no-pushdown" in ap.plan_flags(spark, bad)
+    # ...while a purely computed (un-pushable) predicate stays exempt.
+    ok = spark.read.parquet(pq).filter(
+        F.coalesce(F.length("s") * 7 % 13, F.lit(0)) == 1
+    )
+    assert "no-pushdown" not in ap.plan_flags(spark, ok)
+
+    # And the audited registry stays clean through the same detector
+    # (spot-check one real query end-to-end via audit_one).
+    assert ap.audit_one(spark, "filter_project", SF_DIR) == []
