@@ -21,9 +21,16 @@ artifact, whose embedded git_head is cross-checked here):
 
 Usage: python scripts/release_gate.py [--skip NAME[,NAME...]]
                                       [--only NAME[,NAME...]]
+                                      [--retry-failed]
 Heavy prerequisites: oracle_sf1 needs scripts/make_sf1.py run once;
 bench_history needs a fresh bench.py BENCH_FULL.json for true-HEAD
 numbers (it gates on whatever map is in the working tree).
+
+``--retry-failed`` re-runs ONLY the gates the existing RELEASE_GATE.json
+recorded as failed (transient co-tenancy crashes, e.g. an oracle OOM) and
+MERGES into it: carried rows keep their own ``run_head``, re-run rows get
+the current one, and all_green is recomputed over the merged set. Partial
+runs (--only/--skip) never merge — they write a partial artifact.
 """
 
 from __future__ import annotations
@@ -89,12 +96,25 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--skip", default="", help="comma-separated gate names to skip")
     ap.add_argument("--only", default="", help="comma-separated gate names to run")
+    ap.add_argument("--retry-failed", action="store_true",
+                    help="re-run only the failed gates from the existing artifact and merge")
     args = ap.parse_args()
     skip = {s for s in args.skip.split(",") if s}
     only = {s for s in args.only.split(",") if s}
     unknown = (skip | only) - set(GATES)
     if unknown:
         raise SystemExit(f"unknown gate(s): {sorted(unknown)}; known: {list(GATES)}")
+
+    prior = None
+    if args.retry_failed:
+        if only or skip:
+            raise SystemExit("--retry-failed is exclusive with --only/--skip")
+        prior = json.loads((REPO / "RELEASE_GATE.json").read_text())
+        only = {n for n, r in prior["gates"].items() if not r.get("ok")}
+        if not only:
+            print("nothing to retry: every recorded gate is green")
+            return 0
+        print(f"retrying failed gate(s): {sorted(only)}")
     names = [n for n in GATES if (not only or n in only) and n not in skip]
 
     head0, dirty0 = _head(), _dirty()
@@ -134,6 +154,16 @@ def main() -> int:
               f"{'OK' if row['ok'] else 'FAIL'}")
 
     head1 = _head()
+    for r in results.values():
+        r["run_head"] = head0
+    if prior is not None:
+        # Merge: carried rows keep their own run_head provenance.
+        merged = dict(prior["gates"])
+        for n, r in merged.items():
+            r.setdefault("run_head", prior.get("git_head"))
+        merged.update(results)
+        results = merged
+        names = sorted(results)
     all_green = all(r["ok"] for r in results.values()) and head0 == head1
     out = {
         "git_head": head0,
@@ -142,10 +172,12 @@ def main() -> int:
         "gates_run": names,
         "gates_skipped": sorted(set(GATES) - set(names)),
         "all_green": all_green,
+        "retried_failed_from": prior.get("git_head") if prior is not None else None,
         "wall_sec": round(time.time() - t_start, 1),
         "gates": results,
-        "check": "every gate executed at one head; per-gate exit codes plus each "
-        "JSON artifact's embedded git_head cross-checked against the run head",
+        "check": "every gate executed at one head (per-row run_head records a "
+        "--retry-failed merge); per-gate exit codes plus each JSON artifact's "
+        "embedded git_head cross-checked against its run head",
     }
     (REPO / "RELEASE_GATE.json").write_text(json.dumps(out, indent=1) + "\n")
     n_ok = sum(r["ok"] for r in results.values())
