@@ -23,16 +23,19 @@ def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     """Connection with every corpus table registered as a view, matching the
     driver's pre-registered views.
 
-    Memory is CAPPED (default 48 GB, override ORACLE_DUCKDB_MEM) with an
+    Memory is CAPPED (default 80 GB, override ORACLE_DUCKDB_MEM) with an
     explicit spill directory: DuckDB's default limit is ~80% of RAM and
     its accounting undercounts partially-unspillable window operators, so
     a heavy sf1 oracle sharing the box with a Spark JVM can die on a raw
     malloc failure ("Failed to allocate block ... bad allocation" — seen
     once on minhash_jaccard_calibration at sf1) instead of spilling. The
     cap turns that nondeterministic co-tenancy crash into deterministic
-    disk spill under .tmp/ (gitignored)."""
+    disk spill under .tmp/ (gitignored). The default leaves the big sf1
+    window oracles mostly in RAM (a 48GB trial forced a spill larger
+    than this box's free disk); spill is the overflow valve, not the
+    steady state."""
     con = duckdb.connect()
-    con.execute(f"SET memory_limit = '{os.environ.get('ORACLE_DUCKDB_MEM', '48GB')}'")
+    con.execute(f"SET memory_limit = '{os.environ.get('ORACLE_DUCKDB_MEM', '80GB')}'")
     os.makedirs(".tmp", exist_ok=True)
     con.execute("SET temp_directory = '.tmp'")
     for name in TABLES:
