@@ -23,21 +23,22 @@ def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     """Connection with every corpus table registered as a view, matching the
     driver's pre-registered views.
 
-    Memory is CAPPED (default 80 GB, override ORACLE_DUCKDB_MEM) with an
-    explicit spill directory: DuckDB's default limit is ~80% of RAM and
-    its accounting undercounts partially-unspillable window operators, so
-    a heavy sf1 oracle sharing the box with a Spark JVM can die on a raw
-    malloc failure ("Failed to allocate block ... bad allocation" — seen
-    once on minhash_jaccard_calibration at sf1) instead of spilling. The
-    cap turns that nondeterministic co-tenancy crash into deterministic
-    disk spill under .tmp/ (gitignored). The default leaves the big sf1
-    window oracles mostly in RAM (a 48GB trial forced a spill larger
-    than this box's free disk); spill is the overflow valve, not the
-    steady state."""
+    ``ORACLE_DUCKDB_MEM`` optionally CAPS oracle memory (with spill to a
+    gitignored ``.tmp``); the default is DuckDB's own ~80%-of-RAM budget,
+    fully in-RAM. Measured on this box (round 10): the
+    minhash_jaccard_calibration sf1 oracle passes in-RAM under the
+    default budget but its FORCED-SPILL footprint exceeds the box's free
+    disk at both a 48 GB and an 80 GB cap — so capping trades a rare
+    co-tenancy malloc failure ("bad allocation", seen once right after a
+    heavy Spark leg) for a guaranteed disk-full. In-RAM is the only
+    viable mode for the heavy window oracles here; the transient-failure
+    mitigation is ``release_gate.py --retry-failed``, not a cap."""
     con = duckdb.connect()
-    con.execute(f"SET memory_limit = '{os.environ.get('ORACLE_DUCKDB_MEM', '80GB')}'")
-    os.makedirs(".tmp", exist_ok=True)
-    con.execute("SET temp_directory = '.tmp'")
+    mem = os.environ.get("ORACLE_DUCKDB_MEM")
+    if mem:
+        con.execute(f"SET memory_limit = '{mem}'")
+        os.makedirs(".tmp", exist_ok=True)
+        con.execute("SET temp_directory = '.tmp'")
     for name in TABLES:
         src = f"{sf_dir}/{name}.parquet"
         if os.path.isdir(src):
