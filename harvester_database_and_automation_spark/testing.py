@@ -49,6 +49,19 @@ def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
+def oracle_env_mode() -> dict:
+    """Oracle execution-mode provenance for artifacts (round-10 verdict,
+    What's missing #3): the round's red RELEASE_GATE came from a capped
+    ORACLE_DUCKDB_MEM run that was indistinguishable, in the artifact,
+    from a default in-RAM run. Every oracle-bearing artifact records this
+    block so a capped experiment can never masquerade as the default."""
+    mem = os.environ.get("ORACLE_DUCKDB_MEM")
+    return {
+        "ORACLE_DUCKDB_MEM": mem,
+        "mode": f"capped at {mem} with .tmp spill" if mem else "in-RAM default",
+    }
+
+
 def _normalize_cell(v):
     if v is None or v is pd.NaT:  # NaT != NaT, so it must map to None
         return None

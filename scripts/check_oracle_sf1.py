@@ -11,12 +11,18 @@ annotated output-bound scaling tails, and every round-6 rework. The sf1
 corpus comes from scripts/make_sf1.py (FK-consistent 10x replication of
 the driver's sf0.1 — run it first); both engines read the same files.
 
+Oracle results are served from the persistent cache
+(.oracle_cache/, keyed by SQL digest x corpus fingerprint —
+oracle_cache.py) when present: a warm re-run verifies Spark against the
+stored digests without opening DuckDB at all. ORACLE_CACHE=0 disables.
+
 Usage: python scripts/check_oracle_sf1.py [query ...]
 """
 
 from __future__ import annotations
 
 import json
+import os
 import subprocess
 import sys
 import time
@@ -24,12 +30,16 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
+from harvester_database_and_automation_spark.oracle_cache import (  # noqa: E402
+    OracleCache,
+    check_query_cached,
+)
 from harvester_database_and_automation_spark.plans import QUERIES  # noqa: E402
 from harvester_database_and_automation_spark.plans.shared import cleanup_scratch  # noqa: E402
 from harvester_database_and_automation_spark.session import get_spark  # noqa: E402
 from harvester_database_and_automation_spark.testing import (  # noqa: E402
-    check_query,
     duckdb_connection,
+    oracle_env_mode,
 )
 
 REPO = Path(__file__).resolve().parent.parent
@@ -79,7 +89,16 @@ def main() -> int:
         print(f"{SF1} missing — run scripts/make_sf1.py first", file=sys.stderr)
         return 2
     spark = get_spark("oracle-check-sf1")
-    con = duckdb_connection(SF1)
+    # DuckDB opens lazily, only if some query misses the oracle cache —
+    # an all-hits warm run never allocates the in-RAM oracle budget.
+    cache = None if os.environ.get("ORACLE_CACHE") == "0" else OracleCache(REPO / ".oracle_cache")
+    _con: list = []
+
+    def con_factory():
+        if not _con:
+            _con.append(duckdb_connection(SF1))
+        return _con[0]
+
     head = subprocess.run(
         ["git", "-C", str(REPO), "rev-parse", "--short", "HEAD"],
         capture_output=True,
@@ -90,7 +109,12 @@ def main() -> int:
     for name in names:
         t0 = time.time()
         try:
-            res = check_query(spark, con, name, SF1)
+            if cache is not None:
+                res, was_hit = check_query_cached(spark, con_factory, name, SF1, cache)
+            else:
+                from harvester_database_and_automation_spark.testing import check_query
+
+                res, was_hit = check_query(spark, con_factory(), name, SF1), False
             entry = {
                 "ok": res.ok,
                 "rows_match": res.ok or res.spark_rows == res.oracle_rows,
@@ -99,8 +123,9 @@ def main() -> int:
                 "spark_rows": res.spark_rows,
                 "oracle_rows": res.oracle_rows,
                 "problems": res.problems,
+                "oracle_cache_hit": was_hit,
             }
-            print(f"{res}  ({time.time() - t0:.1f}s)")
+            print(f"{res}{' [cached oracle]' if was_hit else ''}  ({time.time() - t0:.1f}s)")
         except Exception as exc:  # pragma: no cover - diagnostic path
             entry = {"ok": False, "error": f"{type(exc).__name__}: {exc}"}
             print(f"[ERROR] {name}: {entry['error']}")
@@ -129,7 +154,10 @@ def main() -> int:
     out = {
         "scale": "derived sf1 (100x the driver's sf0.01 correctness gate)",
         "sf1_source": "scripts/make_sf1.py: FK-consistent 10x replication of the driver's sf0.1",
-        "compare": "row count + schema + order-insensitive value hash (testing.compare_frames)",
+        "compare": "row count + schema + order-insensitive value hash (testing.compare_frames); "
+        "oracle side served from .oracle_cache digests on hits (oracle_cache.py)",
+        "oracle_env": oracle_env_mode(),
+        "oracle_cache": cache.stats() if cache is not None else {"disabled": True},
         "git_head": head,
         "note": "rows carry measured_at; a subset rerun merges into prior rows, valid only while the corpus is unchanged",
         "n_queries": len(rows),

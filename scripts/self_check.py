@@ -18,6 +18,7 @@ Usage: python scripts/self_check.py [sf_dir]
 from __future__ import annotations
 
 import json
+import os
 import subprocess
 import sys
 import time
@@ -25,6 +26,10 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
+from harvester_database_and_automation_spark.oracle_cache import (  # noqa: E402
+    OracleCache,
+    check_query_cached,
+)
 from harvester_database_and_automation_spark.plans import (  # noqa: E402
     MAX_GREEN_AGE_ROUNDS,
     QUERIES,
@@ -37,13 +42,22 @@ from harvester_database_and_automation_spark.session import get_spark  # noqa: E
 from harvester_database_and_automation_spark.testing import (  # noqa: E402
     check_query,
     duckdb_connection,
+    oracle_env_mode,
 )
 
 
 def main() -> int:
     sf_dir = sys.argv[1] if sys.argv[1:] else "/root/testdata/sf0.01"
     spark = get_spark("self-check")
-    con = duckdb_connection(sf_dir)
+    repo = Path(__file__).resolve().parent.parent
+    cache = None if os.environ.get("ORACLE_CACHE") == "0" else OracleCache(repo / ".oracle_cache")
+    con = None if cache is not None else duckdb_connection(sf_dir)
+    _con: list = []
+
+    def con_factory():
+        if not _con:
+            _con.append(duckdb_connection(sf_dir))
+        return _con[0]
     head = subprocess.run(
         ["git", "rev-parse", "HEAD"], capture_output=True, text=True, check=True
     ).stdout.strip()
@@ -58,11 +72,15 @@ def main() -> int:
     for name in QUERIES:
         t0 = time.time()
         try:
-            res = check_query(spark, con, name, sf_dir)
+            if cache is not None:
+                res, was_hit = check_query_cached(spark, con_factory, name, sf_dir, cache)
+            else:
+                res, was_hit = check_query(spark, con, name, sf_dir), False
             entry = {
                 "ok": res.ok,
                 "spark_rows": res.spark_rows,
                 "oracle_rows": res.oracle_rows,
+                "oracle_cache_hit": was_hit,
                 "sec": round(time.time() - t0, 2),
             }
             if res.problems:
@@ -100,6 +118,8 @@ def main() -> int:
         "git_head": head,
         "git_dirty": dirty,
         "sf_dir": sf_dir,
+        "oracle_env": oracle_env_mode(),
+        "oracle_cache": cache.stats() if cache is not None else {"disabled": True},
         "n_queries": len(results),
         "n_pass": len(results) - (n_fail - len(unseated)),
         "n_fail": n_fail,
