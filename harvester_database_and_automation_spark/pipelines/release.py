@@ -273,7 +273,23 @@ def run_release_cycle(
         to_release = payloads.join(
             F.broadcast(accepted) if hint else accepted,
             on=[key, tiebreak_col],
-        )
+        ).cache()
+        # The uniqueness gate above ran PRE-join; duplicate (key,
+        # tiebreak) candidate rows would re-inflate the delta HERE and
+        # silently double published rows (round-10 ADVICE), and a
+        # candidate row missing its payload twin would silently DROP an
+        # accepted release. Both are hard errors: the re-attach must be
+        # exactly 1:1 with the gated accepted set. One delta-sized count
+        # against the cached join (the merge below re-reads it hot).
+        n_attached = to_release.count()
+        if n_attached != stats["n"]:
+            to_release.unpersist()
+            raise ValueError(
+                f"run_release_cycle: payload re-attach changed the accepted "
+                f"delta from {stats['n']} to {n_attached} rows — candidate "
+                f"({key}, {tiebreak_col}) pairs must be unique and complete; "
+                "merging would corrupt the published table"
+            )
     # Delta merge: the released table streams map-side past the accepted
     # key set — no full-outer exchange of the accumulated table. The hint
     # is plan-time because the delta is MEASURED above; AQE's own
@@ -286,6 +302,8 @@ def run_release_cycle(
         broadcast_touched=hint,
     )
     version = publish_versioned(merged, table_dir)
+    if payload_cols:
+        to_release.unpersist()
 
     manifest = (
         failed.withColumn("status", F.col("reason"))

@@ -240,6 +240,13 @@ def _stranded_pushable_predicate(plan: str) -> bool:
         )
         if not sdetail:
             continue
+        # A pushable atom on a PARTITION column is served via partition
+        # pruning (PartitionFilters), with PushedFilters legitimately
+        # empty — flagging that would red-flag exactly the best-pruned
+        # reads (round-10 ADVICE).
+        part = re.search(r"PartitionFilters: \[([^\n]*)", sdetail.group(0))
+        if part is not None and not part.group(1).strip().startswith("]"):
+            continue
         pushed = re.search(r"PushedFilters: \[([^\n]*)", sdetail.group(0))
         if pushed is None or pushed.group(1).strip().startswith("]"):
             return True

@@ -56,7 +56,15 @@ from harvester_database_and_automation_spark.testing import (  # noqa: E402
 # equality structure over perturbed columns is preserved). Reviewed
 # against the plan source in round 10; a query that sits still without a
 # reason here fails the sweep.
-NO_MOVE_REASONS: dict[str, str] = {
+#
+# Two entry kinds (round-10 ADVICE): a plain string is a PLAN-PROVABLE
+# read-set invariant (key-only/count-only plans — true at any corpus); a
+# dict {"reason", "valid_at_sf_dir"} is an EMPIRICAL, corpus-scale-
+# dependent claim ("the jitter flips no edge at this sf") honored ONLY
+# when the sweep's clean_dir is the corpus it was validated at — against
+# any other corpus the entry is ignored and the unmoved query fails
+# loudly instead of being silently masked.
+NO_MOVE_REASONS: dict[str, str | dict] = {
     "customer_order_counts": (
         "reads only c_custkey/o_custkey/o_orderkey (plans/relational.py:230):"
         " counts per key are invariant under any non-key perturbation."
@@ -72,12 +80,15 @@ NO_MOVE_REASONS: dict[str, str] = {
     "union_distinct_nations": (
         "distinct c_nationkey UNION s_nationkey — key columns only."
     ),
-    "upsert_plan_intersect": (
-        "action counts depend on each customer's ERA membership (distinct"
-        " key sets split at 1996-01-01); the <=5-day timestamp jitter"
-        " moved no customer's entire era membership at this sf — every"
-        " boundary-adjacent customer has other orders inside its era."
-    ),
+    "upsert_plan_intersect": {
+        "reason": (
+            "action counts depend on each customer's ERA membership (distinct"
+            " key sets split at 1996-01-01); the <=5-day timestamp jitter"
+            " moved no customer's entire era membership at this sf — every"
+            " boundary-adjacent customer has other orders inside its era."
+        ),
+        "valid_at_sf_dir": "/root/testdata/sf0.001",
+    },
     "zorder_cell_stats": (
         "Morton interleave of l_partkey%16 x l_suppkey%16 — key columns"
         " only (plans/relational.py:2842)."
@@ -95,21 +106,48 @@ NO_MOVE_REASONS: dict[str, str] = {
         " relabeling which preserves all equality structure; output is"
         " ids+ranks only (plans/embeddings.py:1597)."
     ),
-    "kanonymity_audit": (
-        "outputs the class-SIZE histogram only: injective relabeling of"
-        " c_mktsegment preserves class structure, and at this sf the"
-        " classes are singleton-dominated, so the <=4% balance jitter's"
-        " band migrations map singletons to singletons — the histogram is"
-        " unchanged (ldiversity_audit, which also reads distinct sensitive"
-        " values per class, DOES move under the same probe)."
-    ),
-    "incremental_dup_components": (
-        "depends on text only through the >=0.5-Jaccard shingle edge set;"
-        " near-dup pairs sit far above the threshold and non-dups far"
-        " below, so bounded prefix/suffix jitter flips no edge at this sf;"
-        " output is ids only (plans/text.py:706)."
-    ),
+    "kanonymity_audit": {
+        "reason": (
+            "outputs the class-SIZE histogram only: injective relabeling of"
+            " c_mktsegment preserves class structure, and at this sf the"
+            " classes are singleton-dominated, so the <=4% balance jitter's"
+            " band migrations map singletons to singletons — the histogram is"
+            " unchanged (ldiversity_audit, which also reads distinct sensitive"
+            " values per class, DOES move under the same probe)."
+        ),
+        "valid_at_sf_dir": "/root/testdata/sf0.001",
+    },
+    "incremental_dup_components": {
+        "reason": (
+            "depends on text only through the >=0.5-Jaccard shingle edge set;"
+            " near-dup pairs sit far above the threshold and non-dups far"
+            " below, so bounded prefix/suffix jitter flips no edge at this sf;"
+            " output is ids only (plans/text.py:706)."
+        ),
+        "valid_at_sf_dir": "/root/testdata/sf0.001",
+    },
 }
+
+
+def resolve_no_move_reason(name: str, clean_dir: str) -> tuple[str | None, str | None]:
+    """(reason, rejection_note). Plain-string entries apply at any corpus;
+    scale-tagged entries apply only at their validated corpus — elsewhere
+    the entry is rejected (reason None) with a note naming why, so the
+    sweep fails loudly instead of masking a genuinely pinned query."""
+    import os
+
+    entry = NO_MOVE_REASONS.get(name)
+    if entry is None:
+        return None, None
+    if isinstance(entry, dict):
+        valid_at = entry["valid_at_sf_dir"]
+        if os.path.realpath(clean_dir) != os.path.realpath(valid_at):
+            return None, (
+                f"scale-dependent no-move reason was validated at {valid_at} "
+                f"and does not transfer to {clean_dir}"
+            )
+        return entry["reason"], None
+    return entry, None
 
 
 def _check_stage(spark, name, clean_dir, pert_dir, clean_con, pert_con):
@@ -156,11 +194,12 @@ def main() -> int:
                         ok=r2.ok,
                     )
                     if r2.ok and not r2.spark_moved:
-                        reason = NO_MOVE_REASONS.get(name)
+                        reason, rejection = resolve_no_move_reason(name, clean_dir)
                         if reason is None:
                             row["ok"] = False
-                            row["error"] = ("unmoved under single-row AND all-rows "
-                                            "perturbation with no recorded reason")
+                            row["error"] = rejection or (
+                                "unmoved under single-row AND all-rows "
+                                "perturbation with no recorded reason")
                         else:
                             row["no_move_reason"] = reason
                     row["moved_stage"] = 2 if r2.spark_moved else None

@@ -212,18 +212,23 @@ def main() -> int:
         ]
         n_docs = base.count()
         print(f"release/{label}: {n_docs} docs")
+        def run_cycle(p):
+            # run_release_cycle returns its manifest CACHED for the
+            # caller; this audit reads only the status API, so release
+            # it immediately (round-10 ADVICE: the leg leaked one cached
+            # manifest per measured cycle into the shared session).
+            manifest, _held, _report = run_release_cycle(
+                spark, spark.read.parquet(p), expected, arrived, table, rules,
+                key="sample_id", quality_col="consensus_n", batch_col="batch",
+                tiebreak_col="attempt_id",
+                released_cols=["sample_id", "consensus_n", "payload"],
+                payload_cols=["payload"],
+            )
+            manifest.unpersist()
+
         cycles = {}
         for cyc, path in (("cycle1_bulk_release", c1), ("cycle2_steady_state", c2)):
-            cycles[cyc] = measure(
-                f"release/{label}/{cyc}",
-                lambda p=path: run_release_cycle(
-                    spark, spark.read.parquet(p), expected, arrived, table, rules,
-                    key="sample_id", quality_col="consensus_n", batch_col="batch",
-                    tiebreak_col="attempt_id",
-                    released_cols=["sample_id", "consensus_n", "payload"],
-                    payload_cols=["payload"],
-                ),
-            )
+            cycles[cyc] = measure(f"release/{label}/{cyc}", lambda p=path: run_cycle(p))
         return {"n_docs": n_docs, **cycles}
 
     legs: dict[str, dict] = {}

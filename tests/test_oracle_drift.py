@@ -129,6 +129,40 @@ def test_no_move_ledger_names_registered_queries():
     assert not unknown, f"stale NO_MOVE_REASONS entries: {sorted(unknown)}"
 
 
+def test_scale_dependent_no_move_reasons_pin_their_corpus():
+    """Scale-tagged no-move entries ('the jitter flips no edge at this
+    sf') are empirical claims, not plan invariants — they must only be
+    honored at the corpus they were validated at; elsewhere the sweep
+    must treat the query as unexplained (round-10 ADVICE)."""
+    import importlib.util
+    import sys as _sys
+    from pathlib import Path
+
+    spec = importlib.util.spec_from_file_location(
+        "drift_guard_script2",
+        Path(__file__).resolve().parent.parent / "scripts" / "drift_guard.py",
+    )
+    mod = importlib.util.module_from_spec(spec)
+    _sys.modules["drift_guard_script2"] = mod
+    spec.loader.exec_module(mod)
+
+    tagged = {n for n, e in mod.NO_MOVE_REASONS.items() if isinstance(e, dict)}
+    assert "incremental_dup_components" in tagged  # corpus-scale claims stay tagged
+    for name in tagged:
+        valid_at = mod.NO_MOVE_REASONS[name]["valid_at_sf_dir"]
+        reason, rejection = mod.resolve_no_move_reason(name, valid_at)
+        assert reason and rejection is None
+        reason2, rejection2 = mod.resolve_no_move_reason(name, "/root/testdata/sf0.1")
+        assert reason2 is None and "does not transfer" in rejection2
+
+    # Plan-provable (string) entries apply at any corpus.
+    plain = next(n for n, e in mod.NO_MOVE_REASONS.items() if isinstance(e, str))
+    reason, rejection = mod.resolve_no_move_reason(plain, "/anywhere/at/all")
+    assert reason and rejection is None
+    # Unknown queries resolve to (None, None) — 'no reason recorded'.
+    assert mod.resolve_no_move_reason("not_a_query", "/x") == (None, None)
+
+
 def test_guard_catches_pinned_oracle(spark, pert):
     """Negative control: pin one oracle to its clean-corpus result and the
     guard MUST flag it — this is the failure mode 400 green parity checks

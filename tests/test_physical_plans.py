@@ -463,3 +463,52 @@ def test_plan_audit_detectors_fire_on_planted_bad_plans(spark, tmp_path):
     # And the audited registry stays clean through the same detector
     # (spot-check one real query end-to-end via audit_one).
     assert ap.audit_one(spark, "filter_project", SF_DIR) == []
+
+
+def test_stranded_detector_exempts_partition_pruned_scans():
+    """A pushable atom served via PartitionFilters leaves PushedFilters
+    legitimately empty — the stranded-pushdown detector must not red-flag
+    a partition-pruned read (round-10 ADVICE). Crafted plan text drives
+    the detector directly: the same plan WITHOUT the PartitionFilters
+    line must still flag, proving the exemption is the only difference."""
+    import importlib.util
+    import sys
+    from pathlib import Path
+
+    spec = importlib.util.spec_from_file_location(
+        "audit_plans_script2",
+        Path(__file__).resolve().parent.parent / "scripts" / "audit_plans.py",
+    )
+    ap = importlib.util.module_from_spec(spec)
+    sys.modules["audit_plans_script2"] = ap
+    spec.loader.exec_module(ap)
+
+    def plan(partition_filters_line: str) -> str:
+        return (
+            "== Physical Plan ==\n"
+            "* Filter (3)\n"
+            "+- * ColumnarToRow (2)\n"
+            "   +- Scan parquet  (1)\n"
+            "\n\n"
+            "(1) Scan parquet \n"
+            "Output [2]: [id#3L, p#5]\n"
+            "Batched: true\n"
+            "Location: InMemoryFileIndex [file:/t.parquet]\n"
+            f"{partition_filters_line}"
+            "ReadSchema: struct<id:bigint>\n"
+            "\n"
+            "(2) ColumnarToRow [codegen id : 1]\n"
+            "Input [2]: [id#3L, p#5]\n"
+            "\n"
+            "(3) Filter [codegen id : 1]\n"
+            "Input [2]: [id#3L, p#5]\n"
+            "Condition : (p#5 > 2)\n"
+            "\n"
+        )
+
+    pruned = plan("PartitionFilters: [isnotnull(p#5), (p#5 > 2)]\n")
+    unpruned = plan("")
+    empty_pruned = plan("PartitionFilters: []\n")
+    assert not ap._stranded_pushable_predicate(pruned)
+    assert ap._stranded_pushable_predicate(unpruned)
+    assert ap._stranded_pushable_predicate(empty_pruned)

@@ -501,6 +501,36 @@ def test_run_release_cycle_payload_skinny(spark, tmp_path):
     assert pub2 == {1: (10, "SEQ-1-ATT-3"), 2: (50, "SEQ-2")}
 
 
+def test_run_release_cycle_rejects_inflating_payload_reattach(spark, tmp_path):
+    """The accepted-key uniqueness gate runs pre-join; duplicate (key,
+    tiebreak) CANDIDATE rows would re-introduce duplicate keys through the
+    payload re-attach join after it (round-10 ADVICE). The post-join count
+    must catch the inflation before the merge doubles published rows."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from harvester_database_and_automation_spark.pipelines.release import run_release_cycle
+
+    table = str(tmp_path / "released")
+    expected = spark.createDataFrame([(1, 0)], "sample_id bigint, batch int")
+    rules = [("duplicate", F.col("duplicate_idx") > 1)]
+    # Two candidate rows share (sample_id=1, attempt_id=1): the window
+    # dedups them to ONE accepted row (gate passes), but the (key,
+    # tiebreak) payload join matches BOTH raw rows.
+    c1 = spark.createDataFrame(
+        [(1, 1, 0, 30, "PAYLOAD-A"), (1, 1, 0, 30, "PAYLOAD-B")],
+        "sample_id bigint, attempt_id int, batch int, consensus_n int, payload string",
+    )
+    with pytest.raises(ValueError, match="re-attach"):
+        run_release_cycle(
+            spark, c1, expected, c1.select("sample_id"), table, rules,
+            key="sample_id", quality_col="consensus_n", batch_col="batch",
+            tiebreak_col="attempt_id",
+            released_cols=["sample_id", "consensus_n", "payload"],
+            payload_cols=["payload"],
+        )
+
+
 def test_run_release_cycle_rejects_duplicate_accepted_keys(spark, tmp_path):
     """Rules that fail to deduplicate (no duplicate_idx rule) must fail
     LOUDLY before the merge, not silently double published rows."""
