@@ -21,6 +21,13 @@ the status API:
   window and the whole cascade run on skinny columns, payloads re-attach
   to the accepted delta via the broadcast-hinted (key, tiebreak) join,
   and merge_delta keeps stored payloads out of every exchange.
+- **streaming_upsert leg** (round-10 verdict ask #3): two availableNow
+  polls of stream_upsert_into_published — a bulk-backlog micro-batch,
+  then a steady-state micro-batch of payload updates / metadata updates /
+  late inserts merged against the published table. Skinny shape = the
+  sink's measured micro-batch broadcast hint + merge_delta: the published
+  payloads stream map-side past the batch's key set, and batch payloads
+  ride file-read -> union -> publish without an exchange.
 
 If a pipeline shuffles only keys + hashes + metadata, the steady-state
 cycle's shuffle volume is the SAME at both widths and a tiny fraction of
@@ -231,9 +238,73 @@ def main() -> int:
             cycles[cyc] = measure(f"release/{label}/{cyc}", lambda p=path: run_cycle(p))
         return {"n_docs": n_docs, **cycles}
 
+    # ---------------------------------------------------- streaming upsert
+    def streaming_leg(wide: bool) -> dict:
+        import glob
+        import shutil
+
+        from harvester_database_and_automation_spark.streaming.upsert_sink import (
+            stream_upsert_into_published,
+        )
+
+        label = "wide" if wide else "narrow"
+        root = scratch_dir(prefix=f"widerow_stream_{label}_")
+        feed = os.path.join(root, "feed")
+        os.makedirs(feed)
+        table = os.path.join(root, "pub_tbl")
+        ckpt = os.path.join(root, "ckpt")
+        base = load_table(spark, sf_dir, "documents").select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            F.col("source").alias("src"),
+            F.regexp_replace(F.lower("text"), "[^a-z]", "").alias("payload"),
+            (F.col("doc_id") % 10).alias("m0"),
+        )
+        if wide:
+            base = base.withColumn("payload", F.rpad("payload", WIDE_BYTES, "acgtn"))
+
+        def spool(df, name):
+            # One file per micro-batch, Spark-written then renamed (the
+            # spool write itself is not part of a measured cycle).
+            stage = os.path.join(root, f"stage_{name}")
+            df.repartition(1).write.json(stage)
+            part = glob.glob(os.path.join(stage, "part-*"))[0]
+            shutil.move(part, os.path.join(feed, f"{name}.json"))
+
+        def poll():
+            stream_upsert_into_published(
+                spark, feed, feed_schema, ckpt, table, keys=["doc_id"], fmt="json"
+            )
+
+        n_docs = base.count()
+        print(f"streaming/{label}: {n_docs} docs")
+        cycles = {}
+        # Cycle 1 (bulk backlog): every doc except the late arrivals.
+        spool(base.filter(F.col("m0") != 2).drop("m0"), "batch_1")
+        cycles["cycle1_bulk_load"] = measure(f"streaming/{label}/cycle1_bulk_load", poll)
+        # Cycle 2 (steady state): payload resubmissions (m0==3), metadata
+        # updates (m0==4), late inserts (m0==2) — merged via the sink's
+        # measured-hint merge_delta against the published table.
+        b2 = (
+            base.filter(F.col("m0").isin(2, 3, 4))
+            .withColumn("src", F.when(F.col("m0") == 4, F.lit("UPDATED")).otherwise(F.col("src")))
+            .withColumn(
+                "payload",
+                F.when(F.col("m0") == 3, F.concat("payload", F.lit("acg"))).otherwise(
+                    F.col("payload")
+                ),
+            )
+            .drop("m0")
+        )
+        spool(b2, "batch_2")
+        cycles["cycle2_steady_state"] = measure(
+            f"streaming/{label}/cycle2_steady_state", poll
+        )
+        return {"n_docs": n_docs, **cycles}
+
     legs: dict[str, dict] = {}
     all_ok = True
-    for leg_name, leg_fn in (("feed_import", feed_leg), ("release", release_leg)):
+    for leg_name, leg_fn in (("feed_import", feed_leg), ("release", release_leg),
+                             ("streaming_upsert", streaming_leg)):
         results = {}
         for wide in (False, True):
             results["wide" if wide else "narrow"] = leg_fn(wide)
@@ -270,7 +341,8 @@ def main() -> int:
         "payloads: widening rows 500x adds <0.5% of payload volume to shuffle. "
         "feed_import = payload-skinny classify + measured-delta hints + merge_delta; "
         "release = payload-skinny cascade (payload_cols) + hinted re-attach + "
-        "merge_delta",
+        "merge_delta; streaming_upsert = measured micro-batch hint + merge_delta "
+        "(published payloads stream map-side past the batch key set)",
     }
     (Path(__file__).resolve().parent.parent / "WIDE_ROW_BYTES.json").write_text(
         json.dumps(out, indent=1) + "\n"
