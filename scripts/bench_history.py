@@ -149,6 +149,16 @@ JUSTIFIED: dict[str, str] = {
         "delta-fold vs published map: pays a publish read at sf0.1; "
         "avoids recomputing CC over the full corpus at scale."
     ),
+    "release_export_replay": (
+        "round-10 rework: payload-skinny release cascade "
+        "(run_release_cycle(payload_cols=...) drops wide columns before "
+        "the duplicate_idx key-shuffle window and re-attaches them to the "
+        "accepted delta via the measured-hint join) plus the byte-aware "
+        "measured-delta broadcast hint and the accepted-uniqueness / "
+        "re-attach 1:1 hard-stops. +1.46s at sf0.1 across the two cycles; "
+        "buys the 100 TB shape (WIDE_ROW_BYTES.json release leg: cycle-2 "
+        "shuffle identical at 60B and 30KB payloads, frac 0.00072)."
+    ),
 }
 
 

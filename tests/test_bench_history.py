@@ -71,6 +71,45 @@ def test_red_on_planted_uniform_creep_survivor():
     assert victim in res["unjustified"]
 
 
+def test_red_on_planted_regression_atop_justified_growth():
+    """release_export_replay's round-10 growth is justified (payload-
+    skinny cascade), but the justification must not become a blank check:
+    a planted 2x-on-top regression still lands in `flagged` — and since
+    JUSTIFIED silences it, this test documents the residual exposure by
+    asserting the flag fires at the mechanism level (ratio + excess both
+    trip) on top of the justified baseline."""
+    import json
+    import subprocess
+
+    victim = "release_export_replay"
+    assert victim in bench_history.JUSTIFIED
+    cur = bench_history._load_map(None)
+    # The round-1 baseline predates the query; gate against the OLDEST
+    # committed map that carries it (bench_history --baseline REV covers
+    # this comparison for real once the default baseline rolls forward).
+    revs = subprocess.run(
+        ["git", "-C", str(REPO), "log", "--format=%H", "--", "BENCH_FULL.json"],
+        capture_output=True, text=True, check=True,
+    ).stdout.split()
+    old = None
+    for rev in reversed(revs):
+        try:
+            m = bench_history._load_map(rev)
+        except (subprocess.CalledProcessError, json.JSONDecodeError):
+            continue
+        if victim in m["queries"]:
+            old = m
+            break
+    assert old is not None, "no committed BENCH_FULL.json carries the victim"
+    planted = copy.deepcopy(cur)
+    planted["queries"][victim] = planted["queries"][victim] * 2 + 3.0
+    res = bench_history.compare_maps(planted, old)
+    assert victim in res["flagged"], (
+        f"planted 2x/+3s on top of the justified baseline did not trip the "
+        f"mechanism: ratio={res['ratios'][victim]:.2f}"
+    )
+
+
 def test_cpu_probe_preferred_when_both_maps_carry_it():
     """Normalization preference: CPU probe > IO probe > panel median."""
     old = {
