@@ -209,6 +209,15 @@ _CHANGED_IN_R10 = [
     "external_tool_seq_stats",
 ]
 
+# Round-11 edits after round 10's driver greens: run_release_cycle's
+# payload re-attach join gained the post-join 1:1 hard-stop against the
+# gated accepted count (duplicate (key,tiebreak) candidates previously
+# re-inflated the delta AFTER the uniqueness gate) and the re-attach
+# frame is now cached across the count + merge.
+_CHANGED_IN_R11 = [
+    "release_export_replay",
+]
+
 # round -> list; a query whose latest implementation-change round has no
 # green row at-or-after that round re-enters the rotation's tier 2.
 _CHANGED_IN = {
@@ -218,6 +227,7 @@ _CHANGED_IN = {
     8: _CHANGED_IN_R8,
     9: _CHANGED_IN_R9,
     10: _CHANGED_IN_R10,
+    11: _CHANGED_IN_R11,
 }
 
 
