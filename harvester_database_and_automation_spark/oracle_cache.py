@@ -181,12 +181,17 @@ def check_query_cached(spark, con_factory, name: str, sf_dir: str,
     from harvester_database_and_automation_spark.testing import (
         CompareResult,
         canonical_rows,
-        check_query,
     )
 
     spec = QUERIES[name]
     if spec.oracle is None:
-        return check_query(spark, con_factory(), name, sf_dir), False
+        # Rows-only gate (testing.check_query semantics) — no oracle, so
+        # no DuckDB connection either.
+        spark_pdf = spec.fn(spark, sf_dir).toPandas()
+        return CompareResult(
+            name=name, ok=len(spark_pdf) > 0, spark_rows=len(spark_pdf),
+            oracle_rows=-1, problems=["no oracle: rows-only check"],
+        ), False
 
     corpus_digest = corpus_fingerprint(sf_dir)
     entry = cache.get(spec.oracle, corpus_digest)

@@ -131,6 +131,7 @@ def main() -> int:
             print(f"[ERROR] {name}: {entry['error']}")
         cleanup_scratch()
         entry["seconds"] = round(time.time() - t0, 1)
+        entry["measured_at"] = head
         rows[name] = entry
         if not entry["ok"]:
             n_fail += 1
