@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import os
 from collections.abc import Callable
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -90,15 +91,38 @@ class DerivedLayer:
                 stack.extend(self.tables[n].depends_on)
         built: dict[str, DataFrame] = {}
         versions: dict[str, int] = {}
-        for name, spec in self.tables.items():
-            if wanted is not None and name not in wanted:
-                continue
+
+        def one(name: str) -> tuple[str, int]:
+            spec = self.tables[name]
             deps = {d: built[d] for d in spec.depends_on}
             df = spec.build(spark, sf_dir, deps)
-            versions[name] = publish_versioned(
+            return name, publish_versioned(
                 df, os.path.join(out_root, name), partition_by=list(spec.partition_by) or None
             )
-            built[name] = read_published(spark, os.path.join(out_root, name))
+
+        # Dependency-LEVEL scheduling with a small thread pool: tables in
+        # the same level are independent builds writing distinct dirs, and
+        # Spark happily runs their jobs concurrently — the next build's
+        # tasks back-fill executors idling in the previous build's
+        # straggler tail and driver-side publish/listing gaps (guide on
+        # overlapping independent jobs). Results are identical: each table
+        # still builds from fully-published deps.
+        remaining = [n for n in self.tables if wanted is None or n in wanted]
+        while remaining:
+            ready = [
+                n for n in remaining if all(d in built for d in self.tables[n].depends_on)
+            ]
+            if not ready:
+                raise ValueError(f"dependency cycle among {remaining!r}")
+            if len(ready) == 1:
+                results = [one(ready[0])]
+            else:
+                with ThreadPoolExecutor(max_workers=min(4, len(ready))) as pool:
+                    results = list(pool.map(one, ready))
+            for name, v in results:
+                versions[name] = v
+                built[name] = read_published(spark, os.path.join(out_root, name))
+            remaining = [n for n in remaining if n not in versions]
         return versions
 
     def rebuild_incremental(
@@ -121,17 +145,41 @@ class DerivedLayer:
         a row-level churn predicate can never silently drop the
         non-matching rows of a touched partition.
         """
-        versions: dict[str, int] = {}
-        for name, spec in self.tables.items():
-            if name not in predicates:
-                continue
-            if not spec.partition_by:
+        for name in predicates:
+            if not self.tables[name].partition_by:
                 raise ValueError(f"{name!r} has no partition_by; register one to rebuild incrementally")
+
+        def one(name: str) -> tuple[str, int]:
+            spec = self.tables[name]
             deps = {d: read_published(spark, os.path.join(out_root, d)) for d in spec.depends_on}
             full = spec.build(spark, sf_dir, deps)
             pcols = list(spec.partition_by)
-            dirty_keys = full.filter(predicates[name]).select(*pcols).distinct()
-            df = full.join(dirty_keys, pcols, "left_semi")
+            # Dirty-key selection runs as its own bounded action (partition
+            # keys only — the same cardinality partition_leaves already
+            # collects below), and the rebuild filters on the IN-list
+            # instead of semi-joining the build against itself: the former
+            # semi-join planted the whole build subtree TWICE in one plan
+            # (once under the distinct, once as the probe side), so every
+            # incremental rebuild executed the expensive derivation two
+            # times; the literal filter executes it once AND pushes the
+            # partition predicate into the dep scans. Null partition keys
+            # never matched the null-unsafe semi-join either, so dropping
+            # them from the IN-list preserves row-for-row semantics.
+            dirty_rows = full.filter(predicates[name]).select(*pcols).distinct().collect()
+            keep = [tuple(r[c] for c in pcols) for r in dirty_rows]
+            keep = [t for t in keep if all(v is not None for v in t)]
+            if not keep:
+                cond = F.lit(False)
+            elif len(pcols) == 1:
+                cond = F.col(pcols[0]).isin([t[0] for t in keep])
+            else:
+                cond = F.lit(False)
+                for t in keep:
+                    match = F.lit(True)
+                    for c, v in zip(pcols, t):
+                        match = match & (F.col(c) == F.lit(v))
+                    cond = cond | match
+            df = full.filter(cond)
             # Every previous-version partition the predicate matches is up
             # for replacement: the ones the new build still produces get
             # written fresh, and the ones whose keys vanished from the
@@ -144,12 +192,34 @@ class DerivedLayer:
                 )
             except FileNotFoundError:
                 stale = []  # first publish: nothing to carry over or drop
-            versions[name] = publish_incremental(
+            return name, publish_incremental(
                 df,
                 os.path.join(out_root, name),
                 partition_by=list(spec.partition_by),
                 drop_partitions=stale,
             )
+
+        # Listed tables with no listed dependency between them are
+        # independent (each reads only PUBLISHED deps), so their rebuild
+        # jobs overlap in the scheduler — same back-filling rationale as
+        # ``rebuild``. A listed table that depends on another listed table
+        # still waits for that dep's fresh version, preserving the
+        # sequential walk's ordering.
+        versions: dict[str, int] = {}
+        remaining = [n for n in self.tables if n in predicates]
+        while remaining:
+            ready = [
+                n
+                for n in remaining
+                if not any(d in remaining for d in self.tables[n].depends_on)
+            ]
+            if len(ready) == 1:
+                results = [one(ready[0])]
+            else:
+                with ThreadPoolExecutor(max_workers=min(4, len(ready))) as pool:
+                    results = list(pool.map(one, ready))
+            versions.update(dict(results))
+            remaining = [n for n in remaining if n not in versions]
         return versions
 
 

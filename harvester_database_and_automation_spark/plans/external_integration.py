@@ -711,14 +711,42 @@ def derived_rebuild_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         root,
         predicates={t: F.col("lang").isin("de", "fr") for t in targets},
     )
-    rows = []
-    for t in targets:
+    def compare(t: str):
         full = spark.read.parquet(os.path.join(root, t, f"v{v_full[t]}"))
         incr = spark.read.parquet(os.path.join(root, t, f"v{v_incr[t]}"))
         cols = sorted(full.columns)
         f_sel, i_sel = full.select(*cols), incr.select(*cols)
-        n_div = f_sel.exceptAll(i_sel).count() + i_sel.exceptAll(f_sel).count()
-        rows.append((t, incr.count(), n_div))
+        # Multiset diff in ONE pass: exceptAll(f,i).count() +
+        # exceptAll(i,f).count() + incr.count() was three jobs, each
+        # re-reading both published versions and the exceptAlls each
+        # shuffling both sides; sum(|n_full - n_incr|) over one unioned
+        # groupBy is the identical quantity (exceptAll keeps the positive
+        # multiplicity surplus per distinct row) from a single scan +
+        # shuffle, and the incremental row count rides the same
+        # aggregation.
+        diff = (
+            f_sel.withColumn("_w", F.lit(1))
+            .unionByName(i_sel.withColumn("_w", F.lit(-1)))
+            .groupBy(*cols)
+            .agg(
+                F.sum("_w").alias("_d"),
+                F.count(F.when(F.col("_w") == -1, 1)).alias("_ni"),
+            )
+            .agg(
+                F.coalesce(F.sum(F.abs(F.col("_d"))), F.lit(0)).alias("n_div"),
+                F.coalesce(F.sum("_ni"), F.lit(0)).alias("n_incr"),
+            )
+            .collect()[0]
+        )
+        return (t, diff["n_incr"], diff["n_div"])
+
+    # The two tables' diffs are independent single-aggregation jobs —
+    # overlap them so one job's straggler tail back-fills with the other's
+    # tasks (same rationale as the rebuild walk in pipelines/derived.py).
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(targets)) as pool:
+        rows = list(pool.map(compare, targets))
     return spark.createDataFrame(
         rows, "table_name string, n_rows bigint, n_divergent bigint"
     )
