@@ -1189,8 +1189,7 @@ def feed_import_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             fh.write('{"doc_id": 999999999, "payload": \n')
         return feed_dir
 
-    feed1 = write_feed(base.filter(F.col("m0") != 0), "feed1")
-    feed2 = write_feed(
+    feed2_df = (
         base.filter(F.col("m0") != 1)
         .withColumn(
             # Quarantined rows (NULL src) keep their NULL — they must stay
@@ -1205,9 +1204,16 @@ def feed_import_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("m0") == 3, F.concat("payload", F.lit("aaa"))).otherwise(
                 F.col("payload")
             ),
-        ),
-        "feed2",
+        )
     )
+    # The two spool writes are independent fixture jobs over the raw
+    # documents scan (no shared un-materialized cache) — overlap them.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as _pool:
+        _f1 = _pool.submit(write_feed, base.filter(F.col("m0") != 0), "feed1")
+        _f2 = _pool.submit(write_feed, feed2_df, "feed2")
+        feed1, feed2 = _f1.result(), _f2.result()
 
     def parse_line(line: str):
         parts = line.split("\t")
