@@ -209,16 +209,18 @@ def run_release_cycle(
     )
 
     comp = batch_completeness(expected, arrived, key, batch_col)
-    # No cache on the completeness join: its only corpus-sized consumer
-    # path (proc -> the cascade) materializes ONCE into the annotated
-    # cache below, and the held branch is a re-scan + broadcast join —
-    # cheaper than holding a second corpus-row cache in executor memory
-    # for the cycle (guide §5: cache only when the recompute costs more
-    # than the memory pressure). Measured: dropping the flagged/decided
-    # caches removed two AQE cache-fill job cascades per cycle.
+    # Cached: the held branch re-reads this join in the manifest rollup,
+    # and the caller feeds `held` into the NEXT cycle's candidate set —
+    # without the cache every one of those consumers re-runs the
+    # candidates scan + completeness broadcast. Dropping this cache (and
+    # decided's, below) was tried in round 11: it removed two AQE
+    # cache-fill cascades but made every overlapped tail leg recompute
+    # the shared subtrees concurrently, which regressed the 32-core
+    # driver bench 33% — re-measured round 12, the caches win (9.6 ->
+    # 6.8 s min-of-4 at local[32]).
     flagged = candidates.join(
         F.broadcast(comp.select(batch_col, "is_complete")), batch_col, "left"
-    )
+    ).cache()
     held = flagged.filter(~F.coalesce("is_complete", F.lit(False))).drop("is_complete")
     proc = flagged.filter(F.coalesce("is_complete", F.lit(False))).drop("is_complete")
     if payload_cols:
@@ -230,9 +232,9 @@ def run_release_cycle(
     annotated, qc = build_release_plan(
         proc, key, quality_col, batch_col, rules, tiebreak_col=tiebreak_col
     )
-    # THE one corpus-sized cache of the cycle: every downstream consumer
-    # (failed/eligible split, the resequencing gate, the uniqueness gate,
-    # the merge, the QC report, the manifest) derives from this frame.
+    # Every downstream consumer (failed/eligible split, the resequencing
+    # gate, the uniqueness gate, the merge, the QC report, the manifest)
+    # derives from this frame; the uniqueness-gate action below fills it.
     annotated = annotated.cache()
     failed = annotated.filter(F.col("reason") != REASON_RELEASE)
     eligible = annotated.filter(F.col("reason") == REASON_RELEASE)
@@ -252,7 +254,14 @@ def run_release_cycle(
             )
     else:
         released_cur = read_published(spark, table_dir)
-    decided = resequencing_decisions(released_cur, eligible, key, quality_col)
+    # Cached: three tail legs consume this frame (the merge under the
+    # publish write, the manifest rollup, and the gate aggregation that
+    # fills it) — uncached, the released-table read + best-attempt
+    # aggregate + broadcast join re-ran once per leg, and running those
+    # duplicated subtrees CONCURRENTLY in the overlapped tail was the
+    # round-11 32-core regression (the in-flight-cache-fill trap's
+    # sibling: overlap is only cheap over materialized inputs).
+    decided = resequencing_decisions(released_cur, eligible, key, quality_col).cache()
 
     accepted = decided.filter(F.col("decision").isin("submit_new", "submit_update"))
     # ONE delta-sized aggregation does three jobs: the loud uniqueness
@@ -326,13 +335,15 @@ def run_release_cycle(
 
     # The publish write, the manifest rollup, and the suspicious-batch
     # alert are three independent actions whose shared inputs are ALREADY
-    # materialized (the uniqueness-gate action above filled the annotated
-    # cache every leg reads) — overlap them so one job's straggler tail
-    # back-fills with the others' tasks (guide §2.6). NOTE the ordering
-    # constraint this relies on: overlapping actions over a NOT-yet-
-    # materialized cache duplicates the whole subtree (in-flight cache
-    # fills are not shared between concurrent jobs — measured 2x job time
-    # when this ran before the gate action).
+    # materialized (the uniqueness-gate action above computed through
+    # flagged -> annotated -> decided, filling all three caches) —
+    # overlap them so one job's straggler tail back-fills with the
+    # others' tasks (guide §2.6). NOTE the ordering constraint this
+    # relies on: overlapping actions over a NOT-yet-materialized cache
+    # duplicates the whole subtree (in-flight cache fills are not shared
+    # between concurrent jobs — measured 2x job time when this ran
+    # before the gate action, and the round-11 regression when the legs
+    # recomputed uncached subtrees concurrently).
     def _publish() -> int:
         v = publish_versioned(merged, table_dir)
         if payload_cols:
@@ -374,7 +385,9 @@ def run_release_cycle(
     # and the CALLER unpersists it after consuming
     # (release_export_replay does, after its TSV export); held
     # re-derives from one broadcast join if re-read.
+    decided.unpersist()
     annotated.unpersist()
+    flagged.unpersist()
     return manifest, held, report
 
 
